@@ -1,0 +1,144 @@
+"""Scalar function surface (SURVEY.md §2.7, F1-F12).
+
+Everything here is a ``Column -> Column`` helper built from Spark
+built-ins (JVM-side, whole-stage-codegen'd) except ``unaccent``, which
+has no Spark built-in and is an Arrow-vectorized pandas UDF matching
+Python ``unicodedata`` NFD semantics exactly (SURVEY §7.5 item 1 —
+rule matching depends on it; reference: Leyton_depot.py:133-138).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# F1 — unaccent + normalization (Leyton_depot.py:133-138)
+# ---------------------------------------------------------------------------
+
+
+def _strip_accents(s: str) -> str:
+    return "".join(c for c in unicodedata.normalize("NFD", s) if not unicodedata.combining(c))
+
+
+@F.pandas_udf(T.StringType())
+def unaccent(s: pd.Series) -> pd.Series:
+    """NFD-decompose and drop combining marks ('SIGNÉ' -> 'SIGNE')."""
+    return s.map(lambda x: _strip_accents(x) if x is not None else None)
+
+
+def norm_name(col: Column) -> Column:
+    """Full `_norm`: unaccent -> lower -> collapse whitespace -> trim."""
+    return F.trim(F.regexp_replace(F.lower(unaccent(col)), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# F2 — file extension from whitelist (Leyton_depot.py:140-145)
+# ---------------------------------------------------------------------------
+
+_EXT_RE = r"\.(pdf|jpe?g|png|xlsx?|docx?|txt)$"
+
+
+def file_ext(name: Column) -> Column:
+    """Lowercased known extension without the dot; '' when unknown."""
+    return F.regexp_extract(F.lower(name), _EXT_RE, 1)
+
+
+# ---------------------------------------------------------------------------
+# F3 — idempotent signed-filename rename (fixed_signature_utils.py:116-124)
+# ---------------------------------------------------------------------------
+
+
+def make_signed_filename(name: Column, suffix: str = " SIGNÉ") -> Column:
+    """Insert ``suffix`` before '.pdf' unless already present (case-insensitive)."""
+    lower = F.lower(name)
+    has_sfx = lower.contains(suffix.lower())
+    is_pdf = lower.endswith(".pdf")
+    base = F.substring(name, 1, F.length(name) - F.lit(4))
+    tail = F.substring(name, F.length(name) - F.lit(3), F.lit(4))
+    inserted = F.concat(base, F.lit(suffix), tail)
+    return F.when(has_sfx | ~is_pdf, name).otherwise(inserted)
+
+
+# ---------------------------------------------------------------------------
+# F4 — sink-safe name sanitization (Leyton_depot.py:491-495)
+# ---------------------------------------------------------------------------
+
+
+def sanitize_drive_name(name: Column) -> Column:
+    return F.trim(F.regexp_replace(F.regexp_replace(name, r'[\\/:*?"<>|]', "-"), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# F5/F6 — extension <-> MIME maps (Leyton_depot.py:458-515)
+# ---------------------------------------------------------------------------
+
+_MIME_BY_EXT = {
+    "pdf": "application/pdf",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "png": "image/png",
+    "xlsx": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "xls": "application/vnd.ms-excel",
+    "docx": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "doc": "application/msword",
+    "txt": "text/plain",
+}
+_EXT_BY_MIME = {
+    "application/pdf": ".pdf",
+    "image/jpeg": ".jpg",
+    "image/png": ".png",
+    "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet": ".xlsx",
+    "application/vnd.ms-excel": ".xls",
+    "application/vnd.openxmlformats-officedocument.wordprocessingml.document": ".docx",
+    "application/msword": ".doc",
+    "text/plain": ".txt",
+}
+
+
+def _map_literal(d: dict[str, str]) -> Column:
+    pairs: list[Column] = []
+    for k, v in d.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.create_map(*pairs)
+
+
+def mime_from_name(name: Column, fallback: str = "application/octet-stream") -> Column:
+    """Name -> MIME via the extension map, fallback passthrough (F6)."""
+    return F.coalesce(_map_literal(_MIME_BY_EXT)[file_ext(name)], F.lit(fallback))
+
+
+def ext_from_name_or_ctype(name: Column, content_type: Column) -> Column:
+    """Extension from name, else from MIME map, else '.bin' (F5)."""
+    from_name = file_ext(name)
+    from_mime = _map_literal(_EXT_BY_MIME)[content_type]
+    return F.coalesce(
+        F.when(from_name != "", F.concat(F.lit("."), from_name)),
+        from_mime,
+        F.lit(".bin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8/F9 — deterministic sink naming (Leyton_depot.py:241-244)
+# ---------------------------------------------------------------------------
+
+
+def dossier_name(client_id: Column, client_name: Column) -> Column:
+    """ACT_{id}_{UPPER(name) with spaces -> underscores}."""
+    return F.concat(
+        F.lit("ACT_"),
+        client_id.cast("string"),
+        F.lit("_"),
+        F.translate(F.upper(client_name), " ", "_"),
+    )
+
+
+def lot_name(n: Column) -> Column:
+    """CLM_GE_{n:02d} lot folder name."""
+    return F.concat(F.lit("CLM_GE_"), F.lpad(n.cast("string"), 2, "0"))

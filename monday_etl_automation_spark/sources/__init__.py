@@ -1,0 +1,7 @@
+from monday_etl_automation_spark.sources.tables import (
+    TABLES,
+    load_table,
+    register_views,
+)
+
+__all__ = ["TABLES", "load_table", "register_views"]

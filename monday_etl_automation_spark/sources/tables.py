@@ -1,0 +1,60 @@
+"""Parquet table sources.
+
+The engine's batch sources are columnar parquet scans — Catalyst pushes
+filters and prunes columns into the scan (the reference hand-rolled both
+as GraphQL query construction, fixed_signature_utils.py:257-289; here
+they are free). At 100 TB these scans are the leaves of every plan, so
+nothing below ever materializes a table eagerly: loaders return lazy
+DataFrames and all pruning happens in the optimizer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one test table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong`` — a dynamic SQL conf, so
+    this works in any caller-provided session) and convert to a
+    microsecond timestamp in the plan. The test data carries no
+    sub-microsecond precision and DuckDB also reads this column as a
+    microsecond TIMESTAMP, so the conversion is lossless and
+    oracle-exact.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register the test tables as temp views for the SQL surface."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
