@@ -26,9 +26,45 @@ def _strip_accents(s: str) -> str:
 
 
 @F.pandas_udf(T.StringType())
-def unaccent(s: pd.Series) -> pd.Series:
-    """NFD-decompose and drop combining marks ('SIGNÉ' -> 'SIGNE')."""
+def unaccent_py(s: pd.Series) -> pd.Series:
+    """NFD-decompose and drop combining marks ('SIGNÉ' -> 'SIGNE').
+
+    Full-Unicode parity with Python unicodedata; Arrow-vectorized but
+    still a Python round-trip — use :func:`unaccent` (JVM translate)
+    in hot paths.
+    """
     return s.map(lambda x: _strip_accents(x) if x is not None else None)
+
+
+def _translate_tables() -> tuple[str, str]:
+    """Build src/dst char tables for every 1-char NFD decomposition in
+    the Latin-1 Supplement .. Latin Extended-B range.
+
+    Exactly matches ``_strip_accents`` (and DuckDB ``strip_accents``)
+    for these chars; chars that do not decompose (Ø, ł, …) are left
+    alone by both. Built once at import, evaluated JVM-side.
+    """
+    src, dst = [], []
+    for cp in range(0x00C0, 0x0250):
+        ch = chr(cp)
+        stripped = _strip_accents(ch)
+        if stripped != ch and len(stripped) == 1:
+            src.append(ch)
+            dst.append(stripped)
+    return "".join(src), "".join(dst)
+
+
+_SRC, _DST = _translate_tables()
+
+
+def unaccent(col: Column) -> Column:
+    """JVM-side unaccent via translate; whole-stage-codegen friendly.
+
+    Covers all decomposable Latin chars (the reference's data is
+    French/Spanish filenames, Leyton_depot.py:133-138); for arbitrary
+    Unicode use :func:`unaccent_py`.
+    """
+    return F.translate(col, _SRC, _DST)
 
 
 def norm_name(col: Column) -> Column:

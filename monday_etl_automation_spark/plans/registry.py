@@ -40,7 +40,9 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from monday_etl_automation_spark.plans import flagship  # noqa: F401
+    from monday_etl_automation_spark.plans import flagship, relational
 
     register("flagship_depot_selection", flagship.flagship, flagship.FLAGSHIP_ORACLE)
+    for name, (fn, oracle) in relational.QUERIES.items():
+        register(name, fn, oracle)
     _LOADED = True

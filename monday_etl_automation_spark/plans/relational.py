@@ -1,0 +1,352 @@
+"""General relational analytics surface (SURVEY.md §2.3-§2.6 note rows).
+
+The reference's relational operators are key-lookups and top-1 windows;
+a general engine must also cover the standard analytics shapes the
+TPC-H-ish testdata exercises: multi-way joins, hash aggregation,
+rollup/grouping sets, ranking windows, and set operations. Everything
+below is a declarative DataFrame plan — Catalyst chooses broadcast vs
+shuffle joins (AQE re-plans at runtime), pushes filters into the
+parquet scans, and prunes columns.
+
+Numeric policy for oracle-exactness: money/quantity sums cast to
+DECIMAL(18,2) *before* aggregation (exact, order-insensitive —
+float sums would drift between Spark's and DuckDB's reduction
+orders); averages are decimal-rounded then cast to double.
+
+Scale notes (100 TB posture):
+- fact-to-fact joins (lineitem⋈orders) shuffle on the join key; both
+  sides would be bucketed on orderkey in a real deployment, the plan
+  here is unchanged.
+- dims (region/nation/customer/supplier/part) stay under the
+  broadcast threshold at any SF that keeps them dimension-shaped.
+- aggregations are partial+final hash aggs (map-side combine) —
+  verified via .explain: HashAggregate(partial) -> Exchange ->
+  HashAggregate(final).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from monday_etl_automation_spark.sources.tables import load_table
+
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q1 — pricing summary (TPC-H Q1 shape): scan-heavy group-agg
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    # scale-preserving casts only (exact): 12,2 * 5,2 -> 18,4; * 5,2 -> 24,6
+    disc_price = (price * (one - disc)).cast("decimal(18,4)")
+    charge = (disc_price * (one + tax)).cast("decimal(24,6)")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price.cast(DEC)).alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(30,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(30,6)").alias("sum_charge"),
+            F.round(F.sum(qty) / F.count(F.lit(1)), 2).cast("double").alias("avg_qty"),
+            F.round(F.sum(price) / F.count(F.lit(1)), 2).cast("double").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS sum_disc_price,
+  CAST(sum(CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6)) AS DECIMAL(24,6))) AS DECIMAL(30,6)) AS sum_charge,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*), 2) AS DOUBLE) AS avg_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / count(*), 2) AS DOUBLE) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# q3 — shipping priority (TPC-H Q3 shape): 3-way join + agg + top-k
+# ---------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01"))
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(18,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("decimal(30,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  o_orderdate,
+  o_orderpriority,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# q5 — regional revenue (TPC-H Q5 shape): 6-way join, dims broadcast
+# ---------------------------------------------------------------------------
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(18,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("decimal(30,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_ORACLE = """
+SELECT
+  n_name,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# rollup — hierarchical totals (SURVEY A3 generalization)
+# ---------------------------------------------------------------------------
+
+
+def rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.grouping_id("l_returnflag", "l_linestatus").cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_items",
+            "sum_qty",
+            "gid",
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+  count(*) AS n_items,
+  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# window — ranking analytics (SURVEY W1-W3 generalization)
+# ---------------------------------------------------------------------------
+
+
+def window_part_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price per brand, with brand price stats."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    brand = Window.partitionBy("p_brand")
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            F.col("p_retailprice").cast(DEC).alias("price"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.max(F.col("p_retailprice").cast(DEC)).over(brand).alias("brand_max"),
+            F.lag(F.col("p_retailprice").cast(DEC), 1).over(w).alias("prev_price"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    )
+
+
+WINDOW_RANK_ORACLE = """
+WITH ranked AS (
+  SELECT
+    p_brand,
+    p_partkey,
+    CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+    CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+    CAST(RANK() OVER w AS INTEGER) AS rnk,
+    MAX(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS brand_max,
+    LAG(CAST(p_retailprice AS DECIMAL(18,2)), 1) OVER w AS prev_price
+  FROM part
+  WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+)
+SELECT * FROM ranked WHERE rn <= 3 ORDER BY p_brand, rn
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# set ops — intersect / except / union (SURVEY U1 generalization)
+# ---------------------------------------------------------------------------
+
+
+def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with open ('O') orders vs finished ('F') orders:
+    both (intersect), open-only (except), and either (union distinct),
+    tagged and unioned into one relation."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    fin_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both = open_c.intersect(fin_c).select("o_custkey", F.lit("both").alias("cohort"))
+    only_open = open_c.exceptAll(fin_c).select("o_custkey", F.lit("open_only").alias("cohort"))
+    either = open_c.union(fin_c).distinct().select("o_custkey", F.lit("either").alias("cohort"))
+    return both.unionByName(only_open).unionByName(either).orderBy("cohort", "o_custkey")
+
+
+SETOPS_ORACLE = """
+WITH open_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+fin_c AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM open_c INTERSECT SELECT o_custkey FROM fin_c)
+UNION ALL
+SELECT o_custkey, 'open_only' AS cohort FROM (SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM fin_c)
+UNION ALL
+SELECT o_custkey, 'either' AS cohort FROM (SELECT o_custkey FROM open_c UNION SELECT o_custkey FROM fin_c)
+ORDER BY cohort, o_custkey
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# semi/anti joins — existence predicates
+# ---------------------------------------------------------------------------
+
+
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation counts of customers WITH any urgent order (left semi)
+    and WITHOUT any order at all (left anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    with_urgent = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_with_urgent"))
+    )
+    no_orders = (
+        c.join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_no_orders"))
+    )
+    return (
+        with_urgent.join(no_orders, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_with_urgent", F.lit(0)).alias("n_with_urgent"),
+            F.coalesce("n_no_orders", F.lit(0)).alias("n_no_orders"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SEMI_ANTI_ORACLE = """
+WITH with_urgent AS (
+  SELECT c_nationkey, count(*) AS n_with_urgent
+  FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  GROUP BY c_nationkey
+),
+no_orders AS (
+  SELECT c_nationkey, count(*) AS n_no_orders
+  FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_nationkey
+)
+SELECT
+  COALESCE(w.c_nationkey, n.c_nationkey) AS c_nationkey,
+  COALESCE(w.n_with_urgent, 0) AS n_with_urgent,
+  COALESCE(n.n_no_orders, 0) AS n_no_orders
+FROM with_urgent w FULL OUTER JOIN no_orders n ON w.c_nationkey = n.c_nationkey
+ORDER BY c_nationkey
+""".strip()
+
+
+QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
+    "q5_region_revenue": (q5_region_revenue, Q5_ORACLE),
+    "rollup_returnflag": (rollup_returnflag, ROLLUP_ORACLE),
+    "window_part_rank": (window_part_rank, WINDOW_RANK_ORACLE),
+    "setops_customer_cohorts": (setops_customer_cohorts, SETOPS_ORACLE),
+    "semi_anti_customers": (semi_anti_customers, SEMI_ANTI_ORACLE),
+}
