@@ -40,9 +40,10 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from monday_etl_automation_spark.plans import flagship, relational
+    from monday_etl_automation_spark.plans import flagship, monday_ops, relational
 
     register("flagship_depot_selection", flagship.flagship, flagship.FLAGSHIP_ORACLE)
-    for name, (fn, oracle) in relational.QUERIES.items():
-        register(name, fn, oracle)
+    for mod in (relational, monday_ops):
+        for name, (fn, oracle) in mod.QUERIES.items():
+            register(name, fn, oracle)
     _LOADED = True
