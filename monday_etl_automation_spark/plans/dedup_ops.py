@@ -1,0 +1,338 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §2.12).
+
+Four dedup families, each the idiomatic Spark shape for 100 TB:
+
+- exact      — md5 of normalized text, keep min doc_id per hash group.
+               One shuffle on a 128-bit key; no text comparison.
+- minhash    — per-doc signatures computed row-local from word-trigram
+               shingles (array ops in codegen, NO explode, NO shuffle),
+               then LSH banding: candidates join only on band keys.
+               This is the scale path: work is O(docs) + O(colliding
+               pairs), never O(docs^2).
+- ngram      — exact Jaccard over word trigrams via a shared-shingle
+               equi-join; the ground-truth verifier for minhash
+               candidates. Thresholding uses integer cross-multiplied
+               comparison (4*|A∩B| >= |A∪B| ⇔ J >= 0.25) — exact, no
+               float drift.
+- simhash    — 28-bit sign-sum fingerprint per doc (row-local), near
+               pairs via pigeonhole banding: hamming <= 3 over 4 bands
+               of 7 bits ⇒ at least one band equal, so the join is on
+               band equality, again never O(docs^2).
+
+All hashes derive from md5 hex prefixes so Spark and DuckDB agree
+exactly (Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from monday_etl_automation_spark.sources.tables import register_views
+
+# --- shared hash/shingle SQL fragments --------------------------------------
+
+_P31 = 2147483647  # 2^31-1, modulus for minhash affine hashes
+# a_i odd multipliers < 2^31; b_i offsets. a*h with h < 2^28 stays < 2^63.
+_MINHASH_AB = [
+    (1299721, 9576890767),
+    (1299743, 3628273133),
+    (1299763, 5915587277),
+    (1299791, 1500450271),
+    (1299811, 3267000013),
+    (1299817, 5754853343),
+    (1299821, 4093082899),
+    (1299827, 2860486313),
+]
+_N_BANDS = 4  # bands of 2 signatures each
+
+_SPARK_TOKS = "split(trim(text), '\\\\s+')"
+_DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+# 28-bit shingle base hash (md5 hex prefix of 7 chars)
+_SPARK_H28 = "CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)"
+_DUCK_H28 = "CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)"
+
+
+def _shingles(dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            "CASE WHEN size(toks) >= 3 THEN array_distinct(transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) ELSE array(text) END"
+        )
+    return (
+        "CASE WHEN len(toks) >= 3 THEN list_distinct([toks[i] || ' ' || toks[i + 1] || ' ' ||"
+        " toks[i + 2] for i in range(1, len(toks) - 1)]) ELSE [text] END"
+    )
+
+
+def _shingle_cte(dialect: str) -> str:
+    toks = _SPARK_TOKS if dialect == "spark" else _DUCK_TOKS
+    return f"""
+t AS (SELECT doc_id, lang, text, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, lang, {_shingles(dialect)} AS shingles FROM t)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy on normalized text
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact_sql(dialect: str) -> str:
+    ws = "'\\\\s+'" if dialect == "spark" else "'\\s+'"
+    return f"""
+WITH n AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), {ws}, ' ')) AS text_hash
+  FROM documents
+),
+k AS (
+  SELECT text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+  FROM n GROUP BY text_hash
+)
+SELECT keep_doc_id, text_hash, CAST(n_copies AS BIGINT) AS n_copies
+FROM k ORDER BY keep_doc_id
+""".strip()
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_dedup_exact_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# minhash_signatures — row-local signature computation (no shuffle)
+# ---------------------------------------------------------------------------
+
+
+def _sig_exprs(dialect: str) -> list[str]:
+    h = _SPARK_H28 if dialect == "spark" else _DUCK_H28
+    tf = "transform" if dialect == "spark" else "list_transform"
+    amin = "array_min" if dialect == "spark" else "list_min"
+    out = []
+    for i, (a, b) in enumerate(_MINHASH_AB):
+        out.append(f"{amin}({tf}(bases, h -> ({a} * h + {b}) % {_P31})) AS sig{i}")
+    return out
+
+
+def _minhash_sql(dialect: str) -> str:
+    h = _SPARK_H28 if dialect == "spark" else _DUCK_H28
+    tf = "transform" if dialect == "spark" else "list_transform"
+    sigs = ",\n    ".join(_sig_exprs(dialect))
+    return f"""
+WITH {_shingle_cte(dialect)},
+hs AS (SELECT doc_id, {tf}(shingles, s -> {h}) AS bases FROM sh)
+SELECT doc_id,
+    {sigs}
+FROM hs
+ORDER BY doc_id
+""".strip()
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_minhash_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# minhash_lsh_candidates — band-bucket join (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_sql(dialect: str) -> str:
+    base = _minhash_sql(dialect).replace("\nORDER BY doc_id", "")
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    band_keys = ", ".join(
+        f"CAST(sig{2 * j} AS {str_t}) || ':' || CAST(sig{2 * j + 1} AS {str_t}) AS band{j}"
+        for j in range(_N_BANDS)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, band{j} AS band_key FROM bands" for j in range(_N_BANDS)
+    )
+    return f"""
+WITH sigs AS ({base}),
+bands AS (SELECT doc_id, {band_keys} FROM sigs),
+kv AS ({unpivot})
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM kv a JOIN kv b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_id_a, doc_id_b
+""".strip()
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    # Spark inlines WITH-CTEs, so the signature computation would run
+    # once per band reference (8x). Materialize signatures first —
+    # they are 9 ints/doc, linear in corpus size, spillable.
+    sigs = spark.sql(_minhash_sql("spark")).cache()
+    sigs.createOrReplaceTempView("_mh_sigs")
+    str_t = "STRING"
+    band_keys = ", ".join(
+        f"CAST(sig{2 * j} AS {str_t}) || ':' || CAST(sig{2 * j + 1} AS {str_t}) AS band{j}"
+        for j in range(_N_BANDS)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, band{j} AS band_key FROM bands" for j in range(_N_BANDS)
+    )
+    return spark.sql(
+        f"""
+WITH bands AS (SELECT doc_id, {band_keys} FROM _mh_sigs),
+kv AS ({unpivot})
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM kv a JOIN kv b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_id_a, doc_id_b
+""".strip()
+    )
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_pairs — exact trigram Jaccard via shared-shingle join
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_sql(dialect: str) -> str:
+    if dialect == "spark":
+        ex = "SELECT doc_id, lang, explode(shingles) AS s, size(shingles) AS n_sh FROM sh"
+    else:
+        ex = "SELECT doc_id, lang, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh"
+    return f"""
+WITH {_shingle_cte(dialect)},
+ex AS ({ex}),
+shared AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(min(a.n_sh) AS BIGINT) AS n_a, CAST(min(b.n_sh) AS BIGINT) AS n_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_id_a, doc_id_b, n_shared, (n_a + n_b - n_shared) AS n_union
+FROM shared
+WHERE 20 * n_shared >= n_a + n_b - n_shared  -- Jaccard >= 0.05
+ORDER BY doc_id_a, doc_id_b
+""".strip()
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_jaccard_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# simhash — 28-bit sign-sum fingerprint + banded near-pairs
+# ---------------------------------------------------------------------------
+
+_N_BITS = 28
+_BAND_BITS = 7  # 4 bands of 7 bits; hamming<=3 => some band equal
+
+
+def _simhash_sql(dialect: str) -> str:
+    """Per-token 28-bit hashes; bit i weight +1/-1 by bit test; simhash
+    bit i set iff the sum is positive. Row-local in both engines."""
+    toks = _SPARK_TOKS if dialect == "spark" else _DUCK_TOKS
+    if dialect == "spark":
+        h = _SPARK_H28.replace("md5(s)", "md5(x)")
+        hashes = f"transform(toks, x -> {h})"
+        bit_sum = (
+            "aggregate(hashes, 0, (acc, h) ->"
+            " acc + CASE WHEN CAST(floor(h / p2) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)"
+        )
+        sim = (
+            f"aggregate(transform(sequence(0, {_N_BITS - 1}), i ->"
+            f" CASE WHEN {bit_sum.replace('p2', 'CAST(power(2, i) AS BIGINT)')} > 0"
+            f" THEN CAST(power(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    else:
+        h = _DUCK_H28.replace("md5(s)", "md5(x)")
+        hashes = f"list_transform(toks, x -> {h})"
+        bit_sum = (
+            "list_sum(list_transform(hashes, h ->"
+            " CASE WHEN (h // p2) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        sim = (
+            f"list_sum([CASE WHEN {bit_sum.replace('p2', 'CAST(pow(2, i) AS BIGINT)')} > 0"
+            f" THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            f" for i in range(0, {_N_BITS})])"
+        )
+    return f"""
+WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+hs AS (SELECT doc_id, lang, {hashes} AS hashes FROM t)
+SELECT doc_id, lang, CAST({sim} AS BIGINT) AS simhash FROM hs
+ORDER BY doc_id
+""".strip()
+
+
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_simhash_sql("spark"))
+
+
+_HAMMING_MAX = 6
+
+
+def _simhash_pairs_sql(dialect: str) -> str:
+    base = _simhash_sql(dialect).replace("\nORDER BY doc_id", "")
+    n_bands = _N_BITS // _BAND_BITS
+    if dialect == "spark":
+        band = lambda j: f"CAST(floor(simhash / {2 ** (j * _BAND_BITS)}) AS BIGINT) % {2**_BAND_BITS}"  # noqa: E731
+        hamming = "bit_count(sim_a ^ sim_b)"
+    else:
+        band = lambda j: f"(simhash // {2 ** (j * _BAND_BITS)}) % {2**_BAND_BITS}"  # noqa: E731
+        hamming = "bit_count(xor(sim_a, sim_b))"
+    band_exprs = ", ".join(f"{band(j)} AS band{j}" for j in range(n_bands))
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band_idx, band{j} AS band_key FROM bands"
+        for j in range(n_bands)
+    )
+    return f"""
+WITH sims AS ({base}),
+bands AS (SELECT doc_id, simhash, {band_exprs} FROM sims),
+kv AS ({unpivot}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, a.simhash AS sim_a, b.doc_id AS doc_id_b, b.simhash AS sim_b
+  FROM kv a JOIN kv b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, CAST({hamming} AS INT) AS hamming
+FROM cand
+WHERE CAST({hamming} AS INT) <= {_HAMMING_MAX}
+ORDER BY doc_id_a, doc_id_b
+""".strip()
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    # Materialize fingerprints once (see minhash_lsh_candidates).
+    sims = spark.sql(_simhash_sql("spark")).cache()
+    sims.createOrReplaceTempView("_sh_sims")
+    n_bands = _N_BITS // _BAND_BITS
+    band_exprs = ", ".join(
+        f"CAST(floor(simhash / {2 ** (j * _BAND_BITS)}) AS BIGINT) % {2**_BAND_BITS} AS band{j}"
+        for j in range(n_bands)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band_idx, band{j} AS band_key FROM bands"
+        for j in range(n_bands)
+    )
+    return spark.sql(
+        f"""
+WITH bands AS (SELECT doc_id, simhash, {band_exprs} FROM _sh_sims),
+kv AS ({unpivot}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, a.simhash AS sim_a, b.doc_id AS doc_id_b, b.simhash AS sim_b
+  FROM kv a JOIN kv b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming
+FROM cand
+WHERE CAST(bit_count(sim_a ^ sim_b) AS INT) <= {_HAMMING_MAX}
+ORDER BY doc_id_a, doc_id_b
+""".strip()
+    )
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, _dedup_exact_sql("duckdb")),
+    "minhash_signatures": (minhash_signatures, _minhash_sql("duckdb")),
+    "minhash_lsh_candidates": (minhash_lsh_candidates, _lsh_sql("duckdb")),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs, _jaccard_sql("duckdb")),
+    "simhash_fingerprint": (simhash_fingerprint, _simhash_sql("duckdb")),
+    "simhash_near_pairs": (simhash_near_pairs, _simhash_pairs_sql("duckdb")),
+}

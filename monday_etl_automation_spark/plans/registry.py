@@ -40,10 +40,17 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from monday_etl_automation_spark.plans import flagship, monday_ops, relational
+    from monday_etl_automation_spark.plans import (
+        dedup_ops,
+        embed_ops,
+        flagship,
+        monday_ops,
+        relational,
+        text_ops,
+    )
 
     register("flagship_depot_selection", flagship.flagship, flagship.FLAGSHIP_ORACLE)
-    for mod in (relational, monday_ops):
+    for mod in (relational, monday_ops, text_ops, dedup_ops, embed_ops):
         for name, (fn, oracle) in mod.QUERIES.items():
             register(name, fn, oracle)
     _LOADED = True

@@ -1,0 +1,226 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.12).
+
+Large-scale training-data pipeline surface: token statistics, quality
+scoring, stopword-based language ID, BPE-ish token counting, and
+document fingerprinting. Everything is row-local array/string compute
+(whole-stage codegen, zero shuffles except final ordering) — the shape
+that scales linearly to 100 TB: no UDFs, no driver state, no
+cross-row dependencies.
+
+Numeric policy: all outputs are ints / strings / exact ratios kept as
+(numerator, denominator) int pairs, so the DuckDB oracle matches
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from monday_etl_automation_spark.sources.tables import register_views
+
+# Shared token expressions (Spark SQL and DuckDB dialects)
+_SPARK_TOKS = "split(trim(text), '\\\\s+')"
+_DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_STOP_EN = ("the", "a", "of", "and", "to", "in")
+_STOP_TABLE = "table", "row", "join", "merge"  # domain words, non-stop
+
+# Spark SQL string literals process backslash escapes; DuckDB's do not.
+_BPE_RE_SPARK = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
+_BPE_RE_DUCK = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+# ---------------------------------------------------------------------------
+# text_stats — per-document statistics + quality score
+# ---------------------------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    stop_list = ", ".join(f"'{w}'" for w in _STOP_EN)
+    return spark.sql(
+        f"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars, {_SPARK_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT
+    doc_id, lang, source, n_chars,
+    size(toks) AS n_tokens,
+    CAST(aggregate(toks, 0, (acc, x) -> acc + length(x)) AS BIGINT) AS sum_token_len,
+    size(filter(toks, x -> x IN ({stop_list}))) AS n_stopwords,
+    size(array_distinct(toks)) AS n_distinct_tokens
+  FROM t
+)
+SELECT
+  doc_id, lang, source, n_chars, n_tokens, sum_token_len, n_stopwords, n_distinct_tokens,
+  CAST(
+    CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
+    + CASE WHEN n_tokens > 0 AND sum_token_len * 10 BETWEEN n_tokens * 30 AND n_tokens * 80 THEN 30 ELSE 0 END
+    + CASE WHEN n_stopwords * 100 >= n_tokens * 2 THEN 15 ELSE 0 END
+    + CASE WHEN n_distinct_tokens * 100 >= n_tokens * 30 THEN 15 ELSE 0 END
+  AS INT) AS quality_score
+FROM s
+ORDER BY doc_id
+""".strip()
+    )
+
+
+def _text_stats_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in _STOP_EN)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars, {_DUCK_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT
+    doc_id, lang, source, n_chars,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_token_len,
+    CAST(len(list_filter(toks, x -> x IN ({stop_list}))) AS INT) AS n_stopwords,
+    CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens
+  FROM t
+)
+SELECT
+  doc_id, lang, source, n_chars, n_tokens, sum_token_len, n_stopwords, n_distinct_tokens,
+  CAST(
+    CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
+    + CASE WHEN n_tokens > 0 AND sum_token_len * 10 BETWEEN n_tokens * 30 AND n_tokens * 80 THEN 30 ELSE 0 END
+    + CASE WHEN n_stopwords * 100 >= n_tokens * 2 THEN 15 ELSE 0 END
+    + CASE WHEN n_distinct_tokens * 100 >= n_tokens * 30 THEN 15 ELSE 0 END
+  AS INT) AS quality_score
+FROM s
+ORDER BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# lang_id — n-gram/stopword-heuristic language guess + accuracy rollup
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "de": ("der", "die", "und"),
+}
+
+
+def _hits(dialect_len: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    if dialect_len == "spark":
+        return f"size(filter(toks, x -> x IN ({lst})))"
+    return f"CAST(len(list_filter(toks, x -> x IN ({lst}))) AS INT)"
+
+
+def _lang_id_sql(dialect: str) -> str:
+    toks = _SPARK_TOKS if dialect == "spark" else _DUCK_TOKS
+    hits = {lg: _hits(dialect, ws) for lg, ws in _LANG_MARKERS.items()}
+    return f"""
+WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+h AS (
+  SELECT doc_id, lang,
+    {hits['en']} AS h_en, {hits['fr']} AS h_fr,
+    {hits['es']} AS h_es, {hits['de']} AS h_de
+  FROM t
+),
+g AS (
+  SELECT doc_id, lang, h_en, h_fr, h_es, h_de,
+    CASE
+      WHEN h_en >= h_fr AND h_en >= h_es AND h_en >= h_de AND h_en > 0 THEN 'en'
+      WHEN h_fr >= h_es AND h_fr >= h_de AND h_fr > 0 THEN 'fr'
+      WHEN h_es >= h_de AND h_es > 0 THEN 'es'
+      WHEN h_de > 0 THEN 'de'
+      ELSE 'unknown'
+    END AS guessed
+  FROM h
+)
+SELECT lang, guessed, count(*) AS n_docs
+FROM g
+GROUP BY lang, guessed
+ORDER BY lang, guessed
+""".strip()
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_lang_id_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# token_count_bpe — BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+SELECT
+  doc_id,
+  size(regexp_extract_all(text, '{_BPE_RE_SPARK}', 0)) AS n_bpe_tokens,
+  size(split(trim(text), '\\\\s+')) AS n_ws_tokens
+FROM documents
+ORDER BY doc_id
+""".strip()
+    )
+
+
+TOKEN_COUNT_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_RE_DUCK}', 0)) AS INT) AS n_bpe_tokens,
+  CAST(len({_DUCK_TOKS}) AS INT) AS n_ws_tokens
+FROM documents
+ORDER BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint — shingle-hash fingerprints (min + xor folds)
+# ---------------------------------------------------------------------------
+
+# 60-bit hash of a shingle from its md5 hex prefix — identical in both
+# engines: Spark conv(hex,16,10), DuckDB CAST('0x'||hex AS BIGINT).
+_SPARK_H60 = "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_H60 = "CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)"
+
+
+def _fingerprint_sql(dialect: str) -> str:
+    toks = _SPARK_TOKS if dialect == "spark" else _DUCK_TOKS
+    if dialect == "spark":
+        shingles = (
+            "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) ELSE array(text) END"
+        )
+        hashes = f"transform(shingles, s -> {_SPARK_H60})"
+        fp_min = "array_min(hashes)"
+        fp_xor = "aggregate(hashes, CAST(0 AS BIGINT), (acc, h) -> acc ^ h)"
+    else:
+        shingles = (
+            "CASE WHEN len(toks) >= 3 THEN [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
+            " for i in range(1, len(toks) - 1)] ELSE [text] END"
+        )
+        hashes = f"list_transform(shingles, s -> {_DUCK_H60})"
+        fp_min = "list_min(hashes)"
+        fp_xor = "reduce(hashes, (acc, h) -> xor(acc, h))"
+    return f"""
+WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+sh AS (SELECT doc_id, {shingles} AS shingles FROM t),
+hs AS (SELECT doc_id, {hashes} AS hashes FROM sh)
+SELECT doc_id, {fp_min} AS fp_min, {fp_xor} AS fp_xor FROM hs
+ORDER BY doc_id
+""".strip()
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_fingerprint_sql("spark"))
+
+
+QUERIES: dict[str, tuple] = {
+    "text_stats": (text_stats, _text_stats_oracle()),
+    "lang_id": (lang_id, _lang_id_sql("duckdb")),
+    "token_count_bpe": (token_count_bpe, TOKEN_COUNT_ORACLE),
+    "doc_fingerprint": (doc_fingerprint, _fingerprint_sql("duckdb")),
+}

@@ -1,0 +1,33 @@
+"""Oracle-differential tests for every registered query (sf0.001).
+
+Mirrors the driver's verify loop: each queries() entry must match its
+oracle_sql() DuckDB result on row-count, column names, and
+order-insensitive values. sf0.001 keeps the loop fast; driver_sim.py
+runs the same check at sf0.01 (the driver's gate scale).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from monday_etl_automation_spark.plans import registry
+from oracle_compare import assert_matches_oracle
+
+_QUERIES = registry.queries()
+_ORACLES = registry.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = _QUERIES[name](spark, sf_dir)
+    if name in _ORACLES:
+        assert_matches_oracle(df, _ORACLES[name], sf_dir)
+    else:
+        assert df.count() >= 0  # rows-only check for non-SQL-expressible ops
+
+
+def test_every_query_has_oracle_or_is_whitelisted():
+    """Queries without oracles get a weaker driver check — keep that
+    set explicit so coverage regressions are visible."""
+    no_oracle = set(_QUERIES) - set(_ORACLES)
+    assert no_oracle <= set(), f"unexpected oracle-less queries: {no_oracle}"
