@@ -47,10 +47,11 @@ def _load_all() -> None:
         monday_ops,
         relational,
         text_ops,
+        windows_ops,
     )
 
     register("flagship_depot_selection", flagship.flagship, flagship.FLAGSHIP_ORACLE)
-    for mod in (relational, monday_ops, text_ops, dedup_ops, embed_ops):
+    for mod in (relational, monday_ops, text_ops, dedup_ops, embed_ops, windows_ops):
         for name, (fn, oracle) in mod.QUERIES.items():
             register(name, fn, oracle)
     _LOADED = True

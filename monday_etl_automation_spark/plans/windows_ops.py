@@ -1,0 +1,221 @@
+"""Event-time window operators over ``events`` (SURVEY.md §2.10).
+
+Batch twins of the streaming aggregations (streaming/pipeline.py):
+``window()`` and ``session_window()`` are the same expressions in
+batch and streaming plans, so each query here is both a batch
+operator AND the oracle for its streaming replay. ``stream_tumbling_
+replay`` runs the REAL Structured Streaming pipeline (availableNow
+over the parquet source, memory sink) and must reproduce the batch
+answer exactly — replay determinism is the §2.10 test strategy.
+
+DuckDB oracles: tumbling = time_bucket; sliding = each event assigned
+to size/slide buckets; session = gaps-and-islands (lag + cumulative
+session ids).
+
+Scale notes: window aggs shuffle once on (window, key); session
+windows shuffle on user_id. Value sums are DECIMAL for engine-exact
+comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monday_etl_automation_spark.sources.tables import load_table, register_views
+from monday_etl_automation_spark.streaming import pipeline as streaming
+
+
+# ---------------------------------------------------------------------------
+# tumbling — 1-hour fixed windows
+# ---------------------------------------------------------------------------
+
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        streaming.tumbling_counts(events.withWatermark("ts", "100 days"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT
+  time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+  time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+""".strip()
+
+
+def stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming replay — must equal the batch twin."""
+    return streaming.run_replay(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# sliding — 1-hour windows sliding every 30 minutes
+# ---------------------------------------------------------------------------
+
+
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.col("value").cast("decimal(18,6)")).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "max_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SLIDING_ORACLE = """
+WITH assigned AS (
+  SELECT
+    time_bucket(INTERVAL 30 MINUTE, ts) - i * INTERVAL 30 MINUTE AS window_start,
+    event_type, value
+  FROM events, (SELECT unnest([0, 1]) AS i)
+)
+SELECT
+  window_start,
+  event_type,
+  count(*) AS n_events,
+  max(CAST(value AS DECIMAL(18,6))) AS max_value
+FROM assigned
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# session — 5-minute-gap sessions per user
+# ---------------------------------------------------------------------------
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(30,6)").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# Gaps-and-islands: a session break is a gap > 5 min; session_end is
+# last event + 5 min (session_window's close semantics).
+SESSION_ORACLE = """
+WITH marked AS (
+  SELECT
+    user_id, ts, value,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 MINUTE
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+numbered AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 5 MINUTE AS session_end,
+  user_id,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# dedup_replay — webhook-retry suppression (rows must survive exactly once)
+# ---------------------------------------------------------------------------
+
+
+def event_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of dropDuplicatesWithinWatermark: one row per
+    event_id (events are unique in the fixture, so this also checks
+    that dedup does not drop legitimate rows)."""
+    events = load_table(spark, sf_dir, "events")
+    doubled = events.unionByName(events)  # simulate webhook retries
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+DEDUP_ORACLE = """
+WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events),
+uniq AS (SELECT event_id, any_value(event_type) AS event_type FROM doubled GROUP BY event_id)
+SELECT event_type, count(*) AS n_unique
+FROM uniq GROUP BY event_type ORDER BY event_type
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# json props — semi-structured extraction (P2 analog over the stream)
+# ---------------------------------------------------------------------------
+
+
+def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_ORACLE = """
+SELECT
+  event_type,
+  count(*) AS n_events,
+  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""".strip()
+
+
+QUERIES: dict[str, tuple] = {
+    "tumbling_window_counts": (tumbling_window_counts, TUMBLING_ORACLE),
+    "stream_tumbling_replay": (stream_tumbling_replay, TUMBLING_ORACLE),
+    "sliding_window_stats": (sliding_window_stats, SLIDING_ORACLE),
+    "session_window_stats": (session_window_stats, SESSION_ORACLE),
+    "event_dedup_counts": (event_dedup_counts, DEDUP_ORACLE),
+    "event_props_extract": (event_props_extract, PROPS_ORACLE),
+}

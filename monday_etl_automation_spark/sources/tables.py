@@ -48,9 +48,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-            )
+            # integer division — `/` would widen to double and lose
+            # precision above 2^53 (nanos since epoch is ~2^60)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
