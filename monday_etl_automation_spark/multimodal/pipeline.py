@@ -1,0 +1,199 @@
+"""Distributed document pipelines over binary columns (SURVEY.md §2.9).
+
+The Spark side is REAL (and is what matters at 100 TB): binary columns
+flow through ``mapInPandas`` in Arrow batches, per-page fan-out is an
+``explode``, seeds derive from key columns, and reassembly is a
+grouped ``collect_list`` ordered by page index. Only the byte-level
+codecs are deterministic fakes (multimodal/codecs.py).
+
+Batch-size note: Arrow batches are capped via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
+multi-MB documents cannot blow executor memory — the moral equivalent
+of the reference's per-page ``del``/``gc.collect()`` dance
+(app.py:213-216, §4.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from monday_etl_automation_spark.functions.scalar import make_signed_filename
+from monday_etl_automation_spark.multimodal import codecs
+
+DOC_BIN_SCHEMA = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, content BINARY"
+
+
+def documents_to_binary(documents: DataFrame) -> DataFrame:
+    """Materialize the fake-PDF binary column from document text.
+
+    (Stand-in for S7 download / binaryFile scan: real deployments read
+    ``spark.read.format('binaryFile')`` or fetch via a UDF; here the
+    bytes derive deterministically from the text fixture.)
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "source": pdf["source"],
+                    "n_chars": pdf["n_chars"],
+                    "content": pdf["text"].map(lambda t: codecs.pdf_encode(t)),
+                }
+            )
+
+    return documents.mapInPandas(encode, DOC_BIN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# B1 — compress: per-page rasterize -> jpeg -> rebuild
+# ---------------------------------------------------------------------------
+
+B1_SCHEMA = "doc_id BIGINT, n_pages INT, in_bytes BIGINT, out_bytes BIGINT, out_sha STRING"
+
+
+def compress_pdf(docs_bin: DataFrame, preset: str = "balanced") -> DataFrame:
+    """B1 (fixed_signature_utils.py:38-110): page-at-a-time rasterize at
+    the preset DPI, 'sharpen', JPEG re-encode, rebuild the container."""
+    dpi, quality = codecs.quality_preset(preset)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                pages = codecs.pdf_pages(bytes(content))
+                images = [
+                    codecs.jpeg_encode(codecs.rasterize_page(p, dpi), quality) for p in pages
+                ]
+                out = codecs.pdf_from_page_images(images)
+                rows.append(
+                    (doc_id, len(pages), len(content), len(out), hashlib.sha256(out).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "in_bytes", "out_bytes", "out_sha"])
+
+    return docs_bin.mapInPandas(work, B1_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# B7 — scan pipeline with per-page fan-out: explode pages -> effects ->
+#       A4 normalize -> reassemble (the distributed page-parallel shape)
+# ---------------------------------------------------------------------------
+
+PAGE_SCHEMA = "doc_id BIGINT, page_idx INT, page BINARY"
+B7_SCHEMA = "doc_id BIGINT, page_idx INT, out_page BINARY"
+
+
+def explode_pages(docs_bin: DataFrame, dpi: int = 150) -> DataFrame:
+    """Fan a document out to one row per rastered page — at scale the
+    page rows redistribute across the cluster, so one huge document
+    cannot hot-spot a single task."""
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                for i, p in enumerate(codecs.pdf_pages(bytes(content))):
+                    out.append((doc_id, i, codecs.rasterize_page(p, dpi)))
+            yield pd.DataFrame(out, columns=["doc_id", "page_idx", "page"])
+
+    return docs_bin.mapInPandas(split, PAGE_SCHEMA)
+
+
+def scan_pages(pages: DataFrame, preset: str = "balanced") -> DataFrame:
+    """B2/B3: seeded scan effects + A4 normalization per page. The seed
+    is (doc_id, page_idx, preset) — retry-reproducible (§7.5 item 4)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, idx, page in zip(pdf["doc_id"], pdf["page_idx"], pdf["page"]):
+                key = f"{doc_id}:{idx}".encode()
+                eff = codecs.scan_effects(bytes(page), key=key, preset=preset)
+                out.append((doc_id, idx, codecs.a4_normalize(eff)))
+            yield pd.DataFrame(out, columns=["doc_id", "page_idx", "out_page"])
+
+    return pages.mapInPandas(work, B7_SCHEMA)
+
+
+def reassemble(scanned: DataFrame) -> DataFrame:
+    """Collect pages back into documents, ordered by page index."""
+    return (
+        scanned.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("page_idx"), F.col("out_page")))
+            ).alias("_pages")
+        )
+        .select(
+            "doc_id",
+            F.size("_pages").cast("int").alias("n_pages"),
+            F.transform(F.col("_pages"), lambda s: s["out_page"]).alias("pages"),
+        )
+    )
+
+
+def scanned_pdf(docs_bin: DataFrame, preset: str = "balanced", dpi: int = 150) -> DataFrame:
+    """Full B7: explode -> scan -> reassemble -> rebuild container."""
+    parts = reassemble(scan_pages(explode_pages(docs_bin, dpi), preset))
+
+    def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_pages, pages in zip(pdf["doc_id"], pdf["n_pages"], pdf["pages"]):
+                out = codecs.pdf_from_page_images([bytes(p) for p in pages])
+                rows.append((doc_id, int(n_pages), len(out), hashlib.sha256(out).hexdigest()))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "out_bytes", "out_sha"])
+
+    return parts.mapInPandas(rebuild, "doc_id BIGINT, n_pages INT, out_bytes BIGINT, out_sha STRING")
+
+
+# ---------------------------------------------------------------------------
+# B4/B5 — compress + sign + rename (the /sign-pdf/ composition)
+# ---------------------------------------------------------------------------
+
+B5_SCHEMA = (
+    "doc_id BIGINT, file_name STRING, n_pages INT, out_bytes BIGINT, out_sha STRING"
+)
+
+
+def sign_pipeline(docs_bin: DataFrame, signer: str = "engine", preset: str = "balanced") -> DataFrame:
+    """B5 (fixed_signature_utils.py:211-254): compress -> sign ->
+    rename. The uvloop/ThreadPool plumbing of the reference disappears:
+    Spark tasks are already parallel sync contexts (SURVEY §2.9 B4)."""
+    dpi, quality = codecs.quality_preset(preset)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                pages = codecs.pdf_pages(bytes(content))
+                images = [
+                    codecs.jpeg_encode(codecs.rasterize_page(p, dpi), quality) for p in pages
+                ]
+                compressed = codecs.pdf_from_page_images(images)
+                signed = codecs.sign_pdf_bytes(compressed, signer)
+                rows.append(
+                    (doc_id, len(pages), len(signed), hashlib.sha256(signed).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "out_bytes", "out_sha"])
+
+    out = docs_bin.mapInPandas(work, "doc_id BIGINT, n_pages INT, out_bytes BIGINT, out_sha STRING")
+    name = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".pdf"))
+    return out.select(
+        "doc_id",
+        make_signed_filename(name).alias("file_name"),
+        "n_pages",
+        "out_bytes",
+        "out_sha",
+    )

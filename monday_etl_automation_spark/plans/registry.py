@@ -41,6 +41,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from monday_etl_automation_spark.plans import (
+        binary_ops,
         dedup_ops,
         embed_ops,
         flagship,
@@ -51,7 +52,7 @@ def _load_all() -> None:
     )
 
     register("flagship_depot_selection", flagship.flagship, flagship.FLAGSHIP_ORACLE)
-    for mod in (relational, monday_ops, text_ops, dedup_ops, embed_ops, windows_ops):
+    for mod in (relational, monday_ops, text_ops, dedup_ops, embed_ops, windows_ops, binary_ops):
         for name, (fn, oracle) in mod.QUERIES.items():
             register(name, fn, oracle)
     _LOADED = True

@@ -1,0 +1,65 @@
+"""Binary pipeline behavior tests (SURVEY.md §2.9, §7.5 item 4).
+
+Golden/property checks the SQL oracle cannot express: content-hash
+determinism (incl. seeded scan effects under simulated retry),
+page-order preservation through explode/reassemble, and codec
+round-trips.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from monday_etl_automation_spark.multimodal import codecs, pipeline
+from monday_etl_automation_spark.sources.tables import load_table
+
+
+def test_pdf_roundtrip():
+    text = "word " * 123
+    pdf = codecs.pdf_encode(text)
+    pages = codecs.pdf_pages(pdf)
+    assert b"".join(pages).decode() == text
+    assert codecs.pdf_page_count(pdf) == len(pages) == 4
+
+
+def test_scan_effects_seeded_retry_reproducible():
+    img = codecs.rasterize_page(b"some page", 150)
+    a = codecs.scan_effects(img, key=b"doc1:0", preset="balanced")
+    b = codecs.scan_effects(img, key=b"doc1:0", preset="balanced")
+    c = codecs.scan_effects(img, key=b"doc1:1", preset="balanced")
+    assert a == b  # task retry reproduces bytes exactly
+    assert a != c  # but different keys decorrelate
+    assert len(a) == len(img)
+
+
+def test_sign_is_content_addressed():
+    pdf = codecs.pdf_encode("hello")
+    s1 = codecs.sign_pdf_bytes(pdf, "alice")
+    s2 = codecs.sign_pdf_bytes(pdf, "bob")
+    assert s1[: len(pdf)] == pdf and len(s1) == len(pdf) + 68
+    assert s1 != s2
+
+
+def test_distributed_pipeline_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    bin_df = pipeline.documents_to_binary(docs)
+    a = {r.doc_id: r.out_sha for r in pipeline.scanned_pdf(bin_df).collect()}
+    b = {r.doc_id: r.out_sha for r in pipeline.scanned_pdf(bin_df).collect()}
+    assert a == b and len(a) == 50
+
+
+def test_reassembly_preserves_page_order(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    bin_df = pipeline.documents_to_binary(docs)
+    # driver-side reference computation, page by page in order
+    rows = {r.doc_id: bytes(r.content) for r in bin_df.collect()}
+    expected = {}
+    for doc_id, content in rows.items():
+        imgs = []
+        for i, p in enumerate(codecs.pdf_pages(content)):
+            img = codecs.rasterize_page(p, 150)
+            eff = codecs.scan_effects(img, key=f"{doc_id}:{i}".encode(), preset="balanced")
+            imgs.append(codecs.a4_normalize(eff))
+        expected[doc_id] = hashlib.sha256(codecs.pdf_from_page_images(imgs)).hexdigest()
+    got = {r.doc_id: r.out_sha for r in pipeline.scanned_pdf(bin_df).collect()}
+    assert got == expected
