@@ -27,6 +27,14 @@ HEADLINE = (
     "window_part_rank",
     "setops_customer_cohorts",
     "semi_anti_customers",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_near_pairs",
+    "cosine_topk",
+    "text_stats",
+    "tumbling_window_counts",
+    "b5_sign_pipeline",
 )
 
 

@@ -160,23 +160,29 @@ ORDER BY doc_id_a, doc_id_b
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    # Spark inlines WITH-CTEs, so the signature computation would run
-    # once per band reference (8x). Materialize signatures first —
-    # they are 9 ints/doc, linear in corpus size, spillable.
-    sigs = spark.sql(_minhash_sql("spark")).cache()
+    # Materialize signatures before the self-join: both join sides and
+    # every band read the same 9-ints-per-doc relation, so without a
+    # materialization barrier the signature computation (md5 per
+    # shingle) would run once per reference. localCheckpoint (not
+    # cache) on purpose: it is distributed and spillable like cache,
+    # but leaves no CacheManager entry — cached plans with expression
+    # trees this large make *every subsequent query* in the session
+    # pay a plan-comparison tax during analysis.
+    sigs = spark.sql(_minhash_sql("spark")).localCheckpoint(eager=True)
     sigs.createOrReplaceTempView("_mh_sigs")
-    str_t = "STRING"
     band_keys = ", ".join(
-        f"CAST(sig{2 * j} AS {str_t}) || ':' || CAST(sig{2 * j + 1} AS {str_t}) AS band{j}"
+        f"CAST(sig{2 * j} AS STRING) || ':' || CAST(sig{2 * j + 1} AS STRING)"
         for j in range(_N_BANDS)
     )
-    unpivot = " UNION ALL ".join(
-        f"SELECT doc_id, {j} AS band_idx, band{j} AS band_key FROM bands" for j in range(_N_BANDS)
-    )
+    # single-scan unpivot: posexplode over the band-key array, instead
+    # of a UNION ALL per band (which would scan the relation N_BANDS times)
     return spark.sql(
         f"""
-WITH bands AS (SELECT doc_id, {band_keys} FROM _mh_sigs),
-kv AS ({unpivot})
+WITH kv AS (
+  SELECT doc_id, band_idx, band_key
+  FROM _mh_sigs
+  LATERAL VIEW posexplode(array({band_keys})) AS band_idx, band_key
+)
 SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
 FROM kv a JOIN kv b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ORDER BY doc_id_a, doc_id_b
@@ -231,14 +237,19 @@ def _simhash_sql(dialect: str) -> str:
     if dialect == "spark":
         h = _SPARK_H28.replace("md5(s)", "md5(x)")
         hashes = f"transform(toks, x -> {h})"
-        bit_sum = (
-            "aggregate(hashes, 0, (acc, h) ->"
-            " acc + CASE WHEN CAST(floor(h / p2) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)"
+        # single pass over the token hashes with a 28-slot signed-count
+        # accumulator (one interpreted array traversal per doc, integer
+        # shifts instead of float power) — semantically identical to the
+        # per-bit formulation the DuckDB branch keeps below
+        bit_sums = (
+            f"aggregate(hashes, array_repeat(CAST(0 AS BIGINT), {_N_BITS}),"
+            f" (acc, h) -> zip_with(acc, sequence(0, {_N_BITS - 1}),"
+            " (a, i) -> a + CASE WHEN shiftright(h, i) % 2 = 1 THEN 1 ELSE -1 END))"
         )
         sim = (
-            f"aggregate(transform(sequence(0, {_N_BITS - 1}), i ->"
-            f" CASE WHEN {bit_sum.replace('p2', 'CAST(power(2, i) AS BIGINT)')} > 0"
-            f" THEN CAST(power(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END),"
+            f"aggregate(zip_with({bit_sums}, sequence(0, {_N_BITS - 1}),"
+            " (s, i) -> CASE WHEN s > 0 THEN CAST(shiftleft(1, i) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END),"
             " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
     else:
@@ -300,22 +311,21 @@ ORDER BY doc_id_a, doc_id_b
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    # Materialize fingerprints once (see minhash_lsh_candidates).
-    sims = spark.sql(_simhash_sql("spark")).cache()
+    # Materialization barrier before the self-join — same reasoning as
+    # minhash_lsh_candidates (localCheckpoint, not cache).
+    sims = spark.sql(_simhash_sql("spark")).localCheckpoint(eager=True)
     sims.createOrReplaceTempView("_sh_sims")
     n_bands = _N_BITS // _BAND_BITS
-    band_exprs = ", ".join(
-        f"CAST(floor(simhash / {2 ** (j * _BAND_BITS)}) AS BIGINT) % {2**_BAND_BITS} AS band{j}"
-        for j in range(n_bands)
-    )
-    unpivot = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {j} AS band_idx, band{j} AS band_key FROM bands"
-        for j in range(n_bands)
+    band_keys = ", ".join(
+        f"shiftright(simhash, {j * _BAND_BITS}) % {2**_BAND_BITS}" for j in range(n_bands)
     )
     return spark.sql(
         f"""
-WITH bands AS (SELECT doc_id, simhash, {band_exprs} FROM _sh_sims),
-kv AS ({unpivot}),
+WITH kv AS (
+  SELECT doc_id, simhash, band_idx, band_key
+  FROM _sh_sims
+  LATERAL VIEW posexplode(array({band_keys})) AS band_idx, band_key
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, a.simhash AS sim_a, b.doc_id AS doc_id_b, b.simhash AS sim_b
   FROM kv a JOIN kv b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id

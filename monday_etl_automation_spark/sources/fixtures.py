@@ -122,5 +122,8 @@ def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
     through the view (verified via ``.explain``).
     """
     register_views(spark, sf_dir)
+    if getattr(spark, "_mea_fixtures_sf_dir", None) == sf_dir:
+        return
     for name, sql in _CTES.items():
         spark.sql(sql).createOrReplaceTempView(name)
+    spark._mea_fixtures_sf_dir = sf_dir  # noqa: SLF001

@@ -55,6 +55,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
-    """Register the test tables as temp views for the SQL surface."""
+    """Register the test tables as temp views for the SQL surface.
+
+    Idempotent per (session, sf_dir): repeat calls with the same
+    sf_dir skip the parquet re-open (file listing + footer read per
+    table costs >1s wall for 10 tables, which would otherwise be paid
+    by every query build). Switching sf_dir re-registers everything.
+    """
+    if getattr(spark, "_mea_views_sf_dir", None) == sf_dir:
+        return
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark._mea_views_sf_dir = sf_dir  # noqa: SLF001 (own session tag)
+    # base views changed — any fixture views derived from them are stale
+    spark._mea_fixtures_sf_dir = None  # noqa: SLF001
