@@ -166,8 +166,93 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_centroid_sql("spark"))
 
 
+# ---------------------------------------------------------------------------
+# ivf_topk — IVF-style search: coarse-quantize by learned centroids
+# (per-label means), probe only the nearest centroid's inverted list
+# ---------------------------------------------------------------------------
+
+
+def _ivf_sql(dialect: str) -> str:
+    """IVF with nprobe=1: score each query against the per-label
+    centroids, pick the nearest, then run exact cosine top-k only
+    inside that label's list. At scale the probe join touches
+    1/n_labels of the corpus instead of all of it.
+
+    Numeric policy: centroid means are rounded to 6 decimals and kept
+    as DECIMAL(12,6); query elements as DECIMAL(18,9). All sums in the
+    coarse stage are therefore exact and order-insensitive in both
+    engines; only the final division/sqrt/round are double (identical
+    one-shot operations)."""
+    if dialect == "spark":
+        ex = "SELECT vec_id, label, posexplode(embedding) AS (dim, x) FROM embeddings"
+        qex = (
+            "SELECT vec_id, posexplode(embedding) AS (dim, x) FROM embeddings"
+            f" WHERE vec_id % {_QUERY_MOD} = 0"
+        )
+    else:
+        ex = (
+            "SELECT vec_id, label, i - 1 AS dim, embedding[i] AS x"
+            f" FROM embeddings, (SELECT unnest(generate_series(1, {_DIM})) AS i)"
+        )
+        qex = (
+            "SELECT vec_id, i - 1 AS dim, embedding[i] AS x"
+            f" FROM embeddings, (SELECT unnest(generate_series(1, {_DIM})) AS i)"
+            f" WHERE vec_id % {_QUERY_MOD} = 0"
+        )
+    xd = "CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))"
+    dot = _dot(dialect, "q.embedding", "v.embedding")
+    cos = f"({dot}) / (q.norm * v.norm)"
+    rn = f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, v.vec_id ASC)"
+    return f"""
+WITH ex AS ({ex}),
+cent AS (
+  SELECT label, dim,
+         CAST(round(CAST(sum({xd}) AS DOUBLE) / count(*), 6) AS DECIMAL(12,6)) AS md
+  FROM ex GROUP BY label, dim
+),
+cnorm AS (SELECT label, sqrt(CAST(sum(md * md) AS DOUBLE)) AS cn FROM cent GROUP BY label),
+qex AS ({qex}),
+qscore AS (
+  SELECT qx.vec_id, c.label, CAST(sum({xd.replace('x', 'qx.x')} * c.md) AS DOUBLE) AS dot
+  FROM qex qx JOIN cent c ON qx.dim = c.dim
+  GROUP BY qx.vec_id, c.label
+),
+qpick AS (
+  SELECT vec_id, label FROM (
+    SELECT s.vec_id, s.label,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.dot / n.cn DESC, s.label ASC) AS rc
+    FROM qscore s JOIN cnorm n ON s.label = n.label
+  ) ranked WHERE rc = 1
+),
+base AS (
+  SELECT vec_id, label, embedding, {_norm(dialect, 'embedding')} AS norm FROM embeddings
+),
+q AS (SELECT * FROM base WHERE vec_id % {_QUERY_MOD} = 0),
+scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    p.label AS probe_label,
+    v.vec_id AS neighbor_id,
+    round({cos}, 6) AS cosine,
+    CAST({rn} AS INT) AS rk
+  FROM q
+  JOIN qpick p ON q.vec_id = p.vec_id
+  JOIN base v ON v.label = p.label AND v.vec_id <> q.vec_id
+)
+SELECT query_id, probe_label, neighbor_id, cosine, rk
+FROM scored WHERE rk <= {_TOPK}
+ORDER BY query_id, rk
+""".strip()
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_ivf_sql("spark"))
+
+
 QUERIES: dict[str, tuple] = {
     "cosine_topk": (cosine_topk, _cosine_topk_sql("duckdb")),
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql("duckdb")),
     "embedding_centroids": (embedding_centroids, _centroid_sql("duckdb")),
+    "ivf_topk": (ivf_topk, _ivf_sql("duckdb")),
 }

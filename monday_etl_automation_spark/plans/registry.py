@@ -41,6 +41,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from monday_etl_automation_spark.plans import (
+        advanced_joins,
         binary_ops,
         dedup_ops,
         embed_ops,
@@ -52,7 +53,7 @@ def _load_all() -> None:
     )
 
     register("flagship_depot_selection", flagship.flagship, flagship.FLAGSHIP_ORACLE)
-    for mod in (relational, monday_ops, text_ops, dedup_ops, embed_ops, windows_ops, binary_ops):
+    for mod in (relational, monday_ops, text_ops, dedup_ops, embed_ops, windows_ops, binary_ops, advanced_joins):
         for name, (fn, oracle) in mod.QUERIES.items():
             register(name, fn, oracle)
     _LOADED = True

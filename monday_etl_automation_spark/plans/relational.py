@@ -341,8 +341,133 @@ ORDER BY c_nationkey
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# q4 — order priority check (TPC-H Q4 shape): EXISTS decorrelated to a
+# left-semi join. No commit/receipt dates in the synthetic lineitem, so
+# "late" is l_shipdate > o_orderdate + 90 days.
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(l, o.o_orderkey == l.l_orderkey, "inner").where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned-item customers (TPC-H Q10 shape): 4-way join + top-20
+# ---------------------------------------------------------------------------
+
+
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(18,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("decimal(30,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT
+  c_custkey,
+  c_name,
+  n_name,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# cube — full cross-dimensional totals (rollup's big sibling)
+# ---------------------------------------------------------------------------
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("sum_price"),
+            F.grouping_id("o_orderstatus", "o_orderpriority").cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "sum_price",
+            "gid",
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+CUBE_ORACLE = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+  count(*) AS n_orders,
+  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+""".strip()
+
+
 QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
+    "q4_order_priority": (q4_order_priority, Q4_ORACLE),
+    "q10_returned_customers": (q10_returned_customers, Q10_ORACLE),
+    "cube_orders": (cube_orders, CUBE_ORACLE),
     "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
     "q5_region_revenue": (q5_region_revenue, Q5_ORACLE),
     "rollup_returnflag": (rollup_returnflag, ROLLUP_ORACLE),
