@@ -14,10 +14,13 @@ Four dedup families, each the idiomatic Spark shape for 100 TB:
                candidates. Thresholding uses integer cross-multiplied
                comparison (4*|A∩B| >= |A∪B| ⇔ J >= 0.25) — exact, no
                float drift.
-- simhash    — 28-bit sign-sum fingerprint per doc (row-local), near
+- simhash    — 60-bit sign-sum fingerprint per doc (row-local), near
                pairs via pigeonhole banding: hamming <= 3 over 4 bands
-               of 7 bits ⇒ at least one band equal, so the join is on
-               band equality, again never O(docs^2).
+               of 15 bits ⇒ at least one band equal, so the join is on
+               band equality, again never O(docs^2). 60/15 (not a
+               shorter hash) keeps random band collisions rare:
+               P[two unrelated docs share a 15-bit band] ~ 4/32768,
+               so the candidate set stays linear-ish in corpus size.
 
 All hashes derive from md5 hex prefixes so Spark and DuckDB agree
 exactly (Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT)).
@@ -48,9 +51,15 @@ _N_BANDS = 4  # bands of 2 signatures each
 _SPARK_TOKS = "split(trim(text), '\\\\s+')"
 _DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
-# 28-bit shingle base hash (md5 hex prefix of 7 chars)
+# 28-bit shingle base hash (md5 hex prefix of 7 chars) — small enough
+# that the minhash affine step a*h + b stays well inside int64
 _SPARK_H28 = "CAST(conv(substr(md5(s), 1, 7), 16, 10) AS BIGINT)"
 _DUCK_H28 = "CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)"
+
+# 60-bit hash (15 hex chars) — used where discrimination matters
+# (simhash bit votes, jaccard shingle join keys)
+_SPARK_H60 = "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_H60 = "CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)"
 
 
 def _shingles(dialect: str) -> str:
@@ -196,18 +205,31 @@ ORDER BY doc_id_a, doc_id_b
 
 
 def _jaccard_sql(dialect: str) -> str:
+    # Join on a 60-bit hash of each shingle, not the shingle string:
+    # the shared-shingle equi-join shuffles every (doc, shingle) pair,
+    # and 8-byte keys move ~5x less data than 3-word strings. Both
+    # engines compute the identical md5-derived hash, so results match
+    # exactly even in the (2^-60) collision case.
+    # n_sh is computed BEFORE the explode: an expression referencing
+    # the array in the projection above a generator is re-evaluated
+    # once per exploded row, which would redo the whole shingle+md5
+    # chain ~|shingles| times per doc.
     if dialect == "spark":
-        ex = "SELECT doc_id, lang, explode(shingles) AS s, size(shingles) AS n_sh FROM sh"
+        hv = f"transform(shingles, s -> {_SPARK_H60})"
+        ex = "SELECT doc_id, lang, explode(hv) AS h, n_sh FROM hs"
     else:
-        ex = "SELECT doc_id, lang, unnest(shingles) AS s, len(shingles) AS n_sh FROM sh"
+        hv = f"list_transform(shingles, s -> {_DUCK_H60})"
+        ex = "SELECT doc_id, lang, unnest(hv) AS h, n_sh FROM hs"
+    size_fn = "size" if dialect == "spark" else "len"
     return f"""
 WITH {_shingle_cte(dialect)},
+hs AS (SELECT doc_id, lang, {hv} AS hv, {size_fn}({hv}) AS n_sh FROM sh),
 ex AS ({ex}),
 shared AS (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
          CAST(count(*) AS BIGINT) AS n_shared,
          CAST(min(a.n_sh) AS BIGINT) AS n_a, CAST(min(b.n_sh) AS BIGINT) AS n_b
-  FROM ex a JOIN ex b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  FROM ex a JOIN ex b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_id_a, doc_id_b, n_shared, (n_a + n_b - n_shared) AS n_union
@@ -219,15 +241,44 @@ ORDER BY doc_id_a, doc_id_b
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(_jaccard_sql("spark"))
+    # Materialize the per-doc hashed-shingle arrays before the
+    # self-join: both join sides reference them, and Catalyst also
+    # infers join-key not-null filters that would inline (and re-run)
+    # the whole tokenize->shingle->md5 chain several times per row.
+    # The checkpointed relation is ~|shingles| longs per doc — linear
+    # in corpus size, spillable, one computation total.
+    hv = f"transform(shingles, s -> {_SPARK_H60})"
+    hs = spark.sql(
+        f"""
+WITH {_shingle_cte("spark")}
+SELECT doc_id, lang, {hv} AS hv, size({hv}) AS n_sh FROM sh
+""".strip()
+    ).localCheckpoint(eager=True)
+    hs.createOrReplaceTempView("_ng_hs")
+    return spark.sql(
+        """
+WITH ex AS (SELECT doc_id, lang, explode(hv) AS h, n_sh FROM _ng_hs),
+shared AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(min(a.n_sh) AS BIGINT) AS n_a, CAST(min(b.n_sh) AS BIGINT) AS n_b
+  FROM ex a JOIN ex b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_id_a, doc_id_b, n_shared, (n_a + n_b - n_shared) AS n_union
+FROM shared
+WHERE 20 * n_shared >= n_a + n_b - n_shared  -- Jaccard >= 0.05
+ORDER BY doc_id_a, doc_id_b
+""".strip()
+    )
 
 
 # ---------------------------------------------------------------------------
 # simhash — 28-bit sign-sum fingerprint + banded near-pairs
 # ---------------------------------------------------------------------------
 
-_N_BITS = 28
-_BAND_BITS = 7  # 4 bands of 7 bits; hamming<=3 => some band equal
+_N_BITS = 60
+_BAND_BITS = 15  # 4 bands of 15 bits; hamming<=3 => some band equal
 
 
 def _simhash_sql(dialect: str) -> str:
@@ -235,7 +286,7 @@ def _simhash_sql(dialect: str) -> str:
     bit i set iff the sum is positive. Row-local in both engines."""
     toks = _SPARK_TOKS if dialect == "spark" else _DUCK_TOKS
     if dialect == "spark":
-        h = _SPARK_H28.replace("md5(s)", "md5(x)")
+        h = _SPARK_H60.replace("md5(s)", "md5(x)")
         hashes = f"transform(toks, x -> {h})"
         # single pass over the token hashes with a 28-slot signed-count
         # accumulator (one interpreted array traversal per doc, integer
@@ -248,12 +299,12 @@ def _simhash_sql(dialect: str) -> str:
         )
         sim = (
             f"aggregate(zip_with({bit_sums}, sequence(0, {_N_BITS - 1}),"
-            " (s, i) -> CASE WHEN s > 0 THEN CAST(shiftleft(1, i) AS BIGINT)"
+            " (s, i) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), i)"
             " ELSE CAST(0 AS BIGINT) END),"
             " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
     else:
-        h = _DUCK_H28.replace("md5(s)", "md5(x)")
+        h = _DUCK_H60.replace("md5(s)", "md5(x)")
         hashes = f"list_transform(toks, x -> {h})"
         bit_sum = (
             "list_sum(list_transform(hashes, h ->"
@@ -277,7 +328,10 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash_sql("spark"))
 
 
-_HAMMING_MAX = 6
+# pigeonhole-complete for the 4-band split: every pair with hamming
+# <= 3 must agree on at least one band, so the banded join finds ALL
+# of them (no recall loss vs the O(n^2) scan)
+_HAMMING_MAX = 3
 
 
 def _simhash_pairs_sql(dialect: str) -> str:
