@@ -167,6 +167,68 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embed_near_dup — embedding-cosine near-duplicate PAIRS via LSH buckets
+# ---------------------------------------------------------------------------
+
+_NEARDUP_PLANES = 4  # 16 buckets: candidate set ~ n^2/16, recall (1-θ/π)^4
+_NEARDUP_COS = 0.90
+
+
+def _bucket_k(dialect: str, emb: str, n_planes: int) -> str:
+    """n_planes-bit bucket id from sign projections (generalizes _bucket)."""
+    bits = []
+    for p in range(1, n_planes + 1):
+        if dialect == "spark":
+            proj = (
+                f"aggregate(zip_with({emb}, sequence(0, {_DIM - 1}),"
+                f" (x, j) -> CAST(x AS DOUBLE) * {_PLANE.format(p=p, j='j')}),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        else:
+            proj = (
+                f"reduce([CAST({emb}[i] AS DOUBLE) * {_PLANE.format(p=p, j='(i - 1)')}"
+                f" for i in range(1, {_DIM + 1})], (acc, v) -> acc + v)"
+            )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {2 ** (p - 1)} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _near_dup_sql(dialect: str) -> str:
+    """All vector pairs in the same LSH bucket with cosine >= 0.90.
+
+    The bucket equi-join keeps the pair generation at ~n^2/2^k instead
+    of n^2; at 100 TB you raise k (and OR together a few independent
+    plane sets for recall) — the plan shape is unchanged. Pairs missed
+    because the planes split them are inherent to LSH; the oracle runs
+    the identical algorithm so the check is exact."""
+    dot = _dot(dialect, "a.embedding", "b.embedding")
+    cos = f"({dot}) / (a.norm * b.norm)"
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, embedding, {_norm(dialect, 'embedding')} AS norm,
+         {_bucket_k(dialect, 'embedding', _NEARDUP_PLANES)} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT
+    a.vec_id AS vec_id_a,
+    b.vec_id AS vec_id_b,
+    CAST(CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS INT) AS same_label,
+    round({cos}, 6) AS cosine
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, same_label, cosine
+FROM pairs WHERE cosine >= {_NEARDUP_COS}
+ORDER BY vec_id_a, vec_id_b
+""".strip()
+
+
+def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_near_dup_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
 # ivf_topk — IVF-style search: coarse-quantize by learned centroids
 # (per-label means), probe only the nearest centroid's inverted list
 # ---------------------------------------------------------------------------
@@ -255,4 +317,5 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql("duckdb")),
     "embedding_centroids": (embedding_centroids, _centroid_sql("duckdb")),
     "ivf_topk": (ivf_topk, _ivf_sql("duckdb")),
+    "embed_near_dup": (embed_near_dup, _near_dup_sql("duckdb")),
 }

@@ -1,0 +1,62 @@
+"""Physical-plan shape assertions (SURVEY.md §4, 100 TB posture).
+
+Correctness tests prove the answers; these prove the *plans* — that
+the properties we rely on at scale actually hold:
+
+- filter/projection pushdown reaches the parquet scan (S1/S2's manual
+  GraphQL pushdown, free via Catalyst — SURVEY §4.1),
+- dimension joins broadcast (J1/J2/J3 — no fact-side shuffle),
+- aggregations are partial+final (map-side combine),
+- no accidental cartesian products anywhere in the registry.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from monday_etl_automation_spark.plans import registry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s1_point_lookup")
+    assert "PushedFilters: [In(o_orderkey" in plan, plan[:2000]
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s1_point_lookup")
+    # items view projects 4 of orders' 9 columns; the scan must not
+    # read the rest (ReadSchema shows the pruned struct)
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_totalprice" not in read_schema
+    assert "o_orderkey" in read_schema
+
+
+def test_flagship_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_depot_selection")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # map-side combine: a partial_sum before the exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+@pytest.mark.parametrize("name", sorted(registry.queries()))
+def test_no_cartesian_product(spark, sf_dir, name):
+    """No registered query may degenerate to a cartesian product.
+    (BroadcastNestedLoopJoin is tolerated only where the build side is
+    a bounded query/dim set — cosine/near-dup brute-force baselines.)"""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
