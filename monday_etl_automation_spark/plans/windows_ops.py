@@ -211,8 +211,33 @@ ORDER BY event_type
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# stateful — custom applyInPandasWithState operator (per-user running
+# totals in explicit group state), replayed availableNow
+# ---------------------------------------------------------------------------
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL stateful streaming operator (explicit GroupState,
+    integer-exact accumulators) and reduces its update stream to the
+    final totals — must equal the batch GROUP BY below."""
+    return streaming.run_stateful_replay(spark, sf_dir)
+
+
+STATEFUL_ORACLE = """
+SELECT
+  user_id,
+  count(*) AS n_events,
+  sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_micros
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""".strip()
+
+
 QUERIES: dict[str, tuple] = {
     "tumbling_window_counts": (tumbling_window_counts, TUMBLING_ORACLE),
+    "stateful_user_totals": (stateful_user_totals, STATEFUL_ORACLE),
     "stream_tumbling_replay": (stream_tumbling_replay, TUMBLING_ORACLE),
     "sliding_window_stats": (sliding_window_stats, SLIDING_ORACLE),
     "session_window_stats": (session_window_stats, SESSION_ORACLE),

@@ -98,6 +98,69 @@ def run_replay(spark: SparkSession, sf_dir: str, name: str | None = None) -> Dat
     return spark.table(sink).orderBy("window_start", "event_type")
 
 
+def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user totals maintained in explicit group state (the shape for
+    operators watermark windows can't express — per-key accumulators,
+    custom eviction, decode state machines).
+
+    Numeric policy: the state holds (n_events, sum of
+    floor(value * 1e6) as int64) — integer accumulation is
+    order-insensitive and engine-exact, so the batch SQL twin matches
+    bit-for-bit (float sums would drift with pandas' reduction order).
+
+    Emits the updated totals for every group touched by a micro-batch;
+    totals are monotone in n_events, so the final answer of a replay
+    is the max-n_events row per user.
+    """
+    import pandas as pd  # noqa: PLC0415 (executor-side import parity)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        import math  # noqa: PLC0415
+
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += sum(math.floor(v * 1_000_000) for v in pdf["value"])
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_micros": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, sum_micros BIGINT",
+        stateStructType="n BIGINT, s BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_replay(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
+    """availableNow replay of the stateful operator; reduce the update
+    stream to the final (= max n_events) row per user."""
+    from pyspark.sql import Window
+
+    sink = name or f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_user_totals_stream(event_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_state_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(sink)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
+
+
 class StatusUpsertSink:
     """S12 analog: MERGE-style latest-status upsert via foreachBatch.
 
