@@ -426,6 +426,65 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# q6 — forecasting revenue change (TPC-H Q6 shape): pure scan+filter+agg,
+# the pushdown benchmark — every predicate must reach the parquet scan
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(18,4)")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("decimal(30,4)").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q6_ORACLE = """
+SELECT
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# distinct counts (SURVEY A4/A5 as a first-class query)
+# ---------------------------------------------------------------------------
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT
+  count(DISTINCT l_orderkey) AS n_orders,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(DISTINCT l_suppkey) AS n_suppliers,
+  count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+FROM lineitem
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # cube — full cross-dimensional totals (rollup's big sibling)
 # ---------------------------------------------------------------------------
 
@@ -466,6 +525,8 @@ ORDER BY gid, o_orderstatus, o_orderpriority
 QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_ORACLE),
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_ORACLE),
+    "distinct_counts": (distinct_counts, DISTINCT_ORACLE),
     "q10_returned_customers": (q10_returned_customers, Q10_ORACLE),
     "cube_orders": (cube_orders, CUBE_ORACLE),
     "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
