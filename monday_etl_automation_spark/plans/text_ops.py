@@ -218,8 +218,58 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_fingerprint_sql("spark"))
 
 
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — corpus-relative term relevance, integer-exact ranking
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+def _tfidf_sql(dialect: str) -> str:
+    """Top-K most corpus-distinctive terms per document.
+
+    Relevance = tf / df (term frequency over document frequency) —
+    monotone in tf·idf for any monotone idf, but computable as ONE
+    IEEE double division of two ints, identical in every engine;
+    ln-based idf would hash-flake on last-ulp libm differences.
+    Ties break on the term string. Terms shorter than 3 chars are
+    noise-filtered.
+    """
+    if dialect == "spark":
+        ex = f"SELECT doc_id, explode({_SPARK_TOKS}) AS term FROM documents"
+        lower = "lower(term)"
+    else:
+        ex = f"SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents"
+        lower = "lower(term)"
+    return f"""
+WITH ex AS ({ex}),
+terms AS (SELECT doc_id, {lower} AS term FROM ex WHERE length(term) >= 3),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM terms GROUP BY term),
+scored AS (
+  SELECT
+    tf.doc_id, tf.term, tf.tf, df.df,
+    CAST(tf.tf AS DOUBLE) / df.df AS score,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY tf.doc_id
+      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC
+    ) AS INT) AS rk
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, term, tf, df, round(score, 6) AS score, rk
+FROM scored WHERE rk <= {_TFIDF_K}
+ORDER BY doc_id, rk
+""".strip()
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_tfidf_sql("spark"))
+
+
 QUERIES: dict[str, tuple] = {
     "text_stats": (text_stats, _text_stats_oracle()),
+    "tfidf_top_terms": (tfidf_top_terms, _tfidf_sql("duckdb")),
     "lang_id": (lang_id, _lang_id_sql("duckdb")),
     "token_count_bpe": (token_count_bpe, TOKEN_COUNT_ORACLE),
     "doc_fingerprint": (doc_fingerprint, _fingerprint_sql("duckdb")),

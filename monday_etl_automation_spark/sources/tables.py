@@ -45,6 +45,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # oracle parity must not depend on the caller's session config:
+    # DuckDB timestamps are UTC-naive, so timestamp rendering/windowing
+    # must be UTC even if the driver built its own SparkSession
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
