@@ -485,6 +485,90 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# quantiles — exact interpolated percentiles per group
+# ---------------------------------------------------------------------------
+
+
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)"), 6).alias("q25"),
+            F.round(F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)"), 6).alias("median"),
+            F.round(F.expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)"), 6).alias("q75"),
+            F.min(q).alias("min_qty"),
+            F.max(q).alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUANTILE_ORACLE = """
+SELECT
+  l_returnflag,
+  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS q25,
+  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median,
+  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS q75,
+  min(CAST(l_quantity AS DOUBLE)) AS min_qty,
+  max(CAST(l_quantity AS DOUBLE)) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# fuzzy match — edit-distance entity resolution within blocking groups
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 4
+
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names via levenshtein <= 4, blocked on
+    (p_brand, p_size) so the pair generation is an equi-join on
+    the blocking key, never O(n^2) — the standard entity-resolution
+    shape (block -> compare -> threshold) at any scale."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("partkey_a"),
+            F.col("b.p_partkey").alias("partkey_b"),
+            F.col("a.p_brand").alias("p_brand"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= _FUZZY_MAX_DIST)
+        .orderBy("partkey_a", "partkey_b")
+    )
+
+
+FUZZY_ORACLE = f"""
+SELECT
+  a.p_partkey AS partkey_a,
+  b.p_partkey AS partkey_b,
+  a.p_brand AS p_brand,
+  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+ORDER BY partkey_a, partkey_b
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # cube — full cross-dimensional totals (rollup's big sibling)
 # ---------------------------------------------------------------------------
 
@@ -527,6 +611,8 @@ QUERIES: dict[str, tuple] = {
     "q4_order_priority": (q4_order_priority, Q4_ORACLE),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_ORACLE),
     "distinct_counts": (distinct_counts, DISTINCT_ORACLE),
+    "quantile_stats": (quantile_stats, QUANTILE_ORACLE),
+    "fuzzy_name_match": (fuzzy_name_match, FUZZY_ORACLE),
     "q10_returned_customers": (q10_returned_customers, Q10_ORACLE),
     "cube_orders": (cube_orders, CUBE_ORACLE),
     "q3_shipping_priority": (q3_shipping_priority, Q3_ORACLE),
