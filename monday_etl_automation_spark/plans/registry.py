@@ -46,6 +46,7 @@ def _load_all() -> None:
         dedup_ops,
         embed_ops,
         flagship,
+        media_ops,
         monday_ops,
         relational,
         text_ops,
@@ -53,7 +54,7 @@ def _load_all() -> None:
     )
 
     register("flagship_depot_selection", flagship.flagship, flagship.FLAGSHIP_ORACLE)
-    for mod in (relational, monday_ops, text_ops, dedup_ops, embed_ops, windows_ops, binary_ops, advanced_joins):
+    for mod in (relational, monday_ops, text_ops, dedup_ops, embed_ops, windows_ops, binary_ops, advanced_joins, media_ops):
         for name, (fn, oracle) in mod.QUERIES.items():
             register(name, fn, oracle)
     _LOADED = True
