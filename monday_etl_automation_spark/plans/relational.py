@@ -485,6 +485,48 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# date arithmetic — truncation, extraction, interval math (§2.7 note:
+# "full date arithmetic ... built into Spark SQL and exposed")
+# ---------------------------------------------------------------------------
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),  # 0=Sunday, as DuckDB
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        )
+        .groupBy("order_month", "y", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("dow").alias("min_dow"),
+            F.max("dow").alias("max_dow"),
+            F.max("due_date").alias("latest_due"),
+        )
+        .orderBy("order_month")
+    )
+
+
+DATE_ORACLE = """
+SELECT
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+  count(*) AS n_orders,
+  CAST(min(EXTRACT(dow FROM o_orderdate)) AS INT) AS min_dow,
+  CAST(max(EXTRACT(dow FROM o_orderdate)) AS INT) AS max_dow,
+  max(o_orderdate + INTERVAL 30 DAY) AS latest_due
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY order_month
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # quantiles — exact interpolated percentiles per group
 # ---------------------------------------------------------------------------
 
@@ -612,6 +654,7 @@ QUERIES: dict[str, tuple] = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_ORACLE),
     "distinct_counts": (distinct_counts, DISTINCT_ORACLE),
     "quantile_stats": (quantile_stats, QUANTILE_ORACLE),
+    "date_arithmetic": (date_arithmetic, DATE_ORACLE),
     "fuzzy_name_match": (fuzzy_name_match, FUZZY_ORACLE),
     "q10_returned_customers": (q10_returned_customers, Q10_ORACLE),
     "cube_orders": (cube_orders, CUBE_ORACLE),
