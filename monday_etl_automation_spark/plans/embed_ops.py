@@ -200,22 +200,52 @@ def _near_dup_sql(dialect: str) -> str:
     of n^2; at 100 TB you raise k (and OR together a few independent
     plane sets for recall) — the plan shape is unchanged. Pairs missed
     because the planes split them are inherent to LSH; the oracle runs
-    the identical algorithm so the check is exact."""
-    dot = _dot(dialect, "a.embedding", "b.embedding")
-    cos = f"({dot}) / (a.norm * b.norm)"
+    the identical algorithm so the check is exact.
+
+    Dot products here go through explode -> (bucket, dim) equi-join ->
+    hash agg over SCALED-INT64 elements (floor(x * 1e8); |x| < 1 so
+    pair products < 1e16 and 64-dim sums < 6.4e17 — no overflow):
+    fully whole-stage-codegen with plain long arithmetic (the per-pair
+    higher-order fold is interpreted, and decimal accumulation is
+    ~128-bit — both measurably slower), and exact/order-insensitive so
+    both engines agree bit-for-bit before the final double division."""
+    if dialect == "spark":
+        ex = (
+            "SELECT vec_id, label, bucket, posexplode(embedding) AS (dim, x)"
+            " FROM (SELECT vec_id, label, embedding,"
+            f" {_bucket_k('spark', 'embedding', _NEARDUP_PLANES)} AS bucket FROM embeddings)"
+        )
+    else:
+        ex = (
+            "SELECT vec_id, label, bucket, i - 1 AS dim, embedding[i] AS x"
+            " FROM (SELECT vec_id, label, embedding,"
+            f" {_bucket_k('duckdb', 'embedding', _NEARDUP_PLANES)} AS bucket FROM embeddings),"
+            f" (SELECT unnest(generate_series(1, {_DIM})) AS i)"
+        )
+    xd = "CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)"
     return f"""
-WITH base AS (
-  SELECT vec_id, label, embedding, {_norm(dialect, 'embedding')} AS norm,
-         {_bucket_k(dialect, 'embedding', _NEARDUP_PLANES)} AS bucket
-  FROM embeddings
+WITH ex0 AS ({ex}),
+ex AS (SELECT vec_id, label, bucket, dim, {xd} AS xd FROM ex0),
+norms AS (
+  SELECT vec_id, {"any_value(label)" if dialect == "duckdb" else "first(label)"} AS label,
+         sqrt(CAST(sum(xd * xd) AS DOUBLE)) AS norm
+  FROM ex GROUP BY vec_id
+),
+-- norms/dots are in the 1e8-scaled integer space; the scale cancels in
+-- dot / (norm_a * norm_b), so cosine is unchanged up to quantization
+dots AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, CAST(sum(a.xd * b.xd) AS DOUBLE) AS dot
+  FROM ex a JOIN ex b ON a.bucket = b.bucket AND a.dim = b.dim AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
 ),
 pairs AS (
   SELECT
-    a.vec_id AS vec_id_a,
-    b.vec_id AS vec_id_b,
-    CAST(CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS INT) AS same_label,
-    round({cos}, 6) AS cosine
-  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    d.vec_id_a, d.vec_id_b,
+    CAST(CASE WHEN na.label = nb.label THEN 1 ELSE 0 END AS INT) AS same_label,
+    round(d.dot / (na.norm * nb.norm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON d.vec_id_a = na.vec_id
+  JOIN norms nb ON d.vec_id_b = nb.vec_id
 )
 SELECT vec_id_a, vec_id_b, same_label, cosine
 FROM pairs WHERE cosine >= {_NEARDUP_COS}
