@@ -399,8 +399,69 @@ ORDER BY doc_id_a, doc_id_b
     )
 
 
+# ---------------------------------------------------------------------------
+# near_dup_assign — per-doc canonical assignment (what a pipeline
+# actually consumes: keep/drop, not a pair list)
+# ---------------------------------------------------------------------------
+
+
+def _assign_sql(dialect: str) -> str:
+    """Each doc -> min doc_id among {itself} ∪ its simhash near-pair
+    neighbors (one min-propagation step over the banded pair list).
+    Dropping every doc with canonical_id < doc_id removes one member
+    of every near-dup pair; at 100 TB you iterate this step to a fixed
+    point for full connected components — each iteration is the same
+    join+min shuffle."""
+    pairs = _simhash_pairs_sql(dialect).replace("\nORDER BY doc_id_a, doc_id_b", "")
+    return f"""
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT doc_id_a AS doc_id, doc_id_b AS nbr FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS doc_id, doc_id_a AS nbr FROM pairs
+),
+assign AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(min(e.nbr), d.doc_id)) AS canonical_id
+  FROM documents d LEFT JOIN edges e ON d.doc_id = e.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, canonical_id,
+       CAST(CASE WHEN canonical_id = doc_id THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM assign
+ORDER BY doc_id
+""".strip()
+
+
+def near_dup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    # reuse the checkpointed-fingerprint pair computation
+    pairs = simhash_near_pairs(spark, sf_dir)
+    pairs.createOrReplaceTempView("_nd_pairs")
+    return spark.sql(
+        """
+WITH edges AS (
+  SELECT doc_id_a AS doc_id, doc_id_b AS nbr FROM _nd_pairs
+  UNION ALL
+  SELECT doc_id_b AS doc_id, doc_id_a AS nbr FROM _nd_pairs
+),
+assign AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(min(e.nbr), d.doc_id)) AS canonical_id
+  FROM documents d LEFT JOIN edges e ON d.doc_id = e.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, canonical_id,
+       CAST(CASE WHEN canonical_id = doc_id THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM assign
+ORDER BY doc_id
+""".strip()
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, _dedup_exact_sql("duckdb")),
+    "near_dup_assign": (near_dup_assign, _assign_sql("duckdb")),
     "minhash_signatures": (minhash_signatures, _minhash_sql("duckdb")),
     "minhash_lsh_candidates": (minhash_lsh_candidates, _lsh_sql("duckdb")),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, _jaccard_sql("duckdb")),
