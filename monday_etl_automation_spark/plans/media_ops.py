@@ -18,12 +18,17 @@ _W = "100 + n_chars % 512"
 _H = "100 + (n_chars * 7) % 512"
 
 
-def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media.documents_to_media(load_table(spark, sf_dir, "documents"))
+def _media(spark: SparkSession, sf_dir: str, kind_mod: int | None = None) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    if kind_mod is not None:
+        # push the kind predicate below the (expensive) binary
+        # generation — the scan filter prunes before mapInPandas runs
+        docs = docs.where(f"doc_id % 3 = {kind_mod}")
+    return media.documents_to_media(docs)
 
 
 def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media.resize_images(_media(spark, sf_dir)).orderBy("doc_id")
+    return media.resize_images(_media(spark, sf_dir, kind_mod=0)).orderBy("doc_id")
 
 
 IMAGE_RESIZE_ORACLE = f"""
@@ -42,7 +47,7 @@ ORDER BY doc_id
 
 
 def media_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media.sample_video_frames(_media(spark, sf_dir)).orderBy("doc_id")
+    return media.sample_video_frames(_media(spark, sf_dir, kind_mod=2)).orderBy("doc_id")
 
 
 VIDEO_SAMPLE_ORACLE = f"""
@@ -61,7 +66,7 @@ ORDER BY doc_id
 
 
 def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media.extract_audio_features(_media(spark, sf_dir)).orderBy("doc_id")
+    return media.extract_audio_features(_media(spark, sf_dir, kind_mod=1)).orderBy("doc_id")
 
 
 _FEATS = ",\n  ".join(
