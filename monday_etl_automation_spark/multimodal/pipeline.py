@@ -54,7 +54,7 @@ def documents_to_binary(documents: DataFrame) -> DataFrame:
 # B1 — compress: per-page rasterize -> jpeg -> rebuild
 # ---------------------------------------------------------------------------
 
-B1_SCHEMA = "doc_id BIGINT, n_pages INT, in_bytes BIGINT, out_bytes BIGINT, out_sha STRING"
+B1_SCHEMA = "doc_id BIGINT, n_pages BIGINT, in_bytes BIGINT, out_bytes BIGINT, out_sha STRING"
 
 
 def compress_pdf(docs_bin: DataFrame, preset: str = "balanced") -> DataFrame:
@@ -133,7 +133,7 @@ def reassemble(scanned: DataFrame) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.size("_pages").cast("int").alias("n_pages"),
+            F.size("_pages").cast("bigint").alias("n_pages"),
             F.transform(F.col("_pages"), lambda s: s["out_page"]).alias("pages"),
         )
     )
@@ -153,7 +153,7 @@ def scanned_pdf(docs_bin: DataFrame, preset: str = "balanced", dpi: int = 150) -
                 rows.append((doc_id, int(n_pages), len(out), hashlib.sha256(out).hexdigest()))
             yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "out_bytes", "out_sha"])
 
-    return parts.mapInPandas(rebuild, "doc_id BIGINT, n_pages INT, out_bytes BIGINT, out_sha STRING")
+    return parts.mapInPandas(rebuild, "doc_id BIGINT, n_pages BIGINT, out_bytes BIGINT, out_sha STRING")
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +161,7 @@ def scanned_pdf(docs_bin: DataFrame, preset: str = "balanced", dpi: int = 150) -
 # ---------------------------------------------------------------------------
 
 B5_SCHEMA = (
-    "doc_id BIGINT, file_name STRING, n_pages INT, out_bytes BIGINT, out_sha STRING"
+    "doc_id BIGINT, file_name STRING, n_pages BIGINT, out_bytes BIGINT, out_sha STRING"
 )
 
 
@@ -188,7 +188,7 @@ def sign_pipeline(docs_bin: DataFrame, signer: str = "engine", preset: str = "ba
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "out_bytes", "out_sha"])
 
-    out = docs_bin.mapInPandas(work, "doc_id BIGINT, n_pages INT, out_bytes BIGINT, out_sha STRING")
+    out = docs_bin.mapInPandas(work, "doc_id BIGINT, n_pages BIGINT, out_bytes BIGINT, out_sha STRING")
     name = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".pdf"))
     return out.select(
         "doc_id",

@@ -45,7 +45,12 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         payload={"event_id": "click_event_id", "ts": "click_ts"},
     )
-    return out.orderBy("event_id")
+    # NTZ output (UTC session) = DuckDB's naive timestamps, arrow-exact
+    return (
+        out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        .withColumn("click_ts", F.col("click_ts").cast("timestamp_ntz"))
+        .orderBy("event_id")
+    )
 
 
 ASOF_ORACLE = """
@@ -87,7 +92,7 @@ def range_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            "ts",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
             F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
             F.coalesce("n_prior_errors", F.lit(0)).alias("n_prior_errors"),
         )
@@ -100,7 +105,7 @@ WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
 SELECT
   e.event_id, e.user_id, e.ts,
   count(a.event_id) AS n_prior,
-  COALESCE(sum(CASE WHEN a.event_type = 'error' THEN 1 ELSE 0 END), 0) AS n_prior_errors
+  CAST(COALESCE(sum(CASE WHEN a.event_type = 'error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_prior_errors
 FROM e
 LEFT JOIN events a
   ON a.user_id = e.user_id

@@ -24,7 +24,7 @@ _RASTER = codecs.raster_size(_DPI)  # 225 at 150 dpi
 _JPG_BLOCK = 13 + 20 + (_RASTER * _Q) // 200
 _SCAN_BLOCK = 13 + (20 + _RASTER + 8)  # scan preserves size; A4 adds 8
 
-_N_PAGES_SQL = "GREATEST(1, CAST(ceil(length(text) / 200.0) AS INT))"
+_N_PAGES_SQL = "CAST(GREATEST(1, CAST(ceil(length(text) / 200.0) AS INT)) AS BIGINT)"
 
 
 def _docs_bin(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,7 +61,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sel_rank").cast("int").alias("sel_rank"),
         "asset_id",
         "file_name",
-        "created_key",
+        # NTZ output (UTC session) = DuckDB's naive timestamp, arrow-exact
+        F.col("created_key").cast("timestamp_ntz").alias("created_key"),
         "public_url",
     )
 

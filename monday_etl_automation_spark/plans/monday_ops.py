@@ -204,7 +204,7 @@ A2_ORACLE = with_fixtures(
     """
 SELECT
   f.item_id,
-  sum(CASE WHEN a.public_url IS NOT NULL THEN 1 ELSE 0 END) AS n_success,
+  CAST(sum(CASE WHEN a.public_url IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_success,
   count(*) AS n_total,
   CASE WHEN sum(CASE WHEN a.public_url IS NOT NULL THEN 1 ELSE 0 END) > 0
        THEN 'Dossier déposé' END AS new_status

@@ -11,7 +11,13 @@ parquet scans, and prunes columns.
 Numeric policy for oracle-exactness: money/quantity sums cast to
 DECIMAL(18,2) *before* aggregation (exact, order-insensitive —
 float sums would drift between Spark's and DuckDB's reduction
-orders); averages are decimal-rounded then cast to double.
+orders). Final OUTPUTS are always driver-safe types (BIGINT,
+DOUBLE, STRING, naive TIMESTAMP): the driver's value-hash renders
+DuckDB DECIMAL/HUGEINT as float64 while Spark keeps Decimal
+objects, so any trailing-zero decimal ("770970.00" vs "770970.0")
+hash-mismatches — both sides therefore CAST the exact decimal
+aggregate to DOUBLE as the last step (correctly-rounded nearest
+double in both engines => bit-identical).
 
 Scale notes (100 TB posture):
 - fact-to-fact joins (lineitem⋈orders) shuffle on the join key; both
@@ -57,10 +63,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") <= F.lit("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price.cast(DEC)).alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(30,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(30,6)").alias("sum_charge"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price.cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             F.round(F.sum(qty) / F.count(F.lit(1)), 2).cast("double").alias("avg_qty"),
             F.round(F.sum(price) / F.count(F.lit(1)), 2).cast("double").alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
@@ -73,10 +79,10 @@ Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS sum_disc_price,
-  CAST(sum(CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6)) AS DECIMAL(24,6))) AS DECIMAL(30,6)) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6)) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))) / count(*), 2) AS DOUBLE) AS avg_qty,
   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / count(*), 2) AS DOUBLE) AS avg_price,
   count(*) AS count_order
@@ -104,7 +110,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("decimal(30,4)").alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -115,7 +121,7 @@ SELECT
   l_orderkey,
   o_orderdate,
   o_orderpriority,
-  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS revenue
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -154,7 +160,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("decimal(30,4)").alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -162,7 +168,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_ORACLE = """
 SELECT
   n_name,
-  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS revenue
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -188,7 +194,7 @@ def rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
             F.grouping_id("l_returnflag", "l_linestatus").cast("long").alias("gid"),
         )
         .select(
@@ -207,7 +213,7 @@ SELECT
   COALESCE(l_returnflag, 'ALL') AS l_returnflag,
   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
   count(*) AS n_items,
-  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -221,19 +227,25 @@ ORDER BY gid, l_returnflag, l_linestatus
 
 
 def window_part_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 parts by retail price per brand, with brand price stats."""
+    """Top-3 parts by retail price per brand, with brand price stats.
+
+    Prices are quantized to 2 decimals (exact decimal quantize) then
+    output as DOUBLE — driver-safe, and max/lag are selections (no
+    float arithmetic), so both engines agree bit-for-bit.
+    """
     p = _t(spark, sf_dir, "part")
+    dprice = F.col("p_retailprice").cast(DEC).cast("double")
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     brand = Window.partitionBy("p_brand")
     return (
         p.select(
             "p_brand",
             "p_partkey",
-            F.col("p_retailprice").cast(DEC).alias("price"),
+            dprice.alias("price"),
             F.row_number().over(w).alias("rn"),
             F.rank().over(w).alias("rnk"),
-            F.max(F.col("p_retailprice").cast(DEC)).over(brand).alias("brand_max"),
-            F.lag(F.col("p_retailprice").cast(DEC), 1).over(w).alias("prev_price"),
+            F.max(dprice).over(brand).alias("brand_max"),
+            F.lag(dprice, 1).over(w).alias("prev_price"),
         )
         .where(F.col("rn") <= 3)
         .orderBy("p_brand", "rn")
@@ -245,11 +257,11 @@ WITH ranked AS (
   SELECT
     p_brand,
     p_partkey,
-    CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+    CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
     CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
     CAST(RANK() OVER w AS INTEGER) AS rnk,
-    MAX(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS brand_max,
-    LAG(CAST(p_retailprice AS DECIMAL(18,2)), 1) OVER w AS prev_price
+    MAX(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE)) OVER (PARTITION BY p_brand) AS brand_max,
+    LAG(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE), 1) OVER w AS prev_price
   FROM part
   WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
 )
@@ -400,7 +412,7 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).cast("decimal(30,4)").alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -411,7 +423,7 @@ SELECT
   c_custkey,
   c_name,
   n_name,
-  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS revenue
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -443,13 +455,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(rev).cast("decimal(30,4)").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
 
 
 Q6_ORACLE = """
 SELECT
-  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS revenue,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
   count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -494,7 +506,10 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.select(
-            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            # date_trunc returns tz-aware TIMESTAMP even on NTZ input;
+            # cast back to NTZ (session is UTC => same wall time) so the
+            # output matches DuckDB's naive timestamp exactly
+            F.date_trunc("month", F.col("o_orderdate")).cast("timestamp_ntz").alias("order_month"),
             F.year("o_orderdate").alias("y"),
             F.quarter("o_orderdate").alias("q"),
             (F.dayofweek("o_orderdate") - 1).alias("dow"),  # 0=Sunday, as DuckDB
@@ -621,7 +636,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("sum_price"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
             F.grouping_id("o_orderstatus", "o_orderpriority").cast("long").alias("gid"),
         )
         .select(
@@ -640,7 +655,7 @@ SELECT
   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
   count(*) AS n_orders,
-  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
   CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)

@@ -45,7 +45,7 @@ SELECT
   time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
   event_type,
   count(*) AS n_events,
-  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS sum_value
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 ORDER BY window_start, event_type
@@ -68,10 +68,10 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.max(F.col("value").cast("decimal(18,6)")).alias("max_value"),
+            F.max(F.col("value").cast("decimal(18,6)")).cast("double").alias("max_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
             "max_value",
@@ -91,7 +91,7 @@ SELECT
   window_start,
   event_type,
   count(*) AS n_events,
-  max(CAST(value AS DECIMAL(18,6))) AS max_value
+  CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
 FROM assigned
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
@@ -109,11 +109,11 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(30,6)").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "user_id",
             "n_events",
             "sum_value",
@@ -128,7 +128,9 @@ SESSION_ORACLE = """
 WITH marked AS (
   SELECT
     user_id, ts, value,
-    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 5 MINUTE
+    -- session_window's [start, last+gap) end is EXCLUSIVE: an event at
+    -- exactly gap distance starts a new session, hence >=
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
          THEN 1 ELSE 0 END AS is_start
   FROM events
@@ -143,7 +145,7 @@ SELECT
   max(ts) + INTERVAL 5 MINUTE AS session_end,
   user_id,
   count(*) AS n_events,
-  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(30,6)) AS sum_value
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
@@ -202,7 +204,7 @@ PROPS_ORACLE = """
 SELECT
   event_type,
   count(*) AS n_events,
-  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
   min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
   max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events
@@ -228,7 +230,7 @@ STATEFUL_ORACLE = """
 SELECT
   user_id,
   count(*) AS n_events,
-  sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_micros
+  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
 FROM events
 GROUP BY user_id
 ORDER BY user_id

@@ -63,11 +63,14 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(30,6)").alias("sum_value"),
+            # exact decimal accumulation, driver-safe DOUBLE output
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            # NTZ output (UTC session => same wall time) matches the
+            # oracle's naive timestamps at the arrow level too
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
             "event_type",
             "n_events",
             "sum_value",
