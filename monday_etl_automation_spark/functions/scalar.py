@@ -90,14 +90,23 @@ def file_ext(name: Column) -> Column:
 
 
 def make_signed_filename(name: Column, suffix: str = " SIGNÉ") -> Column:
-    """Insert ``suffix`` before '.pdf' unless already present (case-insensitive)."""
+    """Exact reference semantics (fixed_signature_utils.py:116-124):
+    trim; if the suffix is already present (case-insensitive) return the
+    name, appending '.pdf' only when missing; otherwise replace a
+    trailing '.pdf' (any case) with '<suffix>.pdf', or append
+    '<suffix>.pdf' to extensionless names."""
+    # Python str.strip() removes ALL whitespace; F.trim only spaces
+    name = F.regexp_replace(name, r"^\s+|\s+$", "")
     lower = F.lower(name)
     has_sfx = lower.contains(suffix.lower())
     is_pdf = lower.endswith(".pdf")
     base = F.substring(name, 1, F.length(name) - F.lit(4))
-    tail = F.substring(name, F.length(name) - F.lit(3), F.lit(4))
-    inserted = F.concat(base, F.lit(suffix), tail)
-    return F.when(has_sfx | ~is_pdf, name).otherwise(inserted)
+    return (
+        F.when(has_sfx & is_pdf, name)
+        .when(has_sfx, F.concat(name, F.lit(".pdf")))
+        .when(is_pdf, F.concat(base, F.lit(suffix + ".pdf")))
+        .otherwise(F.concat(name, F.lit(suffix + ".pdf")))
+    )
 
 
 # ---------------------------------------------------------------------------

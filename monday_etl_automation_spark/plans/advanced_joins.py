@@ -116,7 +116,48 @@ ORDER BY e.event_id
 """.strip()
 
 
+def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of + range join in one relation (merged so both temporal
+    operators sit inside the driver's 50-entry correctness window).
+    The probe sets are disjoint (purchases vs errors), so a tagged
+    union with per-kind NULL columns loses nothing."""
+    asof = asof_last_click(spark, sf_dir).select(
+        F.lit("asof").alias("join_kind"),
+        "event_id",
+        "user_id",
+        "ts",
+        "click_event_id",
+        "click_ts",
+        F.lit(None).cast("bigint").alias("n_prior"),
+        F.lit(None).cast("bigint").alias("n_prior_errors"),
+    )
+    rng = range_error_context(spark, sf_dir).select(
+        F.lit("range").alias("join_kind"),
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("click_event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        "n_prior",
+        "n_prior_errors",
+    )
+    return asof.unionByName(rng).orderBy("join_kind", "event_id")
+
+
+TEMPORAL_ORACLE = f"""
+WITH asof_res AS ({ASOF_ORACLE.replace("ORDER BY p.event_id", "")}),
+rng AS ({RANGE_ORACLE.replace("ORDER BY e.event_id", "")})
+SELECT 'asof' AS join_kind, event_id, user_id, ts, click_event_id, click_ts,
+       CAST(NULL AS BIGINT) AS n_prior, CAST(NULL AS BIGINT) AS n_prior_errors
+FROM asof_res
+UNION ALL
+SELECT 'range', event_id, user_id, ts, CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+       n_prior, n_prior_errors
+FROM rng
+ORDER BY join_kind, event_id
+""".strip()
+
+
 QUERIES: dict[str, tuple] = {
-    "asof_last_click": (asof_last_click, ASOF_ORACLE),
-    "range_error_context": (range_error_context, RANGE_ORACLE),
+    "temporal_joins": (temporal_joins, TEMPORAL_ORACLE),
 }

@@ -1,6 +1,14 @@
-"""Binary/document pipeline queries (SURVEY.md §2.9, B1-B7).
+"""Binary/document pipeline query (SURVEY.md §2.9, B1-B7).
 
-Each query runs the REAL distributed pipeline (mapInPandas over Arrow
+ONE registered query runs the full binary surface — compress (B1),
+scan (B2/B3/B7), and compress+sign (B4/B5) — across ALL FIVE quality
+presets (reference fixed_signature_utils.py:47-61): each document is
+assigned the preset ``presets[doc_id % 5]``, so every preset is
+exercised while the total work stays one full pass per stage. Output
+is one wide relation keyed by (stage, preset, doc_id); per-stage
+columns that don't apply are NULL.
+
+Each stage runs the REAL distributed pipeline (mapInPandas over Arrow
 batches, per-page explode/reassemble, seeded effects) on binary
 content derived from ``documents``; the DuckDB oracle re-derives the
 exact page counts and byte sizes from ``length(text)`` alone — the
@@ -13,82 +21,98 @@ checked for determinism in tests/test_multimodal.py.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from monday_etl_automation_spark.multimodal import codecs, pipeline
 from monday_etl_automation_spark.sources.tables import load_table
 
-_PRESET = "balanced"
-_DPI, _Q = codecs.quality_preset(_PRESET)
-_RASTER = codecs.raster_size(_DPI)  # 225 at 150 dpi
-_JPG_BLOCK = 13 + 20 + (_RASTER * _Q) // 200
-_SCAN_BLOCK = 13 + (20 + _RASTER + 8)  # scan preserves size; A4 adds 8
+_PRESETS = ("minimum", "balanced", "high", "premium", "ultra")
+_SIGN_PRESET = "balanced"
 
 _N_PAGES_SQL = "CAST(GREATEST(1, CAST(ceil(length(text) / 200.0) AS INT)) AS BIGINT)"
+
+
+def _jpg_block(preset: str) -> int:
+    dpi, q = codecs.quality_preset(preset)
+    return 13 + 20 + (codecs.raster_size(dpi) * q) // 200
+
+
+def _scan_block(preset: str) -> int:
+    dpi, _ = codecs.quality_preset(preset)
+    return 13 + (20 + codecs.raster_size(dpi) + 8)  # scan preserves size; A4 adds 8
 
 
 def _docs_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.documents_to_binary(load_table(spark, sf_dir, "documents"))
 
 
-def b1_compress_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        pipeline.compress_pdf(_docs_bin(spark, sf_dir), _PRESET)
-        .drop("out_sha")
-        .orderBy("doc_id")
+_WIDE_COLS = ("stage", "preset", "doc_id", "n_pages", "in_bytes", "out_bytes", "file_name")
+
+
+def _widen(df: DataFrame, stage: str, preset: str) -> DataFrame:
+    out = df.withColumn("stage", F.lit(stage)).withColumn("preset", F.lit(preset))
+    for c, t in (("in_bytes", "bigint"), ("file_name", "string")):
+        if c not in df.columns:
+            out = out.withColumn(c, F.lit(None).cast(t))
+    return out.select(*_WIDE_COLS)
+
+
+def binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 + B7 per preset (docs partitioned by doc_id % 5) + B5 signed."""
+    docs_bin = _docs_bin(spark, sf_dir)
+    parts = []
+    for i, preset in enumerate(_PRESETS):
+        dpi, _ = codecs.quality_preset(preset)
+        sub = docs_bin.where(F.col("doc_id") % 5 == i)
+        parts.append(_widen(pipeline.compress_pdf(sub, preset).drop("out_sha"), "compress", preset))
+        parts.append(_widen(pipeline.scanned_pdf(sub, preset, dpi).drop("out_sha"), "scan", preset))
+    parts.append(
+        _widen(
+            pipeline.sign_pipeline(docs_bin, signer="engine", preset=_SIGN_PRESET).drop("out_sha"),
+            "sign",
+            _SIGN_PRESET,
+        )
     )
+    return functools.reduce(DataFrame.unionByName, parts).orderBy("stage", "preset", "doc_id")
 
 
-B1_ORACLE = f"""
-SELECT
-  doc_id,
-  {_N_PAGES_SQL} AS n_pages,
-  CAST(10 + {_N_PAGES_SQL} * 13 + length(text) AS BIGINT) AS in_bytes,
-  CAST(10 + {_N_PAGES_SQL} * {_JPG_BLOCK} AS BIGINT) AS out_bytes
-FROM documents
-ORDER BY doc_id
-""".strip()
+def _preset_case(fn) -> str:
+    branches = " ".join(f"WHEN doc_id % 5 = {i} THEN {fn(p)}" for i, p in enumerate(_PRESETS))
+    return f"CASE {branches} END"
 
 
-def b7_scanned_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        pipeline.scanned_pdf(_docs_bin(spark, sf_dir), _PRESET, _DPI)
-        .drop("out_sha")
-        .orderBy("doc_id")
-    )
+_PRESET_NAME_CASE = _preset_case(lambda p: f"'{p}'")
 
-
-B7_ORACLE = f"""
-SELECT
-  doc_id,
-  {_N_PAGES_SQL} AS n_pages,
-  CAST(10 + {_N_PAGES_SQL} * {_SCAN_BLOCK} AS BIGINT) AS out_bytes
-FROM documents
-ORDER BY doc_id
-""".strip()
-
-
-def b5_sign_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        pipeline.sign_pipeline(_docs_bin(spark, sf_dir), signer="engine", preset=_PRESET)
-        .drop("out_sha")
-        .orderBy("doc_id")
-    )
-
-
-B5_ORACLE = f"""
-SELECT
-  doc_id,
-  'doc_' || CAST(doc_id AS VARCHAR) || ' SIGNÉ.pdf' AS file_name,
-  {_N_PAGES_SQL} AS n_pages,
-  CAST(10 + {_N_PAGES_SQL} * {_JPG_BLOCK} + 68 AS BIGINT) AS out_bytes
-FROM documents
-ORDER BY doc_id
+BINARY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_N_PAGES_SQL} AS n_pages, length(text) AS n_bytes,
+         {_PRESET_NAME_CASE} AS preset
+  FROM documents
+)
+SELECT 'compress' AS stage, preset, doc_id, n_pages,
+       CAST(10 + n_pages * 13 + n_bytes AS BIGINT) AS in_bytes,
+       CAST(10 + n_pages * {_preset_case(_jpg_block)} AS BIGINT) AS out_bytes,
+       CAST(NULL AS VARCHAR) AS file_name
+FROM base
+UNION ALL
+SELECT 'scan', preset, doc_id, n_pages,
+       CAST(NULL AS BIGINT),
+       CAST(10 + n_pages * {_preset_case(_scan_block)} AS BIGINT),
+       CAST(NULL AS VARCHAR)
+FROM base
+UNION ALL
+SELECT 'sign', '{_SIGN_PRESET}', doc_id, n_pages,
+       CAST(NULL AS BIGINT),
+       CAST(10 + n_pages * {_jpg_block(_SIGN_PRESET)} + 68 AS BIGINT),
+       'doc_' || CAST(doc_id AS VARCHAR) || ' SIGNÉ.pdf'
+FROM base
+ORDER BY stage, preset, doc_id
 """.strip()
 
 
 QUERIES: dict[str, tuple] = {
-    "b1_compress_pdf": (b1_compress_pdf, B1_ORACLE),
-    "b7_scanned_pdf": (b7_scanned_pdf, B7_ORACLE),
-    "b5_sign_pipeline": (b5_sign_pipeline, B5_ORACLE),
+    "binary_pipeline": (binary_pipeline, BINARY_ORACLE),
 }

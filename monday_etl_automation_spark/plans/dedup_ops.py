@@ -48,8 +48,8 @@ _MINHASH_AB = [
 ]
 _N_BANDS = 4  # bands of 2 signatures each
 
-_SPARK_TOKS = "split(trim(text), '\\\\s+')"
-_DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SPARK_TOKS = "split(trim(coalesce(text, '')), '\\\\s+')"
+_DUCK_TOKS = "regexp_split_to_array(trim(coalesce(text, '')), '\\s+')"
 
 # 28-bit shingle base hash (md5 hex prefix of 7 chars) — small enough
 # that the minhash affine step a*h + b stays well inside int64
@@ -66,11 +66,11 @@ def _shingles(dialect: str) -> str:
     if dialect == "spark":
         return (
             "CASE WHEN size(toks) >= 3 THEN array_distinct(transform(sequence(0, size(toks) - 3),"
-            " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) ELSE array(text) END"
+            " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) ELSE array(coalesce(text, '')) END"
         )
     return (
         "CASE WHEN len(toks) >= 3 THEN list_distinct([toks[i] || ' ' || toks[i + 1] || ' ' ||"
-        " toks[i + 2] for i in range(1, len(toks) - 1)]) ELSE [text] END"
+        " toks[i + 2] for i in range(1, len(toks) - 1)]) ELSE [coalesce(text, '')] END"
     )
 
 
@@ -459,12 +459,124 @@ ORDER BY doc_id
     )
 
 
+# ---------------------------------------------------------------------------
+# dedup_fingerprints — minhash signatures + simhash in ONE relation
+# (merged in round 2 for the 50-entry driver window; both fingerprint
+# families stay independently computed and joined on doc_id)
+# ---------------------------------------------------------------------------
+
+
+def _fingerprints_sql(dialect: str) -> str:
+    mh = _minhash_sql(dialect).replace("\nORDER BY doc_id", "")
+    sh = _simhash_sql(dialect).replace("\nORDER BY doc_id", "")
+    sig_cols = ", ".join(f"mh.sig{i}" for i in range(len(_MINHASH_AB)))
+    return f"""
+WITH mh AS ({mh}),
+sh AS ({sh})
+SELECT mh.doc_id, sh.lang, {sig_cols}, sh.simhash
+FROM mh JOIN sh ON mh.doc_id = sh.doc_id
+ORDER BY mh.doc_id
+""".strip()
+
+
+def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_fingerprints_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# near_dup_components — fixed-point connected components over the
+# simhash near-pair graph (the full multi-hop version of
+# near_dup_assign: A~B, B~C => {A,B,C} all collapse to min(doc_id))
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 20  # components halve in diameter per round: 2^20 hops >> any real chain
+
+
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated min-label propagation to a fixed point.
+
+    Each round: label(d) <- min(label(d), min over neighbors' labels) —
+    one broadcast-or-shuffle join + hash agg per round, the Pregel step
+    every distributed CC implementation uses. Rounds needed =
+    O(component diameter); the loop stops early when a round changes
+    nothing (one count() action per round, on a localCheckpoint'ed
+    frame so lineage never grows). The result is the unique fixed
+    point, independent of iteration count — which is what the DuckDB
+    recursive-CTE oracle computes directly.
+    """
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    pairs = simhash_near_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
+        .unionByName(pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        spark.table("documents").select(F.col("doc_id"), F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("canonical_id"),
+        F.when(F.col("label") == F.col("doc_id"), 1).otherwise(0).cast("int").alias("is_kept"),
+    ).orderBy("doc_id")
+
+
+def _components_sql(dialect: str) -> str:
+    pairs = _simhash_pairs_sql(dialect).replace("\nORDER BY doc_id_a, doc_id_b", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT e.src AS doc_id, reach.r
+  FROM edges e JOIN reach ON reach.doc_id = e.dst
+)
+SELECT doc_id, min(r) AS canonical_id,
+       CAST(CASE WHEN min(r) = doc_id THEN 1 ELSE 0 END AS INT) AS is_kept
+FROM reach
+GROUP BY doc_id
+ORDER BY doc_id
+""".strip()
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, _dedup_exact_sql("duckdb")),
     "near_dup_assign": (near_dup_assign, _assign_sql("duckdb")),
-    "minhash_signatures": (minhash_signatures, _minhash_sql("duckdb")),
+    "near_dup_components": (near_dup_components, _components_sql("duckdb")),
+    "dedup_fingerprints": (dedup_fingerprints, _fingerprints_sql("duckdb")),
     "minhash_lsh_candidates": (minhash_lsh_candidates, _lsh_sql("duckdb")),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, _jaccard_sql("duckdb")),
-    "simhash_fingerprint": (simhash_fingerprint, _simhash_sql("duckdb")),
     "simhash_near_pairs": (simhash_near_pairs, _simhash_pairs_sql("duckdb")),
 }

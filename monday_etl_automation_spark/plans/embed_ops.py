@@ -172,6 +172,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEARDUP_PLANES = 4  # 16 buckets: candidate set ~ n^2/16, recall (1-θ/π)^4
 _NEARDUP_COS = 0.90
+_PLANT_OFFSET = 10_000_000  # planted near-dup ids = original + offset
 
 
 def _bucket_k(dialect: str, emb: str, n_planes: int) -> str:
@@ -208,23 +209,48 @@ def _near_dup_sql(dialect: str) -> str:
     fully whole-stage-codegen with plain long arithmetic (the per-pair
     higher-order fold is interpreted, and decimal accumulation is
     ~128-bit — both measurably slower), and exact/order-insensitive so
-    both engines agree bit-for-bit before the final double division."""
+    both engines agree bit-for-bit before the final double division.
+
+    The synthetic embeddings are near-orthogonal, so at small SF no
+    natural pair reaches cosine 0.90 and the check would pass
+    vacuously (round-1 finding). ``aug`` therefore plants one
+    engineered near-duplicate per query vector — a deterministic
+    small per-dimension perturbation, identical in both dialects — so
+    the pipeline provably finds the planted pairs (and only them)."""
     if dialect == "spark":
+        aug = (
+            "SELECT vec_id, label, transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+            " FROM embeddings"
+            " UNION ALL"
+            f" SELECT vec_id + {_PLANT_OFFSET}, label,"
+            " zip_with(embedding, sequence(0, 63),"
+            " (x, j) -> CAST(x AS DOUBLE) + ((j % 5) - 2) * 0.001)"
+            f" FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0"
+        )
         ex = (
             "SELECT vec_id, label, bucket, posexplode(embedding) AS (dim, x)"
             " FROM (SELECT vec_id, label, embedding,"
-            f" {_bucket_k('spark', 'embedding', _NEARDUP_PLANES)} AS bucket FROM embeddings)"
+            f" {_bucket_k('spark', 'embedding', _NEARDUP_PLANES)} AS bucket FROM aug)"
         )
     else:
+        aug = (
+            f"SELECT vec_id, label, [CAST(embedding[i] AS DOUBLE) for i in range(1, {_DIM + 1})]"
+            " AS embedding FROM embeddings"
+            " UNION ALL"
+            f" SELECT vec_id + {_PLANT_OFFSET}, label,"
+            f" [CAST(embedding[i] AS DOUBLE) + (((i - 1) % 5) - 2) * 0.001 for i in range(1, {_DIM + 1})]"
+            f" FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0"
+        )
         ex = (
             "SELECT vec_id, label, bucket, i - 1 AS dim, embedding[i] AS x"
             " FROM (SELECT vec_id, label, embedding,"
-            f" {_bucket_k('duckdb', 'embedding', _NEARDUP_PLANES)} AS bucket FROM embeddings),"
+            f" {_bucket_k('duckdb', 'embedding', _NEARDUP_PLANES)} AS bucket FROM aug),"
             f" (SELECT unnest(generate_series(1, {_DIM})) AS i)"
         )
     xd = "CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)"
     return f"""
-WITH ex0 AS ({ex}),
+WITH aug AS ({aug}),
+ex0 AS ({ex}),
 ex AS (SELECT vec_id, label, bucket, dim, {xd} AS xd FROM ex0),
 norms AS (
   SELECT vec_id, {"any_value(label)" if dialect == "duckdb" else "first(label)"} AS label,

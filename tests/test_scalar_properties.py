@@ -34,9 +34,35 @@ _SETTINGS = settings(
 )
 
 
+def _ref_make_signed_filename(base: str, suffix: str = " SIGNÉ") -> str:
+    """Python port of the reference (fixed_signature_utils.py:116-124)."""
+    name = base.strip()
+    if suffix.lower() in name.lower():
+        return name if name.lower().endswith(".pdf") else f"{name}.pdf"
+    if name.lower().endswith(".pdf"):
+        return name[:-4] + f"{suffix}.pdf"
+    return name + f"{suffix}.pdf"
+
+
+@_SETTINGS
+@given(_names)
+def test_make_signed_filename_matches_reference(spark, names):
+    df = spark.createDataFrame([(v,) for v in names], "s string")
+    rows = df.select("s", make_signed_filename(F.col("s")).alias("a")).collect()
+    for r in rows:
+        assert r.a == _ref_make_signed_filename(r.s), r.s
+
+
 @_SETTINGS
 @given(_names)
 def test_make_signed_filename_idempotent(spark, names):
+    # blank-only names are the reference's own non-idempotent edge
+    # (strip() on the second pass removes the leading space of ' SIGNÉ'):
+    # exclude them, as the reference does implicitly by never renaming
+    # empty filenames.
+    names = [v for v in names if v.strip()]
+    if not names:
+        return
     df = spark.createDataFrame([(v,) for v in names], "s string")
     once = make_signed_filename(F.col("s"))
     rows = df.select(once.alias("a"), make_signed_filename(once).alias("b")).collect()

@@ -26,6 +26,39 @@ def test_replay_is_deterministic(spark, sf_dir):
     assert len(a) > 0
 
 
+def test_sliding_and_session_replays_equal_batch(spark, sf_dir):
+    """Replay determinism for the sliding and merge-on-gap session
+    windows — the stateful shapes where streaming diverges most from
+    batch (VERDICT r1 task 6)."""
+    from monday_etl_automation_spark.plans import windows_ops as w
+
+    for batch_fn, replay_fn in (
+        (w.sliding_window_stats, w.stream_sliding_replay),
+        (w.session_window_stats, w.stream_session_replay),
+    ):
+        b = sorted(map(tuple, batch_fn(spark, sf_dir).collect()))
+        r = sorted(map(tuple, replay_fn(spark, sf_dir).collect()))
+        assert len(b) > 0
+        assert b == r
+
+
+def test_dead_letter_routes_malformed(spark, sf_dir):
+    """Malformed payloads land in quarantine (raw payload preserved),
+    well-formed rows in delivered; nothing is lost or duplicated."""
+    from monday_etl_automation_spark.sources.tables import load_table
+    from monday_etl_automation_spark.streaming.pipeline import run_dead_letter
+
+    delivered, quarantined = run_dead_letter(spark, sf_dir)
+    total = load_table(spark, sf_dir, "events").count()
+    n_d, n_q = delivered.count(), quarantined.count()
+    assert n_d + n_q == total
+    assert n_q > 0
+    # every injected-corrupt event is quarantined, none delivered
+    assert delivered.where("event_id % 13 = 0").count() == 0
+    # quarantine preserves the raw (broken) payload for replay
+    assert quarantined.where("props = '{broken'").count() > 0
+
+
 def test_dedup_within_watermark_suppresses_retries(spark, sf_dir, tmp_path):
     import uuid
 
@@ -79,7 +112,28 @@ def test_status_upsert_keeps_latest_per_key(spark, tmp_path):
     stream2 = spark.readStream.schema(
         "item_id BIGINT, column_id STRING, status STRING, updated_at TIMESTAMP"
     ).parquet(src2)
+    import glob
+    import os
+
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "state" / "bucket=*" / "*.parquet"))
+    }
     sink.run(stream2)
     got2 = {(r.item_id, r.column_id): r.status for r in sink.current().collect()}
     assert got2[(2, "status")] == "RES020"
     assert got2[(1, "status")] == "RES010"
+
+    # partitioned upsert: the batch touched only item 2's bucket, so
+    # item 1's bucket files must survive untouched (O(touched) writes)
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "state" / "bucket=*" / "*.parquet"))
+    }
+    b1 = f"bucket={1 % sink.n_buckets}"
+    b2 = f"bucket={2 % sink.n_buckets}"
+    untouched = [p for p in before if b1 in p]
+    assert untouched, "expected files in item 1's bucket"
+    for p in untouched:
+        assert p in after and after[p] == before[p], f"untouched bucket rewritten: {p}"
+    assert any(b2 in p and (p not in before or after[p] != before[p]) for p in after)
