@@ -6,11 +6,17 @@ Prints ONE JSON line:
 Methodology (steady-state, like a long-lived cluster):
 - warmup 1: every query once at sf0.001 — JVM/codegen JIT, Python
   worker spin-up, parquet footer caches.
-- timed passes: every query TWICE at the bench SF with the `noop`
-  sink (full distributed execution, no driver-side row
-  deserialization); per-query time is the min of the two runs. A
-  single pass is hostage to driver-GC pauses (observed 5-30s swings
-  on identical plans); min-of-2 reports the engine's steady state.
+- timed runs: two full INTERLEAVED passes over all queries at the
+  bench SF with the `noop` sink (full distributed execution, no
+  driver-side row deserialization); per-query time is the min of its
+  two runs. The host exhibits intermittent 30-80s stall windows
+  (hypervisor/IO noise, observed on identical plans at idle);
+  interleaving spreads a stall across DIFFERENT queries in each pass
+  so min() picks the clean run — consecutive per-query runs would put
+  both samples inside one stall. Cross-query generated-class-cache
+  eviction (which once argued for consecutive runs: a 10x-inflated
+  q1) is fixed at the root via spark.sql.codegen.cache.maxEntries in
+  session.py.
 """
 
 from __future__ import annotations
@@ -36,11 +42,10 @@ HEADLINE = (
     "ngram_jaccard_pairs",
     "simhash_near_pairs",
     "cosine_topk",
-    "text_stats",
-    "tumbling_window_counts",
-    "b5_sign_pipeline",
-    "asof_last_click",
-    "range_error_context",
+    "text_profile",
+    "stream_tumbling_replay",
+    "binary_pipeline",
+    "temporal_joins",
     "ivf_topk",
     "q10_returned_customers",
 )
@@ -60,10 +65,18 @@ def main() -> int:
     def run(name: str, d: str) -> None:
         qs[name](spark, d).write.format("noop").mode("overwrite").save()
 
-    # Warmup pass (see module docstring).
+    # Warmup passes (see module docstring): sf0.001 compiles/JITs every
+    # stage cheaply; one untimed pass at the bench SF warms shuffle
+    # files, parquet footers, and the page cache so the timed runs
+    # measure steady state.
     for name in names:
         try:
             run(name, "/root/testdata/sf0.001")
+        except Exception:
+            pass
+    for name in names:
+        try:
+            run(name, sf_dir)
         except Exception:
             pass
 

@@ -45,6 +45,12 @@ def get_spark(app_name: str = "monday_etl_automation_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # 50 registered queries × several codegen stages each overflow
+        # the default 100-entry generated-class cache, forcing Janino
+        # recompilation of expensive expression trees (decimal sums) on
+        # every re-run; the cache holds class references, so a larger
+        # bound costs little memory
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -53,6 +53,17 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert "partial_sum" in plan or "partial_count" in plan
 
 
+def test_global_index_windows_are_partitioned(spark, sf_dir):
+    """W3/G1 auto-increment must never funnel the table through a
+    single-task global window (round-1 scale-killer): the two-pass
+    index partitions its row_number window by spark_partition_id."""
+    for name in ("w3_auto_increment", "g1_structure_lot"):
+        plan = _plan(spark, sf_dir, name)
+        for line in plan.splitlines():
+            if "Window" in line and "row_number" in line:
+                assert "_pid" in line, f"{name}: unpartitioned window: {line}"
+
+
 @pytest.mark.parametrize("name", sorted(registry.queries()))
 def test_no_cartesian_product(spark, sf_dir, name):
     """No registered query may degenerate to a cartesian product.

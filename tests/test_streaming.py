@@ -59,6 +59,35 @@ def test_dead_letter_routes_malformed(spark, sf_dir):
     assert quarantined.where("props = '{broken'").count() > 0
 
 
+def test_session_replay_with_rocksdb_state_store(spark, sf_dir):
+    """The 100 TB state path: the same session-window replay runs
+    unchanged on the RocksDB state store (what a real deployment sets
+    for billions of keys) and produces the identical answer."""
+    import uuid
+
+    from monday_etl_automation_spark.streaming.pipeline import event_stream, session_stats, _replay
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sink = f"rocks_{uuid.uuid4().hex[:8]}"
+        _replay(session_stats(event_stream(spark, sf_dir)), sink)
+        got = sorted(map(tuple, spark.table(sink).collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    from monday_etl_automation_spark.plans.windows_ops import session_window_stats
+
+    want = sorted(map(tuple, session_window_stats(spark, sf_dir).collect()))
+    assert got == want
+    assert len(got) > 0
+
+
 def test_dedup_within_watermark_suppresses_retries(spark, sf_dir, tmp_path):
     import uuid
 
