@@ -59,15 +59,23 @@ B1_SCHEMA = "doc_id BIGINT, n_pages BIGINT, in_bytes BIGINT, out_bytes BIGINT, o
 
 def compress_pdf(docs_bin: DataFrame, preset: str = "balanced") -> DataFrame:
     """B1 (fixed_signature_utils.py:38-110): page-at-a-time rasterize at
-    the preset DPI, 'sharpen', JPEG re-encode, rebuild the container."""
-    dpi, quality = codecs.quality_preset(preset)
+    the preset DPI, 'sharpen', JPEG re-encode, rebuild the container.
+
+    The preset is resolved PER ROW: a constant ``preset`` argument
+    stamps one preset on every document, while a ``preset`` column
+    already on ``docs_bin`` wins — so heterogeneous presets run in ONE
+    scan/pass instead of one branch (and one full input scan) per
+    preset."""
+    if "preset" not in docs_bin.columns:
+        docs_bin = docs_bin.withColumn("preset", F.lit(preset))
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
             rows = []
-            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            for doc_id, content, pr in zip(pdf["doc_id"], pdf["content"], pdf["preset"]):
+                dpi, quality = codecs.quality_preset(pr)
                 pages = codecs.pdf_pages(bytes(content))
                 images = [
                     codecs.jpeg_encode(codecs.rasterize_page(p, dpi), quality) for p in pages
@@ -86,36 +94,48 @@ def compress_pdf(docs_bin: DataFrame, preset: str = "balanced") -> DataFrame:
 #       A4 normalize -> reassemble (the distributed page-parallel shape)
 # ---------------------------------------------------------------------------
 
-PAGE_SCHEMA = "doc_id BIGINT, page_idx INT, page BINARY"
+PAGE_SCHEMA = "doc_id BIGINT, page_idx INT, page BINARY, preset STRING"
 B7_SCHEMA = "doc_id BIGINT, page_idx INT, out_page BINARY"
 
 
-def explode_pages(docs_bin: DataFrame, dpi: int = 150) -> DataFrame:
+def explode_pages(docs_bin: DataFrame, dpi: int | None = 150) -> DataFrame:
     """Fan a document out to one row per rastered page — at scale the
     page rows redistribute across the cluster, so one huge document
-    cannot hot-spot a single task."""
+    cannot hot-spot a single task.
+
+    Rasterizes at the row's ``preset`` DPI when the input carries a
+    ``preset`` column (one pass for mixed presets); otherwise at the
+    constant ``dpi``."""
+    per_row = "preset" in docs_bin.columns
+    if not per_row:
+        docs_bin = docs_bin.withColumn("preset", F.lit("balanced"))
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[tuple] = []
-            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            for doc_id, content, pr in zip(pdf["doc_id"], pdf["content"], pdf["preset"]):
+                page_dpi = codecs.quality_preset(pr)[0] if per_row else dpi
                 for i, p in enumerate(codecs.pdf_pages(bytes(content))):
-                    out.append((doc_id, i, codecs.rasterize_page(p, dpi)))
-            yield pd.DataFrame(out, columns=["doc_id", "page_idx", "page"])
+                    out.append((doc_id, i, codecs.rasterize_page(p, page_dpi), pr))
+            yield pd.DataFrame(out, columns=["doc_id", "page_idx", "page", "preset"])
 
     return docs_bin.mapInPandas(split, PAGE_SCHEMA)
 
 
-def scan_pages(pages: DataFrame, preset: str = "balanced") -> DataFrame:
+def scan_pages(pages: DataFrame, preset: str | None = "balanced") -> DataFrame:
     """B2/B3: seeded scan effects + A4 normalization per page. The seed
-    is (doc_id, page_idx, preset) — retry-reproducible (§7.5 item 4)."""
+    is (doc_id, page_idx, preset) — retry-reproducible (§7.5 item 4).
+    A ``preset`` column on ``pages`` (from explode_pages) overrides the
+    constant argument per row."""
+    per_row = "preset" in pages.columns
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for doc_id, idx, page in zip(pdf["doc_id"], pdf["page_idx"], pdf["page"]):
+            prs = pdf["preset"] if per_row else [preset] * len(pdf)
+            for doc_id, idx, page, pr in zip(pdf["doc_id"], pdf["page_idx"], pdf["page"], prs):
                 key = f"{doc_id}:{idx}".encode()
-                eff = codecs.scan_effects(bytes(page), key=key, preset=preset)
+                eff = codecs.scan_effects(bytes(page), key=key, preset=pr)
                 out.append((doc_id, idx, codecs.a4_normalize(eff)))
             yield pd.DataFrame(out, columns=["doc_id", "page_idx", "out_page"])
 
@@ -140,8 +160,15 @@ def reassemble(scanned: DataFrame) -> DataFrame:
 
 
 def scanned_pdf(docs_bin: DataFrame, preset: str = "balanced", dpi: int = 150) -> DataFrame:
-    """Full B7: explode -> scan -> reassemble -> rebuild container."""
-    parts = reassemble(scan_pages(explode_pages(docs_bin, dpi), preset))
+    """Full B7: explode -> scan -> reassemble -> rebuild container.
+
+    Per-row ``preset`` column (if present) wins over the constant
+    arguments; otherwise every document is stamped with ``preset`` and
+    rasterized at that preset's DPI (the ``dpi`` argument is kept for
+    direct explode callers)."""
+    if "preset" not in docs_bin.columns:
+        docs_bin = docs_bin.withColumn("preset", F.lit(preset))
+    parts = reassemble(scan_pages(explode_pages(docs_bin, dpi)))
 
     def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

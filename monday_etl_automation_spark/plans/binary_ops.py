@@ -21,8 +21,6 @@ checked for determinism in tests/test_multimodal.py.
 
 from __future__ import annotations
 
-import functools
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,23 +58,37 @@ def _widen(df: DataFrame, stage: str, preset: str) -> DataFrame:
     return out.select(*_WIDE_COLS)
 
 
+def _preset_of_doc() -> F.Column:
+    """presets[doc_id % 5] — a pure function of doc_id, so stages can
+    recompute it on their outputs with zero extra scans or joins."""
+    return F.element_at(F.array(*[F.lit(p) for p in _PRESETS]), (F.col("doc_id") % 5 + 1).cast("int"))
+
+
 def binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B1 + B7 per preset (docs partitioned by doc_id % 5) + B5 signed."""
-    docs_bin = _docs_bin(spark, sf_dir)
-    parts = []
-    for i, preset in enumerate(_PRESETS):
-        dpi, _ = codecs.quality_preset(preset)
-        sub = docs_bin.where(F.col("doc_id") % 5 == i)
-        parts.append(_widen(pipeline.compress_pdf(sub, preset).drop("out_sha"), "compress", preset))
-        parts.append(_widen(pipeline.scanned_pdf(sub, preset, dpi).drop("out_sha"), "scan", preset))
-    parts.append(
-        _widen(
-            pipeline.sign_pipeline(docs_bin, signer="engine", preset=_SIGN_PRESET).drop("out_sha"),
-            "sign",
-            _SIGN_PRESET,
-        )
+    """B1 + B7 across all presets + B5 signed — THREE single-pass
+    stages. The preset is a per-row COLUMN (``presets[doc_id % 5]``)
+    resolved inside the Arrow batches, so mixed presets cost one scan
+    per stage instead of one branch (and one full input scan) per
+    preset — the difference between 3 and 11 scans of a 100 TB corpus."""
+    docs_bin = _docs_bin(spark, sf_dir).withColumn("preset", _preset_of_doc())
+
+    def tag(df: DataFrame, stage: str) -> DataFrame:
+        out = df.withColumn("stage", F.lit(stage)).withColumn("preset", _preset_of_doc())
+        for c, t in (("in_bytes", "bigint"), ("file_name", "string")):
+            if c not in df.columns:
+                out = out.withColumn(c, F.lit(None).cast(t))
+        return out.select(*_WIDE_COLS)
+
+    compress = tag(pipeline.compress_pdf(docs_bin).drop("out_sha"), "compress")
+    scan = tag(pipeline.scanned_pdf(docs_bin).drop("out_sha"), "scan")
+    sign = _widen(
+        pipeline.sign_pipeline(docs_bin.drop("preset"), signer="engine", preset=_SIGN_PRESET).drop(
+            "out_sha"
+        ),
+        "sign",
+        _SIGN_PRESET,
     )
-    return functools.reduce(DataFrame.unionByName, parts).orderBy("stage", "preset", "doc_id")
+    return compress.unionByName(scan).unionByName(sign).orderBy("stage", "preset", "doc_id")
 
 
 def _preset_case(fn) -> str:

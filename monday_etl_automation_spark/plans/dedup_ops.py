@@ -524,21 +524,19 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry a per-row changed flag so convergence costs one tiny
+        # agg over the (already checkpointed) frame — no extra join
         new_labels = (
             labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select(
