@@ -59,6 +59,47 @@ def test_dead_letter_routes_malformed(spark, sf_dir):
     assert quarantined.where("props = '{broken'").count() > 0
 
 
+def test_replay_across_many_microbatches_equals_batch(spark, sf_dir, tmp_path):
+    """availableNow over one parquet file usually collapses to a single
+    micro-batch, which under-exercises state handoff. Split events into
+    8 files and force maxFilesPerTrigger=1: the tumbling aggregation
+    must carry window state across 8 micro-batches and still equal the
+    batch answer."""
+    import uuid
+
+    from monday_etl_automation_spark.plans.windows_ops import tumbling_window_counts
+    from monday_etl_automation_spark.sources.tables import load_table
+    from monday_etl_automation_spark.streaming.pipeline import tumbling_counts
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_split")
+    events.repartition(8).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = f"multibatch_{uuid.uuid4().hex[:8]}"
+    # files are time-interleaved, so a short watermark would (correctly)
+    # drop late rows; a wide one isolates the cross-batch state test
+    q = (
+        tumbling_counts(stream, watermark="100 days")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    got = sorted(map(tuple, spark.table(sink).collect()))
+    want = sorted(map(tuple, tumbling_window_counts(spark, sf_dir).collect()))
+    assert got == want
+    assert n_batches >= 8, f"expected >=8 micro-batches, got {n_batches}"
+
+
 def test_session_replay_with_rocksdb_state_store(spark, sf_dir):
     """The 100 TB state path: the same session-window replay runs
     unchanged on the RocksDB state store (what a real deployment sets
