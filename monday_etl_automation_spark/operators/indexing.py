@@ -42,7 +42,15 @@ def with_global_index(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    local = ranged.withColumn("_lrn", F.row_number().over(w))
+    # MATERIALIZE before reading partition counts: repartitionByRange
+    # SAMPLES its boundaries with a per-execution seed, so without a
+    # barrier the counts pass and the final pass could see DIFFERENT
+    # partitionings and the offsets would be wrong (caught by
+    # strict_compare at sf0.1). The checkpoint pins one partitioning
+    # for both passes; at cluster scale this is a reliable-storage
+    # checkpoint of the sorted input — the price every two-pass global
+    # index (incl. zipWithIndex) pays.
+    local = ranged.withColumn("_lrn", F.row_number().over(w)).localCheckpoint(eager=True)
     # one row per partition: metadata-sized, the canonical two-pass trick
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     offsets: dict[int, int] = {}
