@@ -1,0 +1,51 @@
+"""Grouped-map operator surface: ``applyInPandas`` (SURVEY.md §2.11).
+
+Per-group pandas computation for logic that needs the WHOLE group in
+one frame — the shape for per-entity sequence features a 100 TB
+training-data pipeline computes (session gap statistics, per-user
+orderings, windowed sequence encodings). One shuffle on the group key;
+each group materializes as a pandas DataFrame in an Arrow batch, so
+groups must fit in executor memory (the same bound the stateful
+operator carries).
+
+Numeric policy: gaps are integer microseconds (exact, engine-neutral);
+the only float output is one-shot division (mean), matching the
+repo-wide oracle-exactness rules.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_OUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, n_gaps BIGINT, min_gap_us BIGINT, "
+    "max_gap_us BIGINT, mean_gap_us DOUBLE"
+)
+
+
+def user_gap_stats(events: DataFrame) -> DataFrame:
+    """Per-user inter-event gap statistics via ``applyInPandas``.
+
+    Equivalent SQL uses lag() + aggregation (the test oracle does
+    exactly that); the grouped-map form is the template for group
+    logic SQL cannot express (sequence models, per-entity decoding).
+    """
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf["ts"].sort_values()
+        gaps = ts.diff().dropna()
+        gaps_us = (gaps.dt.total_seconds() * 1_000_000).round().astype("int64")
+        n = len(gaps_us)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_gaps": [n],
+                "min_gap_us": [int(gaps_us.min()) if n else None],
+                "max_gap_us": [int(gaps_us.max()) if n else None],
+                "mean_gap_us": [float(gaps_us.sum()) / n if n else None],
+            }
+        )
+
+    return events.select("user_id", "ts").groupBy("user_id").applyInPandas(stats, _OUT_SCHEMA)
