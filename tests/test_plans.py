@@ -53,6 +53,17 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert "partial_sum" in plan or "partial_count" in plan
 
 
+def test_merged_pipelines_scan_once_per_stage(spark, sf_dir):
+    """binary_pipeline must read documents once per STAGE (3 scans),
+    not once per preset branch (11 scans — the round-2 regression the
+    per-row preset refactor fixed); media_pipeline reads once per kind;
+    text_profile computes everything in ONE scan."""
+    for name, max_scans in (("binary_pipeline", 3), ("media_pipeline", 3), ("text_profile", 1)):
+        plan = _plan(spark, sf_dir, name)
+        n = plan.count("Scan parquet")
+        assert n <= max_scans, f"{name}: {n} parquet scans (max {max_scans})"
+
+
 def test_global_index_windows_are_partitioned(spark, sf_dir):
     """W3/G1 auto-increment must never funnel the table through a
     single-task global window (round-1 scale-killer): the two-pass
