@@ -89,14 +89,29 @@ def file_ext(name: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def trim_ws(col: Column) -> Column:
+    """Python ``str.strip()`` parity: remove ALL leading/trailing
+    whitespace (F.trim only strips spaces)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def make_signed_filename(name: Column, suffix: str = " SIGNÉ") -> Column:
     """Exact reference semantics (fixed_signature_utils.py:116-124):
     trim; if the suffix is already present (case-insensitive) return the
     name, appending '.pdf' only when missing; otherwise replace a
     trailing '.pdf' (any case) with '<suffix>.pdf', or append
     '<suffix>.pdf' to extensionless names."""
-    # Python str.strip() removes ALL whitespace; F.trim only spaces
-    name = F.regexp_replace(name, r"^\s+|\s+$", "")
+    return signed_filename_from_trimmed(trim_ws(name), suffix)
+
+
+def signed_filename_from_trimmed(name: Column, suffix: str = " SIGNÉ") -> Column:
+    """``make_signed_filename`` minus the trim — for callers that have
+    already materialized the trimmed name in a projection. Catalyst
+    inlines a non-trivial argument into EVERY branch of the CASE below
+    (conditional branches are outside common-subexpression
+    elimination), so passing the raw trim expression here costs ~7
+    regexp evaluations per row; staging it through a projection
+    boundary costs one."""
     lower = F.lower(name)
     has_sfx = lower.contains(suffix.lower())
     is_pdf = lower.endswith(".pdf")
@@ -155,12 +170,22 @@ def _map_literal(d: dict[str, str]) -> Column:
 
 def mime_from_name(name: Column, fallback: str = "application/octet-stream") -> Column:
     """Name -> MIME via the extension map, fallback passthrough (F6)."""
-    return F.coalesce(_map_literal(_MIME_BY_EXT)[file_ext(name)], F.lit(fallback))
+    return mime_from_ext(file_ext(name), fallback)
+
+
+def mime_from_ext(ext: Column, fallback: str = "application/octet-stream") -> Column:
+    """MIME from a precomputed extension (one regexp per row when the
+    caller stages ``file_ext`` in a projection)."""
+    return F.coalesce(_map_literal(_MIME_BY_EXT)[ext], F.lit(fallback))
 
 
 def ext_from_name_or_ctype(name: Column, content_type: Column) -> Column:
     """Extension from name, else from MIME map, else '.bin' (F5)."""
-    from_name = file_ext(name)
+    return ext_from_ext_or_ctype(file_ext(name), content_type)
+
+
+def ext_from_ext_or_ctype(from_name: Column, content_type: Column) -> Column:
+    """F5 fallback chain over a precomputed name-extension."""
     from_mime = _map_literal(_EXT_BY_MIME)[content_type]
     return F.coalesce(
         F.when(from_name != "", F.concat(F.lit("."), from_name)),

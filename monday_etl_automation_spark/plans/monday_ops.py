@@ -19,12 +19,13 @@ from pyspark.sql import functions as F
 
 from monday_etl_automation_spark.functions.scalar import (
     dossier_name,
-    ext_from_name_or_ctype,
+    ext_from_ext_or_ctype,
     file_ext,
     lot_name,
-    make_signed_filename,
-    mime_from_name,
+    mime_from_ext,
     sanitize_drive_name,
+    signed_filename_from_trimmed,
+    trim_ws,
 )
 from monday_etl_automation_spark.operators.indexing import with_global_index
 from monday_etl_automation_spark.operators.aggregates import (
@@ -285,21 +286,37 @@ def f_naming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped = F.when(
         F.col("asset_id") % 7 == 0, F.regexp_replace(F.col("file_name"), r"\.\w+$", "")
     ).otherwise(F.col("file_name"))
+    # Stage the regexp-heavy derivations in their OWN projection: each
+    # alias is non-cheap and referenced several times downstream (CASE
+    # branches are outside Catalyst's common-subexpression
+    # elimination), so CollapseProject keeps this boundary and each
+    # regexp runs once per row instead of once per referencing branch.
+    staged = files.select(
+        "item_id",
+        "column_id",
+        "asset_id",
+        "file_name",
+        trim_ws(F.col("file_name")).alias("_tname"),
+        sanitize_drive_name(F.col("file_name")).alias("safe_name"),
+        file_ext(F.col("file_name")).alias("_ext"),
+        file_ext(stripped).alias("_sext"),
+        ctype.alias("_ctype"),
+    )
     grp = Window.partitionBy("item_id", "column_id")
     # (l_orderkey, l_linenumber) is not unique in the synthetic lineitem,
     # so asset_id alone would tie-break nondeterministically
     order = Window.partitionBy("item_id", "column_id").orderBy("asset_id", "file_name")
     idx = F.row_number().over(order)
     n_in_group = F.count(F.lit(1)).over(grp)
-    base = sanitize_drive_name(F.col("file_name"))
-    return files.select(
+    base = F.col("safe_name")
+    return staged.select(
         "item_id",
         "column_id",
         "asset_id",
-        make_signed_filename(F.col("file_name")).alias("signed_name"),
-        base.alias("safe_name"),
-        mime_from_name(F.col("file_name")).alias("mime"),
-        ext_from_name_or_ctype(stripped, ctype).alias("ext_or_bin"),
+        signed_filename_from_trimmed(F.col("_tname")).alias("signed_name"),
+        "safe_name",
+        mime_from_ext(F.col("_ext")).alias("mime"),
+        ext_from_ext_or_ctype(F.col("_sext"), F.col("_ctype")).alias("ext_or_bin"),
         dossier_name(F.col("item_id"), F.lit("Client X")).alias("dossier"),
         lot_name(F.col("item_id") % 100).alias("lot"),
         # F12: suffix _{idx} only when the group has >1 asset and idx>1
