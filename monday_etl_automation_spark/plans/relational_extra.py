@@ -1,13 +1,11 @@
-"""Extra relational analytics shapes (pytest-verified, NOT registered).
+"""Extra relational analytics shapes.
 
-The driver's correctness window holds exactly the 50 registered
-queries; these additional TPC-H-style shapes broaden the relational
-surface beyond SURVEY §2's requirements and are verified by the same
-DuckDB-oracle differential in ``tests/test_relational_extra.py``
-(plus the strict representation checks). They follow every registry
-convention — driver-safe output types, decimal-exact internal
-aggregation, broadcast dims, deterministic ordering — so promoting
-one into the registry is a one-line move.
+The five shapes are individually pytest-verified against their DuckDB
+oracles (``tests/test_relational_extra.py``) AND driver-registered as
+ONE union-tagged relation (``tpch_extra``) so the whole family sits
+inside the driver's 50-entry correctness window. They follow every
+registry convention — driver-safe output types, decimal-exact internal
+aggregation, broadcast dims, deterministic ordering.
 
 Shapes (adapted to the synthetic schema, which has no
 partsupp/shipmode/phone columns):
@@ -267,4 +265,120 @@ EXTRA_QUERIES: dict[str, tuple] = {
     "q14_promo_ratio": (q14_promo_ratio, Q14_ORACLE),
     "q18_large_orders": (q18_large_orders, Q18_ORACLE),
     "q22_idle_balances": (q22_idle_balances, Q22_ORACLE),
+}
+
+
+# ---------------------------------------------------------------------------
+# tpch_extra — all five shapes in ONE tagged relation, so the family
+# sits inside the driver's 50-entry correctness window (same pattern as
+# temporal_joins: disjoint shapes, per-shape NULL columns lose nothing).
+# ---------------------------------------------------------------------------
+
+_S = lambda: F.lit(None).cast("string")  # noqa: E731
+_I = lambda: F.lit(None).cast("bigint")  # noqa: E731
+_D = lambda: F.lit(None).cast("double")  # noqa: E731
+
+
+def tpch_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-tagged q7/q13/q14/q18/q22 under one oracle hash."""
+    q7 = q7_nation_volume(spark, sf_dir).select(
+        F.lit("q7").alias("shape"),
+        F.col("supp_nation").alias("s1"),
+        F.col("cust_nation").alias("s2"),
+        F.col("l_year").cast("bigint").alias("i1"),
+        _I().alias("i2"),
+        F.col("revenue").alias("d1"),
+        _D().alias("d2"),
+        _D().alias("d3"),
+    )
+    q13 = q13_order_histogram(spark, sf_dir).select(
+        F.lit("q13").alias("shape"),
+        _S().alias("s1"),
+        _S().alias("s2"),
+        F.col("c_count").cast("bigint").alias("i1"),
+        F.col("custdist").cast("bigint").alias("i2"),
+        _D().alias("d1"),
+        _D().alias("d2"),
+        _D().alias("d3"),
+    )
+    q14 = q14_promo_ratio(spark, sf_dir).select(
+        F.lit("q14").alias("shape"),
+        _S().alias("s1"),
+        _S().alias("s2"),
+        _I().alias("i1"),
+        _I().alias("i2"),
+        F.col("promo_revenue").alias("d1"),
+        F.col("total_revenue").alias("d2"),
+        F.col("promo_pct").alias("d3"),
+    )
+    q18 = q18_large_orders(spark, sf_dir).select(
+        F.lit("q18").alias("shape"),
+        F.col("c_name").alias("s1"),
+        # ISO date string, not DATE: a NULL DATE column renders None
+        # (Spark, object dtype) vs NaT (DuckDB, datetime64) in pandas
+        F.col("o_orderdate").cast("date").cast("string").alias("s2"),
+        F.col("c_custkey").cast("bigint").alias("i1"),
+        F.col("o_orderkey").cast("bigint").alias("i2"),
+        F.col("total_price").alias("d1"),
+        F.col("sum_qty").alias("d2"),
+        _D().alias("d3"),
+    )
+    q22 = q22_idle_balances(spark, sf_dir).select(
+        F.lit("q22").alias("shape"),
+        F.col("c_mktsegment").alias("s1"),
+        _S().alias("s2"),
+        F.col("n_customers").cast("bigint").alias("i1"),
+        _I().alias("i2"),
+        F.col("total_bal").alias("d1"),
+        _D().alias("d2"),
+        _D().alias("d3"),
+    )
+    return (
+        q7.unionByName(q13)
+        .unionByName(q14)
+        .unionByName(q18)
+        .unionByName(q22)
+        .orderBy("shape", "s1", "s2", "i1", "i2")
+    )
+
+
+def _cte(sql: str) -> str:
+    """Strip the trailing ORDER BY so the shape can sit in a CTE (q18
+    keeps its ORDER BY — its LIMIT depends on it)."""
+    head, _, tail = sql.rpartition("ORDER BY")
+    return head.strip() if head else sql
+
+
+TPCH_EXTRA_ORACLE = f"""
+WITH q7r AS ({_cte(Q7_ORACLE)}),
+q13r AS ({_cte(Q13_ORACLE)}),
+q14r AS ({Q14_ORACLE}),
+q18r AS ({Q18_ORACLE}),
+q22r AS ({_cte(Q22_ORACLE)})
+SELECT 'q7' AS shape, supp_nation AS s1, cust_nation AS s2,
+       CAST(l_year AS BIGINT) AS i1, CAST(NULL AS BIGINT) AS i2,
+       revenue AS d1, CAST(NULL AS DOUBLE) AS d2, CAST(NULL AS DOUBLE) AS d3
+FROM q7r
+UNION ALL
+SELECT 'q13', NULL, NULL, CAST(c_count AS BIGINT), CAST(custdist AS BIGINT),
+       NULL, NULL, NULL
+FROM q13r
+UNION ALL
+SELECT 'q14', NULL, NULL, NULL, NULL, promo_revenue, total_revenue, promo_pct
+FROM q14r
+UNION ALL
+SELECT 'q18', c_name, CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+       CAST(c_custkey AS BIGINT), CAST(o_orderkey AS BIGINT),
+       total_price, sum_qty, NULL
+FROM q18r
+UNION ALL
+SELECT 'q22', c_mktsegment, NULL, CAST(n_customers AS BIGINT), NULL,
+       total_bal, NULL, NULL
+FROM q22r
+ORDER BY shape, s1, s2, i1, i2
+""".strip()
+
+
+QUERIES: dict[str, tuple] = {
+    "tpch_extra": (tpch_extra, TPCH_EXTRA_ORACLE),
 }

@@ -143,41 +143,32 @@ ORDER BY user_id, session_start
 
 
 # ---------------------------------------------------------------------------
-# dedup_replay — webhook-retry suppression (rows must survive exactly once)
+# event_hygiene — webhook-retry suppression (rows must survive exactly
+# once) + semi-structured props extraction (P2 analog over the stream)
 # ---------------------------------------------------------------------------
 
 
-def event_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch shape of dropDuplicatesWithinWatermark: one row per
-    event_id (events are unique in the fixture, so this also checks
-    that dedup does not drop legitimate rows)."""
+def event_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-dedup counts + semi-structured payload stats in ONE
+    per-event_type relation (merged for the 50-entry driver window;
+    both families stay independently computed and join on event_type).
+
+    - dedup half: batch shape of dropDuplicatesWithinWatermark — one
+      row per event_id after doubling the stream (webhook retries);
+      events are unique in the fixture, so this also checks dedup does
+      not drop legitimate rows.
+    - props half: the P2 analog over the stream — get_json_object
+      extraction with silent-null semantics, aggregated per type.
+    """
     events = load_table(spark, sf_dir, "events")
     doubled = events.unionByName(events)  # simulate webhook retries
-    return (
+    uniq = (
         doubled.dropDuplicates(["event_id"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
-        .orderBy("event_type")
     )
-
-
-DEDUP_ORACLE = """
-WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events),
-uniq AS (SELECT event_id, any_value(event_type) AS event_type FROM doubled GROUP BY event_id)
-SELECT event_type, count(*) AS n_unique
-FROM uniq GROUP BY event_type ORDER BY event_type
-""".strip()
-
-
-# ---------------------------------------------------------------------------
-# json props — semi-structured extraction (P2 analog over the stream)
-# ---------------------------------------------------------------------------
-
-
-def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
-    return (
+    props = (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
@@ -186,20 +177,27 @@ def event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
-        .orderBy("event_type")
     )
+    return uniq.join(props, "event_type").orderBy("event_type")
 
 
-PROPS_ORACLE = """
-SELECT
-  event_type,
-  count(*) AS n_events,
-  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-FROM events
-GROUP BY event_type
-ORDER BY event_type
+EVENT_HYGIENE_ORACLE = """
+WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events),
+uniq AS (SELECT event_id, any_value(event_type) AS event_type FROM doubled GROUP BY event_id),
+dd AS (SELECT event_type, count(*) AS n_unique FROM uniq GROUP BY event_type),
+props AS (
+  SELECT
+    event_type,
+    count(*) AS n_events,
+    CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+    min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+    max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+  FROM events
+  GROUP BY event_type
+)
+SELECT dd.event_type, dd.n_unique, props.n_events, props.sum_k, props.min_k, props.max_k
+FROM dd JOIN props ON dd.event_type = props.event_type
+ORDER BY dd.event_type
 """.strip()
 
 
@@ -210,18 +208,50 @@ ORDER BY event_type
 
 
 def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runs the REAL stateful streaming operator (explicit GroupState,
-    integer-exact accumulators) and reduces its update stream to the
-    final totals — must equal the batch GROUP BY below."""
-    return streaming.run_stateful_replay(spark, sf_dir)
+    """All three custom-UDF surfaces (§2.11) in one per-user relation:
+
+    - ``applyInPandasWithState`` — the REAL stateful streaming operator
+      (explicit GroupState, integer-exact accumulators), replayed
+      availableNow and reduced to final totals;
+    - ``applyInPandas`` grouped-map — per-user inter-event gap stats
+      (operators/grouped_map.py), whole-group pandas computation;
+    - GROUPED_AGG pandas UDF — the integer-micros UDAF
+      (functions/grouped.py), which must independently re-derive the
+      stateful operator's sum (udaf_sum_micros == sum_micros is part
+      of the hashed check).
+
+    All three shuffle on the same key (user_id) and join on it; one
+    oracle hash covers the lot.
+    """
+    from monday_etl_automation_spark.functions.grouped import sum_value_micros
+    from monday_etl_automation_spark.operators.grouped_map import user_gap_stats
+
+    totals = streaming.run_stateful_replay(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    gaps = user_gap_stats(events).drop("n_events")
+    udaf = events.groupBy("user_id").agg(
+        sum_value_micros(F.col("value")).alias("udaf_sum_micros")
+    )
+    return totals.join(gaps, "user_id").join(udaf, "user_id").orderBy("user_id")
 
 
 STATEFUL_ORACLE = """
+WITH g AS (
+  SELECT
+    user_id, value,
+    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+)
 SELECT
   user_id,
   count(*) AS n_events,
-  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
-FROM events
+  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,
+  count(gap) AS n_gaps,
+  min(gap) AS min_gap_us,
+  max(gap) AS max_gap_us,
+  CAST(sum(gap) AS DOUBLE) / count(gap) AS mean_gap_us,
+  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS udaf_sum_micros
+FROM g
 GROUP BY user_id
 ORDER BY user_id
 """.strip()
@@ -237,9 +267,23 @@ ORDER BY user_id
 
 
 def dead_letter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing + the S12/S13 status-upsert sink in one
+    tagged relation. The upsert rows run the REAL StatusUpsertSink
+    (multi-micro-batch MERGE, streaming/pipeline.py:run_status_upsert)
+    and count its final state per latest status — the oracle's
+    latest-per-key row_number()=1 SQL must reproduce the merged sink
+    state exactly, which puts the only cell-mutation path
+    (Leyton_depot.py:594-633) under the driver hash."""
     delivered, quarantined = streaming.run_dead_letter(spark, sf_dir)
-    tagged = delivered.select("event_type", F.lit("delivered").alias("disposition")).unionByName(
-        quarantined.select("event_type", F.lit("quarantined").alias("disposition"))
+    upserted = streaming.run_status_upsert(spark, sf_dir)
+    tagged = (
+        delivered.select("event_type", F.lit("delivered").alias("disposition"))
+        .unionByName(quarantined.select("event_type", F.lit("quarantined").alias("disposition")))
+        .unionByName(
+            upserted.select(
+                F.col("status").alias("event_type"), F.lit("upsert_latest").alias("disposition")
+            )
+        )
     )
     return (
         tagged.groupBy("event_type", "disposition")
@@ -256,6 +300,15 @@ SELECT
   count(*) AS n_events
 FROM events
 GROUP BY event_type, disposition
+UNION ALL
+SELECT event_type, 'upsert_latest' AS disposition, count(*) AS n_events
+FROM (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_type DESC) AS rn
+  FROM events
+) latest
+WHERE rn = 1
+GROUP BY event_type
 ORDER BY event_type, disposition
 """.strip()
 
@@ -268,6 +321,5 @@ QUERIES: dict[str, tuple] = {
     "stream_session_replay": (stream_session_replay, SESSION_ORACLE),
     "dead_letter_counts": (dead_letter_counts, DEAD_LETTER_ORACLE),
     "stateful_user_totals": (stateful_user_totals, STATEFUL_ORACLE),
-    "event_dedup_counts": (event_dedup_counts, DEDUP_ORACLE),
-    "event_props_extract": (event_props_extract, PROPS_ORACLE),
+    "event_hygiene": (event_hygiene, EVENT_HYGIENE_ORACLE),
 }

@@ -347,13 +347,16 @@ class StatusUpsertSink:
             )
         else:
             merged = latest
-        # materialize outside the target, then dynamically overwrite only
-        # the touched bucket partitions (untouched bucket files survive)
-        tmp = self.path + f"_b{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
+        # One write per touched bucket per batch: the merged state is
+        # materialized executor-side (localCheckpoint severs the lineage
+        # back to the target files being overwritten — the write never
+        # re-reads self.path), then dynamic partition overwrite replaces
+        # ONLY the touched bucket partitions. No staging copy: write
+        # amplification per micro-batch is 1x the touched buckets'
+        # state, which is the floor for a rewrite-based MERGE.
+        merged = merged.localCheckpoint(eager=True)
         (
-            self.spark.read.parquet(tmp)
-            .write.mode("overwrite")
+            merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(self.path)
@@ -368,3 +371,42 @@ class StatusUpsertSink:
             .start()
         )
         q.awaitTermination()
+
+
+def derive_statuses(events: DataFrame) -> DataFrame:
+    """S12 input shape derived from the events stream: each event is a
+    status mutation (item = user, column = 'status', label = the event
+    type, mutation time = the event time) — the webhook->change_status
+    path (Leyton_depot.py:594-613) re-expressed over the test stream."""
+    return events.select(
+        F.col("user_id").alias("item_id"),
+        F.lit("status").alias("column_id"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("updated_at"),
+    )
+
+
+def run_status_upsert(spark: SparkSession, sf_dir: str, n_splits: int = 4) -> DataFrame:
+    """Drive StatusUpsertSink with a multi-micro-batch status stream and
+    return the final merged state.
+
+    The derived statuses are split into ``n_splits`` files read with
+    maxFilesPerTrigger=1, so the sink MERGEs across n_splits real
+    micro-batches (a single-file availableNow source would collapse to
+    one batch and never exercise the cross-batch upsert). The final
+    state is batch-order independent: per-key top-1 under the total
+    order (updated_at DESC, status DESC) is associative, so any split
+    yields the same table — which is what the driver's latest-per-key
+    SQL oracle computes directly.
+    """
+    statuses = derive_statuses(load_table(spark, sf_dir, "events"))
+    src = tempfile.mkdtemp(prefix="status_src_")
+    statuses.repartition(n_splits).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(statuses.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = StatusUpsertSink(spark)
+    sink.run(stream)
+    return sink.current()

@@ -207,3 +207,44 @@ def test_status_upsert_keeps_latest_per_key(spark, tmp_path):
     for p in untouched:
         assert p in after and after[p] == before[p], f"untouched bucket rewritten: {p}"
     assert any(b2 in p and (p not in before or after[p] != before[p]) for p in after)
+
+    # single-write MERGE: no staging copy of the batch anywhere on disk
+    # (the pre-round-4 sink wrote each merged batch twice: a full
+    # staging write + the dynamic overwrite; write amplification per
+    # micro-batch must be 1x the touched buckets)
+    staging = glob.glob(str(tmp_path / "state_b*"))
+    assert staging == [], f"staging dirs left behind: {staging}"
+    # all parquet data files live under bucket partitions of the target
+    stray = [
+        p
+        for p in glob.glob(str(tmp_path / "state" / "**" / "*.parquet"), recursive=True)
+        if "bucket=" not in p
+    ]
+    assert stray == [], f"data files outside bucket partitions: {stray}"
+
+
+def test_status_upsert_multibatch_equals_latest_per_key(spark, sf_dir):
+    """run_status_upsert MERGEs across >=4 real micro-batches; the
+    final state must equal the global latest-per-key answer regardless
+    of how the rows were split into batches."""
+    from pyspark.sql import Window
+
+    from monday_etl_automation_spark.sources.tables import load_table
+    from monday_etl_automation_spark.streaming.pipeline import derive_statuses, run_status_upsert
+
+    got = sorted(map(tuple, run_status_upsert(spark, sf_dir).collect()))
+    statuses = derive_statuses(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("item_id", "column_id").orderBy(
+        F.desc("updated_at"), F.desc("status")
+    )
+    want = sorted(
+        map(
+            tuple,
+            statuses.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .drop("_rn")
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0
