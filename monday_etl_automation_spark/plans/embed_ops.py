@@ -76,38 +76,27 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ann_lsh_topk — random-hyperplane bucketing
 # ---------------------------------------------------------------------------
 
-# Two fixed pseudo-random hyperplanes; component j of plane p is a
+# Fixed pseudo-random hyperplanes; component j of plane p is a
 # deterministic small integer in [-3, 3] (identical in both engines).
+# Plane vectors repeat with period 7 in p (31 mod 7), so a single
+# plane family supports at most 7 independent planes — the near-dup
+# multi-probe sets below use their own family (_PLANE_ND, period 11).
 _PLANE = "((({p} * 31 + {j} * 17) % 7) - 3)"
-
-
-def _bucket(dialect: str, emb: str) -> str:
-    """2-bit bucket id from the sign of dot(embedding, plane_p)."""
-    bits = []
-    for p in (1, 2):
-        if dialect == "spark":
-            proj = (
-                f"aggregate(zip_with({emb}, sequence(0, {_DIM - 1}),"
-                f" (x, j) -> CAST(x AS DOUBLE) * {_PLANE.format(p=p, j='j')}),"
-                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            )
-        else:
-            proj = (
-                f"reduce([CAST({emb}[i] AS DOUBLE) * {_PLANE.format(p=p, j='(i - 1)')}"
-                f" for i in range(1, {_DIM + 1})], (acc, v) -> acc + v)"
-            )
-        bits.append(f"(CASE WHEN {proj} > 0 THEN {2 ** (p - 1)} ELSE 0 END)")
-    return " + ".join(bits)
+_ANN_PLANES = 4  # 16 buckets: candidate join ~ n^2/16, not n^2/4
 
 
 def _ann_lsh_sql(dialect: str) -> str:
+    """LSH top-k with {2**_ANN_PLANES} sign buckets. At 100 TB the
+    bucket count rises with the corpus (more planes), keeping the
+    candidate join ~n^2/2^k; recall comes from multi-probe (see
+    embed_near_dup) rather than coarser buckets."""
     dot = _dot(dialect, "q.embedding", "v.embedding")
     cos = f"({dot}) / (q.norm * v.norm)"
     rn = f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, v.vec_id ASC)"
     return f"""
 WITH base AS (
   SELECT vec_id, label, embedding, {_norm(dialect, 'embedding')} AS norm,
-         {_bucket(dialect, 'embedding')} AS bucket
+         {_bucket_k(dialect, 'embedding', _ANN_PLANES)} AS bucket
   FROM embeddings
 ),
 q AS (SELECT * FROM base WHERE vec_id % {_QUERY_MOD} = 0),
@@ -170,27 +159,37 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embed_near_dup — embedding-cosine near-duplicate PAIRS via LSH buckets
 # ---------------------------------------------------------------------------
 
-_NEARDUP_PLANES = 4  # 16 buckets: candidate set ~ n^2/16, recall (1-θ/π)^4
+_NEARDUP_PLANES = 4  # 16 buckets per probe set: candidates ~ n^2/16 each
+_NEARDUP_SETS = 2  # OR'd independent plane sets (multi-probe recall)
 _NEARDUP_COS = 0.90
 _PLANT_OFFSET = 10_000_000  # planted near-dup ids = original + offset
 
+# Near-dup plane family: period 11 in p (37 mod 11 = 4, coprime), so
+# p = 1..8 yields 8 pairwise-distinct planes — enough for 2 independent
+# 4-plane probe sets. The ANN family (_PLANE) has period 7 and could
+# not supply 8 distinct planes.
+_PLANE_ND = "((({p} * 37 + {j} * 23) % 11) - 5)"
 
-def _bucket_k(dialect: str, emb: str, n_planes: int) -> str:
-    """n_planes-bit bucket id from sign projections (generalizes _bucket)."""
+
+def _bucket_k(
+    dialect: str, emb: str, n_planes: int, formula: str = _PLANE, start: int = 1
+) -> str:
+    """n_planes-bit sign-bucket id from planes start..start+n_planes-1
+    of the given plane family."""
     bits = []
-    for p in range(1, n_planes + 1):
+    for i, p in enumerate(range(start, start + n_planes)):
         if dialect == "spark":
             proj = (
                 f"aggregate(zip_with({emb}, sequence(0, {_DIM - 1}),"
-                f" (x, j) -> CAST(x AS DOUBLE) * {_PLANE.format(p=p, j='j')}),"
+                f" (x, j) -> CAST(x AS DOUBLE) * {formula.format(p=p, j='j')}),"
                 " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
             )
         else:
             proj = (
-                f"reduce([CAST({emb}[i] AS DOUBLE) * {_PLANE.format(p=p, j='(i - 1)')}"
+                f"reduce([CAST({emb}[i] AS DOUBLE) * {formula.format(p=p, j='(i - 1)')}"
                 f" for i in range(1, {_DIM + 1})], (acc, v) -> acc + v)"
             )
-        bits.append(f"(CASE WHEN {proj} > 0 THEN {2 ** (p - 1)} ELSE 0 END)")
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {2 ** i} ELSE 0 END)")
     return " + ".join(bits)
 
 
