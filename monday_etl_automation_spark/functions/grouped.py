@@ -16,8 +16,7 @@ and the JVM's reduction orders.
 
 from __future__ import annotations
 
-import math
-
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -26,5 +25,8 @@ from pyspark.sql import functions as F
 def sum_value_micros(v: pd.Series) -> int:
     """Exact sum of floor(value * 1e6) as int64 (GROUPED_AGG: the
     pd.Series -> scalar signature makes Spark treat this as an
-    aggregate)."""
-    return int(sum(math.floor(x * 1_000_000) for x in v.dropna()))
+    aggregate). np.floor over float64 is element-identical to
+    math.floor, and the int64 accumulation is order-insensitive —
+    vectorized, not a per-element Python loop."""
+    vals = v.dropna().to_numpy(dtype="float64")
+    return int(np.floor(vals * 1_000_000).astype("int64").sum())

@@ -229,8 +229,16 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = streaming.run_stateful_replay(spark, sf_dir)
     events = load_table(spark, sf_dir, "events")
     gaps = user_gap_stats(events).drop("n_events")
-    udaf = events.groupBy("user_id").agg(
-        sum_value_micros(F.col("value")).alias("udaf_sum_micros")
+    # GROUPED_AGG has no partial aggregation: the whole group crosses
+    # the shuffle, and AQE's size-based coalescing would funnel every
+    # group through one Python worker (see operators/grouped_map.py) —
+    # partition the Python stage by CPU explicitly.
+    cpus = spark.sparkContext.defaultParallelism
+    udaf = (
+        events.select("user_id", "value")
+        .repartition(cpus, "user_id")
+        .groupBy("user_id")
+        .agg(sum_value_micros(F.col("value")).alias("udaf_sum_micros"))
     )
     return totals.join(gaps, "user_id").join(udaf, "user_id").orderBy("user_id")
 

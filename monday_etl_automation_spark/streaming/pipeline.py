@@ -178,12 +178,16 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key: tuple, pdfs, state: GroupState):
-        import math  # noqa: PLC0415
+        import numpy as np  # noqa: PLC0415
 
         n, s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += sum(math.floor(v * 1_000_000) for v in pdf["value"])
+            # np.floor on float64 == math.floor element-wise; int64
+            # accumulation is exact and order-insensitive (vectorized —
+            # a per-element Python loop here serializes the hot path)
+            vals = pdf["value"].to_numpy(dtype="float64")
+            s += int(np.floor(vals * 1_000_000).astype("int64").sum())
         state.update((n, s))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_micros": [s]})
 
@@ -354,7 +358,11 @@ class StatusUpsertSink:
         # ONLY the touched bucket partitions. No staging copy: write
         # amplification per micro-batch is 1x the touched buckets'
         # state, which is the floor for a rewrite-based MERGE.
-        merged = merged.localCheckpoint(eager=True)
+        # Cluster by bucket BEFORE materializing: partitionBy from N
+        # shuffle partitions would emit up to N files per bucket per
+        # batch, and every later batch re-reads that long tail — file
+        # count is what makes rewrite-MERGE state tables rot at scale.
+        merged = merged.repartition(self.n_buckets, "bucket").localCheckpoint(eager=True)
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
