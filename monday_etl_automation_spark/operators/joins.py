@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from monday_etl_automation_spark.sources.tables import normalize_ts
+
 
 def enrich_with_assets(
     selected: DataFrame,
@@ -54,7 +56,13 @@ def asof_join_backward(
     column (e.g. an event id) first in ``payload``.
 
     payload maps right-column -> output-column name.
+
+    Accepts TIMESTAMP or TIMESTAMP_NTZ ts columns (normalized on
+    entry) so an upstream encoding drift can't break the union's type
+    resolution.
     """
+    left = normalize_ts(left, left_ts)
+    right = normalize_ts(right, right_ts)
     payload_struct = F.struct(*[F.col(c).alias(out) for c, out in payload.items()])
     r = right.select(
         F.col(key).alias("_k"),
@@ -103,7 +111,13 @@ def bucketed_range_join(
     a plain equi-join on (key, bucket) + an exact range filter.
     Output is exact (each right row belongs to exactly one bucket —
     no duplicate pairs, nothing missed).
+
+    Accepts TIMESTAMP or TIMESTAMP_NTZ ts columns (normalized on
+    entry — ``unix_micros`` rejects NTZ, which is exactly how the
+    round-5 testdata drift surfaced here).
     """
+    left = normalize_ts(left, left_ts)
+    right = normalize_ts(right, right_ts)
     w_us = window_seconds * 1_000_000
     r = right.select(
         F.col(key).alias("_rk"),

@@ -30,17 +30,46 @@ TABLES = (
 )
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to TimestampType regardless of the
+    physical parquet encoding it arrived under.
+
+    The driver regenerates the test parquet between rounds and the
+    ``events.ts`` encoding has already drifted once (TIMESTAMP(NANOS)
+    -> naive TIMESTAMP(MICROS)); this is the single choke point where
+    every encoding becomes the same logical column:
+
+    - ``LongType`` — nanos-as-long (``spark.sql.legacy.parquet
+      .nanosAsLong``): integer ``div 1000`` to micros, then
+      ``timestamp_micros``. ``/`` would widen to double and lose
+      precision above 2^53 (nanos since epoch is ~2^60).
+    - ``TimestampNTZType`` — naive micros: with the UTC session the
+      ``cast("timestamp")`` is instant-identical and lossless.
+    - ``TimestampType`` — already normalized, no-op.
+
+    Batch (`load_table`) and streaming (`streaming.pipeline
+    .event_stream`) both route through here, so a future drift breaks
+    in exactly one place — and `tests/test_sources.py` pins the
+    loaded range so it breaks loudly.
+    """
+    for field in df.schema.fields:
+        if field.name != col:
+            continue
+        if isinstance(field.dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one test table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. We read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong`` — a dynamic SQL conf, so
-    this works in any caller-provided session) and convert to a
-    microsecond timestamp in the plan. The test data carries no
-    sub-microsecond precision and DuckDB also reads this column as a
-    microsecond TIMESTAMP, so the conversion is lossless and
-    oracle-exact.
+    ``events.ts`` has shipped under multiple physical encodings across
+    driver rounds; `normalize_ts` maps them all to a microsecond
+    TimestampType. DuckDB reads the same column as a naive microsecond
+    TIMESTAMP, so under the UTC session the two engines agree to the
+    microsecond and the conversion is oracle-exact.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -50,12 +79,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # must be UTC even if the driver built its own SparkSession
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            # integer division — `/` would widen to double and lose
-            # precision above 2^53 (nanos since epoch is ~2^60)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_ts(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

@@ -28,28 +28,28 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from monday_etl_automation_spark.sources.tables import load_table
+from monday_etl_automation_spark.sources.tables import load_table, normalize_ts
 
 
 def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (stand-in for a Kafka topic).
 
-    The file carries TIMESTAMP(NANOS); we read nanos as long and
-    convert, exactly like the batch loader (sources/tables.py).
+    The stream's read schema is the file's *actual* physical schema
+    (probed with a batch footer read — metadata only, no scan), and
+    ``ts`` is normalized by the same `normalize_ts` the batch loader
+    uses. Forcing an encoding here is how round 5 silently compressed
+    every timestamp 1000× when the driver re-wrote the file; deriving
+    it keeps batch and stream byte-identical under any drift.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = load_table(spark, sf_dir, "events").schema
-    raw_schema = ", ".join(
-        f"{f.name} {'LONG' if f.name == 'ts' else f.dataType.simpleString()}"
-        for f in schema.fields
-    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # integer division: `/` would widen to double and lose precision
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
@@ -185,8 +185,11 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
             n += len(pdf)
             # np.floor on float64 == math.floor element-wise; int64
             # accumulation is exact and order-insensitive (vectorized —
-            # a per-element Python loop here serializes the hot path)
-            vals = pdf["value"].to_numpy(dtype="float64")
+            # a per-element Python loop here serializes the hot path).
+            # dropna first: SQL sum skips NULLs (count keeps all rows),
+            # and np.floor(NaN).astype(int64) would silently produce
+            # INT64_MIN — matches the batch UDAF in functions/grouped.py
+            vals = pdf["value"].dropna().to_numpy(dtype="float64")
             s += int(np.floor(vals * 1_000_000).astype("int64").sum())
         state.update((n, s))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_micros": [s]})
@@ -259,24 +262,28 @@ def split_dead_letter(events: DataFrame) -> DataFrame:
 
 
 class DeadLetterSink:
-    """foreachBatch router: well-formed rows append to the delivered
-    table, malformed rows to the quarantine table (with the raw
-    payload preserved for later replay/inspection). Appends are
-    per-partition parquet writes — no global state, no rewrite."""
+    """foreachBatch router: well-formed rows land under
+    ``disposition=delivered``, malformed under ``disposition=quarantined``
+    (raw payload preserved for later replay/inspection), in ONE
+    ``partitionBy`` append per micro-batch — the batch is scanned and
+    parsed once, not once per disposition (at 100 TB a double-scan per
+    micro-batch doubles the stream's input cost). Readers partition-prune
+    on disposition, so the two logical tables stay independent scans."""
 
     def __init__(self, base_path: str | None = None) -> None:
-        base = base_path or tempfile.mkdtemp(prefix="dead_letter_")
-        self.delivered_path = os.path.join(base, "delivered")
-        self.quarantine_path = os.path.join(base, "quarantine")
+        self.base_path = base_path or tempfile.mkdtemp(prefix="dead_letter_")
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        tagged = split_dead_letter(batch)
-        tagged.where(F.col("disposition") == "delivered").drop("disposition").write.mode(
-            "append"
-        ).parquet(self.delivered_path)
-        tagged.where(F.col("disposition") == "quarantined").drop("disposition").write.mode(
-            "append"
-        ).parquet(self.quarantine_path)
+        split_dead_letter(batch).write.mode("append").partitionBy("disposition").parquet(
+            self.base_path
+        )
+
+    def table(self, spark: SparkSession, disposition: str) -> DataFrame:
+        return (
+            spark.read.parquet(self.base_path)
+            .where(F.col("disposition") == disposition)
+            .drop("disposition")
+        )
 
     def run(self, events: DataFrame) -> None:
         q = (
@@ -294,8 +301,8 @@ def run_dead_letter(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     sink = DeadLetterSink()
     sink.run(corrupt_some_props(event_stream(spark, sf_dir)))
     return (
-        spark.read.parquet(sink.delivered_path),
-        spark.read.parquet(sink.quarantine_path),
+        sink.table(spark, "delivered"),
+        sink.table(spark, "quarantined"),
     )
 
 

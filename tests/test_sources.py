@@ -1,0 +1,97 @@
+"""Drift-proofing for the one external boundary: the driver-written
+parquet testdata.
+
+The driver regenerates /root/testdata between rounds and the physical
+encoding of ``events.ts`` has already changed once (TIMESTAMP(NANOS)
+-> naive TIMESTAMP(MICROS)), which silently compressed every
+timestamp 1000x through a forced-LONG read path. These tests pin the
+*loaded* semantics — type and epoch range — via both ingestion paths
+(batch loader and streaming source) against a DuckDB read of the same
+file, so any future encoding drift fails loudly instead of emitting
+wrong answers. This is the reference's dynamic-typing lesson
+(Leyton_depot.py:147-153 adapts parsing to the cell's type tag)
+applied at our source boundary.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import duckdb
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from monday_etl_automation_spark.sources.tables import load_table, normalize_ts
+from monday_etl_automation_spark.streaming.pipeline import event_stream
+
+
+def _oracle_range(sf_dir: str):
+    path = os.path.join(sf_dir, "events.parquet")
+    return duckdb.sql(
+        f"select min(ts), max(ts), count(*) from '{path}'"
+    ).fetchone()
+
+
+def test_batch_events_ts_matches_duckdb_to_the_microsecond(spark, sf_dir):
+    lo, hi, n = _oracle_range(sf_dir)
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    row = df.agg(
+        F.min("ts").cast("timestamp_ntz").alias("lo"),
+        F.max("ts").cast("timestamp_ntz").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    # exact microsecond agreement with DuckDB's naive read — a 1000x
+    # compression, unit drift, or timezone shift all fail here
+    assert row["lo"] == lo
+    assert row["hi"] == hi
+    assert row["n"] == n
+    # sanity-pin the era: the generator writes 2024 events; epoch-ish
+    # values (the round-5 failure collapsed everything to ~1970-01-20)
+    # are caught even if the oracle read drifted identically
+    assert row["lo"] > datetime.datetime(2020, 1, 1)
+    assert row["hi"] < datetime.datetime(2100, 1, 1)
+
+
+def test_stream_events_ts_matches_batch(spark, sf_dir):
+    lo, hi, n = _oracle_range(sf_dir)
+    stream = event_stream(spark, sf_dir)
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
+    # run the stream's exact projection as a batch over the same file
+    # (identical plan from the first transformation on)
+    raw = (
+        spark.read.schema(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+        )
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    row = (
+        normalize_ts(raw)
+        .agg(
+            F.min("ts").cast("timestamp_ntz").alias("lo"),
+            F.max("ts").cast("timestamp_ntz").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert (row["lo"], row["hi"], row["n"]) == (lo, hi, n)
+
+
+def test_normalize_ts_handles_all_known_encodings(spark):
+    base = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    micros = int(base.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+
+    # nanos-as-long (the pre-round-5 physical encoding)
+    df_long = spark.createDataFrame([(micros * 1000,)], "ts long")
+    # naive micros (the current encoding)
+    df_ntz = spark.createDataFrame([(base,)], "ts timestamp_ntz")
+    # already normalized
+    df_ts = spark.createDataFrame([(base,)], "ts timestamp")
+
+    outs = []
+    for df in (df_long, df_ntz, df_ts):
+        out = normalize_ts(df)
+        assert isinstance(out.schema["ts"].dataType, T.TimestampType)
+        outs.append(out.select(F.col("ts").cast("timestamp_ntz")).collect()[0][0])
+    assert outs == [base, base, base]
