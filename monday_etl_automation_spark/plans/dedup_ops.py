@@ -490,19 +490,33 @@ def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near_dup_assign: A~B, B~C => {A,B,C} all collapse to min(doc_id))
 # ---------------------------------------------------------------------------
 
-_CC_MAX_ITERS = 20  # components halve in diameter per round: 2^20 hops >> any real chain
+_CC_MAX_ITERS = 20  # hop+pointer-jump rounds: reach doubles per round, 2^20 >> any real chain
 
 
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterated min-label propagation to a fixed point.
+    """Min-label propagation with pointer doubling to a fixed point.
 
-    Each round: label(d) <- min(label(d), min over neighbors' labels) —
-    one broadcast-or-shuffle join + hash agg per round, the Pregel step
-    every distributed CC implementation uses. Rounds needed =
-    O(component diameter); the loop stops early when a round changes
-    nothing (one count() action per round, on a localCheckpoint'ed
-    frame so lineage never grows). The result is the unique fixed
-    point, independent of iteration count — which is what the DuckDB
+    Two scale decisions shape this:
+
+    1. **Iterate only over the edge graph's vertices.** A doc with no
+       near-dup pair can never change labels, so the loop runs on
+       ``vertices(pairs)`` — at any corpus scale the near-dup graph is
+       a small fraction of the corpus (here 697 of 5000 docs at
+       sf0.1), and at 100 TB that's the difference between an
+       iteration over the whole corpus and one over the dup cluster
+       population. Isolated docs join back in at the end via a
+       broadcast of the (small) label map — the corpus is scanned
+       exactly once.
+    2. **Pointer doubling.** Each round does the Pregel hop
+       (label(v) <- min over neighbors' labels) AND a pointer jump
+       (label(v) <- label(label(v)) — labels are themselves vertex
+       ids, so the label map is its own lookup table). Reach doubles
+       per round: rounds = O(log diameter), not O(diameter) — the
+       large-star/small-star bound without the re-bucketing passes.
+
+    The loop stops when a round changes nothing (per-row change flag,
+    one limit(1) count on the checkpointed frame). The fixed point is
+    unique and iteration-order independent — which is what the DuckDB
     recursive-CTE oracle computes directly.
     """
     from pyspark.sql import functions as F
@@ -515,35 +529,64 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     labels = (
-        spark.table("documents").select(F.col("doc_id"), F.col("doc_id").alias("label"))
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(_CC_MAX_ITERS):
+    def step(lbl: DataFrame) -> DataFrame:
         nbr_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
+            edges.join(lbl, edges.dst == lbl.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # carry a per-row changed flag so convergence costs one tiny
-        # agg over the (already checkpointed) frame — no extra join
+        hopped = lbl.join(nbr_min, lbl.doc_id == nbr_min.src, "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+        )
+        # pointer jump: label values are vertex ids, so the hopped map
+        # resolves its own labels' labels (min-labels only decrease, so
+        # label(label(v)) <= label(v) and the jump is always safe)
+        parent = hopped.select(F.col("doc_id").alias("_p"), F.col("label").alias("_plabel"))
+        return hopped.join(parent, hopped.label == parent._p, "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("_plabel", F.col("label"))).alias("label"),
+        )
+
+    for _ in range(_CC_MAX_ITERS):
+        # two hop+jump steps per materialization: on small-per-round
+        # frames the cost is per-job scheduling, not data, so halving
+        # the checkpoint/convergence-check cadence halves wall time;
+        # the extra no-op step on the final round is one tiny job
+        old = labels.select("doc_id", F.col("label").alias("_old"))
         new_labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
-                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias("_chg"),
-            )
+            step(step(labels))
+            .join(old, "doc_id")
+            .select("doc_id", "label", (F.col("label") < F.col("_old")).alias("_chg"))
             .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("canonical_id"),
-        F.when(F.col("label") == F.col("doc_id"), 1).otherwise(0).cast("int").alias("is_kept"),
-    ).orderBy("doc_id")
+    # single corpus scan: broadcast the (dup-population-sized) label
+    # map onto the full doc list; isolated docs are their own
+    # canonical. If the dup population ever outgrew broadcast size,
+    # drop the hint and this becomes a plain shuffle join on doc_id —
+    # still one corpus scan.
+    return (
+        spark.table("documents")
+        .select("doc_id")
+        .join(F.broadcast(labels.withColumnRenamed("label", "_cc")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_cc", "doc_id").alias("canonical_id"),
+            F.when(F.coalesce("_cc", F.col("doc_id")) == F.col("doc_id"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _components_sql(dialect: str) -> str:

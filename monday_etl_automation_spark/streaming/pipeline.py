@@ -321,7 +321,10 @@ class StatusUpsertSink:
     semantics.
     """
 
-    def __init__(self, spark: SparkSession, path: str | None = None, n_buckets: int = 16) -> None:
+    def __init__(self, spark: SparkSession, path: str | None = None, n_buckets: int = 8) -> None:
+        # n_buckets sizes the state table's partition grain: production
+        # sizes it so one bucket's state fits an executor (state_bytes /
+        # ~256MB); locally 8 keeps per-batch task/file overhead low.
         self.spark = spark
         self.path = path or tempfile.mkdtemp(prefix="status_upsert_")
         self.n_buckets = n_buckets
@@ -337,39 +340,50 @@ class StatusUpsertSink:
     def _bucketed(self, df: DataFrame) -> DataFrame:
         return df.withColumn("bucket", (F.col("item_id") % self.n_buckets).cast("int"))
 
-    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
+    @staticmethod
+    def _latest_per_key(df: DataFrame) -> DataFrame:
+        # top-1 per key under (updated_at DESC, status DESC) as a
+        # max-of-struct aggregation: lexicographic struct max IS that
+        # total order, and unlike row_number it partial-aggregates
+        # map-side (no per-key sort, ~|keys| rows shuffled instead of
+        # all rows) and is associative — merging previous winners with
+        # a new batch is the same operator, so the MERGE stays
+        # batch-order independent.
+        return df.groupBy("item_id", "column_id").agg(
+            F.max(F.struct("updated_at", "status")).alias("_top")
+        ).select("item_id", "column_id", "_top.status", "_top.updated_at")
 
-        w = Window.partitionBy("item_id", "column_id").orderBy(
-            F.desc("updated_at"), F.desc("status")
-        )
-        latest = self._bucketed(
-            batch.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
-        )
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        latest = self._bucketed(self._latest_per_key(batch))
         if self._has_state:
-            # bucket-pruned read: only state partitions the batch touches
-            touched = [r["bucket"] for r in latest.select("bucket").distinct().collect()]
+            # bucket-pruned read: only state partitions the batch
+            # touches. Touched buckets come straight off the raw batch
+            # (map-side-combined distinct over ints) — one cheap job,
+            # no materialization of the aggregated batch needed.
+            touched = [
+                r["bucket"]
+                for r in batch.select(
+                    (F.col("item_id") % self.n_buckets).cast("int").alias("bucket")
+                )
+                .distinct()
+                .collect()
+            ]
             prev = self.spark.read.parquet(self.path).where(F.col("bucket").isin(touched))
-            merged = (
-                prev.unionByName(latest)
-                .withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            merged = self._bucketed(self._latest_per_key(prev.unionByName(latest)))
         else:
             merged = latest
-        # One write per touched bucket per batch: the merged state is
-        # materialized executor-side (localCheckpoint severs the lineage
-        # back to the target files being overwritten — the write never
-        # re-reads self.path), then dynamic partition overwrite replaces
-        # ONLY the touched bucket partitions. No staging copy: write
-        # amplification per micro-batch is 1x the touched buckets'
-        # state, which is the floor for a rewrite-based MERGE.
-        # Cluster by bucket BEFORE materializing: partitionBy from N
-        # shuffle partitions would emit up to N files per bucket per
-        # batch, and every later batch re-reads that long tail — file
-        # count is what makes rewrite-MERGE state tables rot at scale.
+        # sever lineage back to the target files being overwritten —
+        # the write must never re-read self.path
         merged = merged.repartition(self.n_buckets, "bucket").localCheckpoint(eager=True)
+        # One write per touched bucket per batch: dynamic partition
+        # overwrite replaces ONLY the touched bucket partitions. No
+        # staging copy: write amplification per micro-batch is 1x the
+        # touched buckets' state, the floor for a rewrite-based MERGE.
+        # The repartition before each materialization clusters by
+        # bucket: partitionBy from N shuffle partitions would emit up
+        # to N files per bucket per batch, and every later batch
+        # re-reads that long tail — file count is what makes
+        # rewrite-MERGE state tables rot at scale.
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
