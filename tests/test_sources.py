@@ -78,6 +78,43 @@ def test_stream_events_ts_matches_batch(spark, sf_dir):
     assert (row["lo"], row["hi"], row["n"]) == (lo, hi, n)
 
 
+# The loaded (post-normalize_ts) logical schema every operator and
+# oracle in this repo is written against. If the driver regenerates the
+# testdata under different physical types, this names the exact
+# table/column that moved instead of letting 50 queries fail obscurely
+# (or worse, pass wrongly — the round-5 failure mode).
+_EXPECTED_SCHEMAS = {
+    "region": "r_regionkey:int, r_name:string",
+    "nation": "n_nationkey:int, n_name:string, n_regionkey:int",
+    "customer": "c_custkey:bigint, c_name:string, c_nationkey:int, c_acctbal:double, c_mktsegment:string",
+    "supplier": "s_suppkey:bigint, s_name:string, s_nationkey:int, s_acctbal:double",
+    "part": "p_partkey:bigint, p_name:string, p_brand:string, p_type:string, p_size:int, p_retailprice:double",
+    "orders": "o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, o_totalprice:double, o_orderdate:timestamp_ntz, o_orderpriority:string",
+    "lineitem": "l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, l_linenumber:int, l_quantity:double, l_extendedprice:double, l_discount:double, l_tax:double, l_returnflag:string, l_linestatus:string, l_shipdate:timestamp_ntz",
+    "events": "event_id:bigint, ts:timestamp, user_id:bigint, event_type:string, value:double, props:string",
+    "documents": "doc_id:bigint, text:string, lang:string, source:string, n_chars:bigint",
+    "embeddings": "vec_id:bigint, embedding:array<float>, label:int",
+}
+
+
+def test_loaded_schemas_are_pinned(spark, sf_dir):
+    from monday_etl_automation_spark.sources.tables import TABLES
+
+    assert set(_EXPECTED_SCHEMAS) == set(TABLES)
+    for name in TABLES:
+        got = ", ".join(
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in load_table(spark, sf_dir, name).schema.fields
+        )
+        assert got == _EXPECTED_SCHEMAS[name], (
+            f"testdata drift in table {name!r}:\n  loaded   {got}\n"
+            f"  expected {_EXPECTED_SCHEMAS[name]}\n"
+            "If the driver re-wrote the parquet with new physical types, "
+            "extend sources/tables.py normalize_ts (events.ts) or re-pin "
+            "here after auditing every consumer."
+        )
+
+
 def test_normalize_ts_handles_all_known_encodings(spark):
     base = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
     micros = int(base.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
