@@ -75,6 +75,33 @@ def test_global_index_windows_are_partitioned(spark, sf_dir):
                 assert "_pid" in line, f"{name}: unpartitioned window: {line}"
 
 
+def test_f_naming_shuffles_narrow(spark, sf_dir):
+    """The naming pipeline must shuffle exactly twice (one shared hash
+    exchange for both windows, one range exchange for the final order)
+    and the regexp-derived strings must not be window-shuffle payload:
+    the hash exchange's input is the pre-derivation projection, so
+    none of the derived output columns may appear below it."""
+    plan = _plan(spark, sf_dir, "f_naming_pipeline")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Broadcast" not in l]
+    assert len(exchanges) == 2, f"expected 2 data exchanges, got {len(exchanges)}: {exchanges}"
+    hash_exchange_at = plan.index("Exchange hashpartitioning")
+    below_window_shuffle = plan[hash_exchange_at:]
+    for derived in ("safe_name", "signed_name", "upload_name"):
+        assert derived not in below_window_shuffle, (
+            f"derived column {derived!r} computed below the window exchange "
+            "(wide shuffle payload — the round-6 narrow-shuffle fix regressed)"
+        )
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """The sliding-lookback range join must stay an equi-join on
+    (key, bucket) — never a nested-loop over the range predicate."""
+    plan = _plan(spark, sf_dir, "temporal_joins")
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "_rbucket" in l]
+    assert join_lines, "no join keyed on the time bucket found"
+
+
 @pytest.mark.parametrize("name", sorted(registry.queries()))
 def test_no_cartesian_product(spark, sf_dir, name):
     """No registered query may degenerate to a cartesian product.
