@@ -16,4 +16,9 @@ from oracle_compare import assert_matches_oracle
 @pytest.mark.parametrize("name", sorted(EXTRA_QUERIES))
 def test_extra_query_matches_oracle(spark, sf_dir, name):
     fn, oracle = EXTRA_QUERIES[name]
-    assert_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
+    df = fn(spark, sf_dir)
+    assert_matches_oracle(df, oracle, sf_dir)
+    # a filter that matches nothing in the synthetic data (the original
+    # q7 used TPC-H nation literals that don't exist here) passes the
+    # oracle diff vacuously — require real rows
+    assert df.limit(1).count() > 0, f"{name} returns no rows — vacuous filter?"
