@@ -43,7 +43,16 @@ def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # footer-probe cache: several streaming entries build an event
+    # stream per run; the file's physical schema can't change mid-query
+    cache = getattr(spark, "_mea_events_schema", None)
+    if cache is None:
+        cache = {}
+        spark._mea_events_schema = cache  # noqa: SLF001 (own session tag)
+    raw_schema = cache.get(sf_dir)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+        cache[sf_dir] = raw_schema
     raw = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
