@@ -128,6 +128,67 @@ def session_stats(events: DataFrame, watermark: str = "100 days") -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    window_seconds: int = 600,
+    watermark: str = "100 days",
+) -> DataFrame:
+    """Stream-stream inner interval join: for each left event, the
+    right events of the same user with ``r.ts`` in
+    ``[l.ts - window_seconds, l.ts)`` — the streaming twin of
+    ``operators.joins.bucketed_range_join`` (identical predicate, so a
+    full availableNow replay must reproduce the batch answer —
+    asserted in tests/test_streaming.py).
+
+    Scale posture: both sides are watermarked, so the join's state
+    store retains only rows inside watermark + interval — bounded
+    eviction, the Structured Streaming equivalent of the batch
+    operator's 2-bucket candidate pruning.
+    """
+    l = left.select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_event_type"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        F.expr(
+            f"l_user_id = r_user_id"
+            f" AND r_ts >= l_ts - INTERVAL {window_seconds} SECOND"
+            f" AND r_ts < l_ts"
+        ),
+        "inner",
+    )
+
+
+def run_interval_join_replay(
+    spark: SparkSession, sf_dir: str, window_seconds: int = 600
+) -> DataFrame:
+    """availableNow replay of the stream-stream interval join (append
+    mode — inner interval joins emit rows as watermarks close)."""
+    sink = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    joined = stream_stream_interval_join(
+        event_stream(spark, sf_dir), event_stream(spark, sf_dir), window_seconds
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("l_event_id", "r_event_id")
+
+
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Webhook-retry suppression: drop duplicate event_ids while their
     watermark window is open (at-least-once -> effectively-once)."""

@@ -129,6 +129,26 @@ def test_session_replay_with_rocksdb_state_store(spark, sf_dir):
     assert len(got) > 0
 
 
+def test_stream_stream_interval_join_equals_batch_range_join(spark, sf_dir):
+    """The stream-stream interval join must reproduce the batch
+    bucketed-range-join answer on a full replay — same predicate, two
+    different execution strategies (state-store eviction vs 2-bucket
+    candidate pruning)."""
+    from monday_etl_automation_spark.operators.joins import bucketed_range_join
+    from monday_etl_automation_spark.sources.tables import load_table
+    from monday_etl_automation_spark.streaming.pipeline import run_interval_join_replay
+
+    got = sorted(
+        (r.l_event_id, r.r_event_id)
+        for r in run_interval_join_replay(spark, sf_dir).collect()
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    batch = bucketed_range_join(ev, ev, "user_id", "ts", "ts", 600)
+    want = sorted((r.event_id, r.r_event_id) for r in batch.collect())
+    assert got == want
+    assert len(got) > 0
+
+
 def test_dedup_within_watermark_suppresses_retries(spark, sf_dir, tmp_path):
     import uuid
 
