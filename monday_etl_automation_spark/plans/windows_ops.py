@@ -281,9 +281,19 @@ def dead_letter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and count its final state per latest status — the oracle's
     latest-per-key row_number()=1 SQL must reproduce the merged sink
     state exactly, which puts the only cell-mutation path
-    (Leyton_depot.py:594-633) under the driver hash."""
-    delivered, quarantined = streaming.run_dead_letter(spark, sf_dir)
-    upserted = streaming.run_status_upsert(spark, sf_dir)
+    (Leyton_depot.py:594-633) under the driver hash.
+
+    The two pipelines are independent streams over independent sinks,
+    so they replay CONCURRENTLY (two streaming queries in one session
+    — Structured Streaming's normal multi-query mode); wall time is
+    max(pipelines), not their sum."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_dlq = pool.submit(streaming.run_dead_letter, spark, sf_dir)
+        f_ups = pool.submit(streaming.run_status_upsert, spark, sf_dir)
+        delivered, quarantined = f_dlq.result()
+        upserted = f_ups.result()
     tagged = (
         delivered.select("event_type", F.lit("delivered").alias("disposition"))
         .unionByName(quarantined.select("event_type", F.lit("quarantined").alias("disposition")))
