@@ -16,9 +16,10 @@ and the JVM's reduction orders.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
+
+from monday_etl_automation_spark.functions.numeric import checked_micros_sum
 
 
 @F.pandas_udf("long")
@@ -28,5 +29,4 @@ def sum_value_micros(v: pd.Series) -> int:
     aggregate). np.floor over float64 is element-identical to
     math.floor, and the int64 accumulation is order-insensitive —
     vectorized, not a per-element Python loop."""
-    vals = v.dropna().to_numpy(dtype="float64")
-    return int(np.floor(vals * 1_000_000).astype("int64").sum())
+    return checked_micros_sum(v.dropna().to_numpy(dtype="float64"))

@@ -248,19 +248,22 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key: tuple, pdfs, state: GroupState):
-        import numpy as np  # noqa: PLC0415
+        # the SAME checked accumulator as the batch UDAF twin
+        # (functions/grouped.py) — identical null semantics (SQL sum
+        # skips NULLs, count keeps all rows; un-dropped NaN would
+        # silently floor to INT64_MIN) and identical loud overflow
+        # guard, so stream and batch can never drift apart.
+        # functions.numeric is pyspark-free, so this executor-side
+        # import is safe (functions.grouped is not: its pandas_udf
+        # decorator needs an active session at import time)
+        from monday_etl_automation_spark.functions.numeric import (  # noqa: PLC0415
+            checked_micros_sum,
+        )
 
         n, s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # np.floor on float64 == math.floor element-wise; int64
-            # accumulation is exact and order-insensitive (vectorized —
-            # a per-element Python loop here serializes the hot path).
-            # dropna first: SQL sum skips NULLs (count keeps all rows),
-            # and np.floor(NaN).astype(int64) would silently produce
-            # INT64_MIN — matches the batch UDAF in functions/grouped.py
-            vals = pdf["value"].dropna().to_numpy(dtype="float64")
-            s += int(np.floor(vals * 1_000_000).astype("int64").sum())
+            s += checked_micros_sum(pdf["value"].dropna().to_numpy(dtype="float64"))
         state.update((n, s))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_micros": [s]})
 
