@@ -538,7 +538,64 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 
 """.strip()
 
 
+# --- window-frame analytics: running / moving / rank-family -----------------
+
+
+def window_frame_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface beyond top-1-per-group: running totals
+    (unbounded preceding frame), moving averages (bounded ROWS frame),
+    percent_rank and ntile — all partitioned by customer (no
+    unpartitioned global windows, per the repo's scale rule). Ordering
+    is (o_orderdate, o_orderkey): a total order, so frames, ranks and
+    tiles are deterministic and engine-exact. Moving average divides a
+    decimal-exact sum by the frame row count in DOUBLE (both engines
+    produce the identical float)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frame_mov = w.rowsBetween(-2, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast(DEC)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(price_dec).over(frame_run).cast("double").alias("running_total"),
+            (
+                F.sum(price_dec).over(frame_mov).cast("double")
+                / F.count(F.lit(1)).over(frame_mov)
+            ).alias("moving_avg_3"),
+            F.percent_rank().over(w).alias("pr"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_FRAME_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3,
+  percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pr,
+  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""".strip()
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
+    "window_frame_analytics": (window_frame_analytics, WINDOW_FRAME_ORACLE),
     "q7_nation_volume": (q7_nation_volume, Q7_ORACLE),
     "q8_market_share": (q8_market_share, Q8_ORACLE),
     "q9_profit": (q9_profit, Q9_ORACLE),
