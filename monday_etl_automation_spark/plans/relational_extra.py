@@ -31,10 +31,24 @@ every filter selects real rows):
                          residual filter.
 - q22_idle_balances    — above-average balances with no recent orders
                          (Q22): scalar subquery + anti join.
+- q2_min_cost_supplier — region-scoped min-cost supplier per part
+                         (Q2): correlated-min subquery; lineitem
+                         stands in for partsupp as the bridge.
+- q11_important_values — parts above 1/1000 of total value (Q11):
+                         scalar-threshold HAVING, decimal-mult compare.
+- q16_supplier_counts  — distinct-supplier counts by part attrs
+                         (Q16): NOT IN blacklist as broadcast anti.
+- q20_excess_suppliers — excess-volume suppliers (Q20): nested
+                         semi-join chain with scalar threshold.
+- q21_waiting_suppliers— sole-late-supplier counts (Q21): the
+                         EXISTS/NOT-EXISTS pair re-expressed as one
+                         per-order aggregation (one shuffle, no
+                         lineitem self-joins).
 
-All eleven ride in the registered ``tpch_extra`` union-tagged
-relation, so the whole sweep is under the driver oracle without
-spending registry entries (CLAUDE.md's 50-entry cap).
+All sixteen ride in the registered ``tpch_extra`` union-tagged
+relation, so the whole sweep (TPC-H 1-22 complete, adapted) is under
+the driver oracle without spending registry entries (CLAUDE.md's
+50-entry cap).
 """
 
 from __future__ import annotations
@@ -594,8 +608,333 @@ ORDER BY o_custkey, o_orderkey
 """.strip()
 
 
+# --- q2: min-cost supplier within a region ----------------------------------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted: no partsupp table, so the part<->supplier
+    relation is the distinct (l_partkey, l_suppkey) pairs observed in
+    lineitem, and ps_supplycost is stood in by s_acctbal (min per part =
+    the correlated-min subquery of the original, realized as a
+    groupBy + broadcast join back). The part filter is broadcast-joined
+    BEFORE the distinct so the dedup shuffle only carries matching
+    pairs — at 100 TB that ordering is the difference between shuffling
+    51k pairs and shuffling the whole bridge."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") == 15) & (F.col("p_type") != "PROMO"))
+        .select("p_partkey", "p_name")
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        .dropDuplicates(["p_partkey", "s_name"])
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("s_acctbal").alias("_mn")
+    )
+    return (
+        cand.join(
+            F.broadcast(mn),
+            (F.col("p_partkey") == F.col("_pk")) & (F.col("s_acctbal") == F.col("_mn")),
+        )
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "p_name",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+Q2_ORACLE = """
+WITH cand AS (
+  SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal, n_name
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_size = 15 AND p_type <> 'PROMO'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+       CAST(p_partkey AS BIGINT) AS p_partkey, p_name
+FROM cand
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                   WHERE c2.p_partkey = cand.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+""".strip()
+
+
+# --- q11: important part value (scalar-threshold HAVING) ---------------------
+
+
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted: ps_supplycost*ps_availqty is stood in by
+    sum(l_extendedprice*l_quantity) for lines shipped by suppliers of a
+    nation group; keep parts whose value exceeds 1/1000 of the grand
+    total. The global threshold is a one-row broadcast; the comparison
+    is decimal MULTIPLICATION (1000*val > total) on both engines —
+    never decimal division (CLAUDE.md oracle rule)."""
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(
+                    F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(8,2)")
+    ).cast("decimal(18,4)")
+    pv = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("_val"))
+    )
+    tot = pv.agg(F.sum("_val").alias("_tot"))
+    return (
+        pv.join(F.broadcast(tot))
+        .where(F.col("_val") * F.lit(1000) > F.col("_tot"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            F.col("_val").cast("double").alias("total_value"),
+        )
+        .orderBy(F.desc("total_value"), "p_partkey")
+    )
+
+
+Q11_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(8,2)) AS DECIMAL(18,4))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
+  GROUP BY 1
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey, CAST(val AS DOUBLE) AS total_value
+FROM pv
+WHERE val * 1000 > (SELECT sum(val) FROM pv)
+ORDER BY total_value DESC, p_partkey
+""".strip()
+
+
+# --- q16: supplier counts by part attributes (NOT IN exclusion) --------------
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size), excluding one brand/type and a blacklist of suppliers
+    (negative balance stands in for the spec's complaints filter). The
+    NOT IN subquery is a broadcast left_anti join; the part filter is
+    broadcast BEFORE the distinct-count shuffle."""
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1,2,3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""".strip()
+
+
+# --- q20: excess-volume suppliers (nested semi-join chain) -------------------
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of 'red' parts whose shipped volume
+    for a year beats half the average per-(supplier, part) volume —
+    availqty has no column here, so the spec's 0.5*sum(qty) threshold
+    becomes 0.5*avg of the grouped sums (a one-row broadcast; 0.5* is a
+    power of two, so the double comparison is engine-exact). The outer
+    IN chains are left_semi joins; part is broadcast before the
+    grouping shuffle."""
+    rp = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    qty = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(rp), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("_q"))
+    )
+    thr = qty.agg((F.lit(0.5) * F.avg("_q")).alias("_thr"))
+    hot = (
+        qty.join(F.broadcast(thr))
+        .where(F.col("_q") > F.col("_thr"))
+        .select("l_suppkey")
+    )
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(hot, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_ORACLE = """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(l_quantity AS DOUBLE)) > 0.5 * (
+     SELECT avg(q) FROM (
+       SELECT sum(CAST(l_quantity AS DOUBLE)) AS q FROM lineitem
+       WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+         AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       GROUP BY l_suppkey, l_partkey))
+)
+AND n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+ORDER BY s_name
+""".strip()
+
+
+# --- q21: waiting suppliers (EXISTS / NOT EXISTS self-join) ------------------
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: for finished orders, count per supplier the
+    'R'-flagged lines where at least one OTHER supplier has a line in
+    the order (EXISTS) and no other supplier has an 'R' line (NOT
+    EXISTS). No commitdate/receiptdate columns, so l_returnflag='R' is
+    the lateness marker. The oracle keeps the literal EXISTS/NOT EXISTS
+    self-joins; the Spark plan replaces both with ONE per-order
+    aggregation (distinct-supplier count and distinct-R-supplier
+    count) — one shuffle on l_orderkey instead of two lineitem
+    self-joins, the shape that survives 100 TB. Equivalence: NOT EXISTS
+    other-R-supplier <=> the order's R-supplier set is exactly {me};
+    EXISTS other supplier <=> the order has >= 2 distinct suppliers."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = l.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_r_supp"),
+    )
+    fo = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(
+                    F.col("n_name").isin(*[f"NATION_{i}" for i in range(1, 11)])
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        l.where(F.col("l_returnflag") == "R")
+        .join(fo, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(
+            per_order.where((F.col("_n_supp") >= 2) & (F.col("_n_r_supp") == 1)),
+            F.col("l_orderkey") == F.col("_ok"),
+            "left_semi",
+        )
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+Q21_ORACLE = """
+WITH l1 AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE EXISTS (
+   SELECT 1 FROM lineitem l2
+   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+AND NOT EXISTS (
+   SELECT 1 FROM lineitem l3
+   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+     AND l3.l_returnflag = 'R')
+AND n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5',
+               'NATION_6','NATION_7','NATION_8','NATION_9','NATION_10')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""".strip()
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
     "window_frame_analytics": (window_frame_analytics, WINDOW_FRAME_ORACLE),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_ORACLE),
+    "q11_important_values": (q11_important_values, Q11_ORACLE),
+    "q16_supplier_counts": (q16_supplier_counts, Q16_ORACLE),
+    "q20_excess_suppliers": (q20_excess_suppliers, Q20_ORACLE),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_ORACLE),
     "q7_nation_volume": (q7_nation_volume, Q7_ORACLE),
     "q8_market_share": (q8_market_share, Q8_ORACLE),
     "q9_profit": (q9_profit, Q9_ORACLE),
@@ -622,7 +961,7 @@ _D = lambda: F.lit(None).cast("double")  # noqa: E731
 
 
 def tpch_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union-tagged q7/q13/q14/q18/q22 under one oracle hash."""
+    """All sixteen sweep shapes union-tagged under one oracle hash."""
     q7 = q7_nation_volume(spark, sf_dir).select(
         F.lit("q7").alias("shape"),
         F.col("supp_nation").alias("s1"),
@@ -735,16 +1074,71 @@ def tpch_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         _D().alias("d2"),
         _D().alias("d3"),
     )
+    q2 = q2_min_cost_supplier(spark, sf_dir).select(
+        F.lit("q2").alias("shape"),
+        F.col("s_name").alias("s1"),
+        F.col("n_name").alias("s2"),
+        F.col("p_partkey").alias("i1"),
+        _I().alias("i2"),
+        F.col("s_acctbal").alias("d1"),
+        _D().alias("d2"),
+        _D().alias("d3"),
+    )
+    q11 = q11_important_values(spark, sf_dir).select(
+        F.lit("q11").alias("shape"),
+        _S().alias("s1"),
+        _S().alias("s2"),
+        F.col("p_partkey").alias("i1"),
+        _I().alias("i2"),
+        F.col("total_value").alias("d1"),
+        _D().alias("d2"),
+        _D().alias("d3"),
+    )
+    q16 = q16_supplier_counts(spark, sf_dir).select(
+        F.lit("q16").alias("shape"),
+        F.col("p_brand").alias("s1"),
+        F.col("p_type").alias("s2"),
+        F.col("p_size").alias("i1"),
+        F.col("supplier_cnt").alias("i2"),
+        _D().alias("d1"),
+        _D().alias("d2"),
+        _D().alias("d3"),
+    )
+    q20 = q20_excess_suppliers(spark, sf_dir).select(
+        F.lit("q20").alias("shape"),
+        F.col("s_name").alias("s1"),
+        F.col("n_name").alias("s2"),
+        _I().alias("i1"),
+        _I().alias("i2"),
+        _D().alias("d1"),
+        _D().alias("d2"),
+        _D().alias("d3"),
+    )
+    q21 = q21_waiting_suppliers(spark, sf_dir).select(
+        F.lit("q21").alias("shape"),
+        F.col("s_name").alias("s1"),
+        _S().alias("s2"),
+        F.col("numwait").alias("i1"),
+        _I().alias("i2"),
+        _D().alias("d1"),
+        _D().alias("d2"),
+        _D().alias("d3"),
+    )
     return (
-        q7.unionByName(q8)
+        q2.unionByName(q7)
+        .unionByName(q8)
         .unionByName(q9)
+        .unionByName(q11)
         .unionByName(q12)
         .unionByName(q13)
         .unionByName(q14)
         .unionByName(q15)
+        .unionByName(q16)
         .unionByName(q17)
         .unionByName(q18)
         .unionByName(q19)
+        .unionByName(q20)
+        .unionByName(q21)
         .unionByName(q22)
         .orderBy("shape", "s1", "s2", "i1", "i2")
     )
@@ -758,7 +1152,12 @@ def _cte(sql: str) -> str:
 
 
 TPCH_EXTRA_ORACLE = f"""
-WITH q7r AS ({_cte(Q7_ORACLE)}),
+WITH q2r AS ({_cte(Q2_ORACLE)}),
+q11r AS ({_cte(Q11_ORACLE)}),
+q16r AS ({_cte(Q16_ORACLE)}),
+q20r AS ({_cte(Q20_ORACLE)}),
+q21r AS ({_cte(Q21_ORACLE)}),
+q7r AS ({_cte(Q7_ORACLE)}),
 q8r AS ({_cte(Q8_ORACLE)}),
 q9r AS ({_cte(Q9_ORACLE)}),
 q12r AS ({_cte(Q12_ORACLE)}),
@@ -773,6 +1172,21 @@ SELECT 'q7' AS shape, supp_nation AS s1, cust_nation AS s2,
        CAST(l_year AS BIGINT) AS i1, CAST(NULL AS BIGINT) AS i2,
        revenue AS d1, CAST(NULL AS DOUBLE) AS d2, CAST(NULL AS DOUBLE) AS d3
 FROM q7r
+UNION ALL
+SELECT 'q2', s_name, n_name, p_partkey, NULL, s_acctbal, NULL, NULL
+FROM q2r
+UNION ALL
+SELECT 'q11', NULL, NULL, p_partkey, NULL, total_value, NULL, NULL
+FROM q11r
+UNION ALL
+SELECT 'q16', p_brand, p_type, p_size, supplier_cnt, NULL, NULL, NULL
+FROM q16r
+UNION ALL
+SELECT 'q20', s_name, n_name, NULL, NULL, NULL, NULL, NULL
+FROM q20r
+UNION ALL
+SELECT 'q21', s_name, NULL, numwait, NULL, NULL, NULL, NULL
+FROM q21r
 UNION ALL
 SELECT 'q8', NULL, NULL, CAST(o_year AS BIGINT), NULL, mkt_share, NULL, NULL
 FROM q8r
