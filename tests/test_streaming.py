@@ -172,6 +172,139 @@ def test_dedup_within_watermark_suppresses_retries(spark, sf_dir, tmp_path):
     assert spark.table(sink).collect()[0]["n"] == n_unique
 
 
+import importlib.util
+
+import pytest
+
+# transformWithStateInPandas execution uses a protobuf-based state
+# protocol between the Python worker and the state store; this
+# container has no google.protobuf (and installs are off-limits), so
+# the replay-parity tests run only where it exists (any real cluster).
+# Plan construction and analysis are JVM-side and are always tested.
+_HAS_PROTOBUF = importlib.util.find_spec("google") is not None and (
+    importlib.util.find_spec("google.protobuf") is not None
+)
+needs_protobuf = pytest.mark.skipif(
+    not _HAS_PROTOBUF, reason="transformWithState runtime needs google.protobuf"
+)
+
+
+def test_transform_with_state_plans_analyze(spark, sf_dir):
+    """The TWS operators must at least construct and pass analysis
+    (schema resolution happens in the JVM, no protobuf needed) so an
+    API-level break can't hide behind the runtime skip."""
+    from monday_etl_automation_spark.streaming.pipeline import (
+        event_stream,
+        event_type_counts_tws,
+        stateful_user_totals_tws,
+    )
+
+    totals = stateful_user_totals_tws(event_stream(spark, sf_dir))
+    assert [f.name for f in totals.schema.fields] == ["user_id", "n_events", "sum_micros"]
+    counts = event_type_counts_tws(event_stream(spark, sf_dir))
+    assert [f.name for f in counts.schema.fields] == ["user_id", "event_type", "n_events"]
+    assert totals.isStreaming and counts.isStreaming
+
+
+@needs_protobuf
+def test_transform_with_state_equals_legacy_and_batch(spark, sf_dir):
+    """The Spark 4 transformWithStateInPandas totals operator must
+    produce the same final state as the applyInPandasWithState
+    operator AND the batch SQL twin — three engines, one answer."""
+    from monday_etl_automation_spark.sources.tables import load_table
+    from monday_etl_automation_spark.streaming.pipeline import (
+        run_stateful_replay,
+        run_stateful_tws_replay,
+    )
+
+    tws = sorted(map(tuple, run_stateful_tws_replay(spark, sf_dir).collect()))
+    legacy = sorted(map(tuple, run_stateful_replay(spark, sf_dir).collect()))
+    events = load_table(spark, sf_dir, "events")
+    batch = sorted(
+        map(
+            tuple,
+            events.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_micros"),
+            )
+            .orderBy("user_id")
+            .collect(),
+        )
+    )
+    assert len(tws) > 0
+    assert tws == legacy
+    assert tws == batch
+
+
+@needs_protobuf
+def test_transform_with_state_initial_state_bootstrap(spark, sf_dir):
+    """Backfill→streaming handoff: aggregate the first half of events
+    in batch, seed the state store with it via initialState, stream
+    only the second half — the final totals must equal a full replay
+    (history never transits the state store)."""
+    import tempfile as tf
+
+    from monday_etl_automation_spark.sources.tables import load_table
+    from monday_etl_automation_spark.streaming.pipeline import run_stateful_tws_replay
+
+    events = load_table(spark, sf_dir, "events")
+    cut = events.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m").collect()[
+        0
+    ]["m"]
+    first, second = events.where(F.col("ts") < cut), events.where(F.col("ts") >= cut)
+    backfill = first.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_micros"),
+    )
+    src = tf.mkdtemp(prefix="tws_tail_")
+    second.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(second.schema).parquet(src)
+    got = sorted(
+        map(
+            tuple,
+            run_stateful_tws_replay(
+                spark, sf_dir, initial_state=backfill, events=stream
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, run_stateful_tws_replay(spark, sf_dir).collect()))
+    # users whose events are all in the backfill half emit nothing in
+    # update mode (never touched by a micro-batch); compare on the
+    # streamed users and assert the bootstrap carried their history
+    want_by_user = {r[0]: r for r in want}
+    assert len(got) > 0
+    for row in got:
+        assert row == want_by_user[row[0]]
+    streamed_users = {r["user_id"] for r in second.select("user_id").distinct().collect()}
+    assert {r[0] for r in got} == streamed_users
+
+
+@needs_protobuf
+def test_transform_with_state_map_state_counts(spark, sf_dir):
+    """MapState per-user event_type counters: replay's final answer ==
+    batch groupBy(user_id, event_type).count()."""
+    from monday_etl_automation_spark.sources.tables import load_table
+    from monday_etl_automation_spark.streaming.pipeline import run_type_counts_tws_replay
+
+    got = sorted(map(tuple, run_type_counts_tws_replay(spark, sf_dir).collect()))
+    events = load_table(spark, sf_dir, "events")
+    want = sorted(
+        map(
+            tuple,
+            events.groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .collect(),
+        )
+    )
+    assert len(got) > 0
+    assert got == want
+
+
 def test_status_upsert_keeps_latest_per_key(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
     rows = [
