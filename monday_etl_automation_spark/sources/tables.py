@@ -73,13 +73,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # memoized per (session, sf_dir, table): spark.read.parquet costs a
+    # driver-side file listing + footer read (~100ms); multi-shape
+    # queries (tpch_extra: 16 shapes x ~3 tables) would otherwise pay
+    # it ~50x per BUILD. DataFrames are immutable logical plans, so
+    # sharing one relation across queries in a session is free and safe
+    # (plan-build profile: tpch_extra build 7.7s -> see commit).
+    cache = getattr(spark, "_mea_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._mea_table_cache = cache  # noqa: SLF001 (own session tag)
+    key = (sf_dir, name)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # oracle parity must not depend on the caller's session config:
     # DuckDB timestamps are UTC-naive, so timestamp rendering/windowing
     # must be UTC even if the driver built its own SparkSession
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return normalize_ts(df)
+    df = normalize_ts(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+    cache[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
