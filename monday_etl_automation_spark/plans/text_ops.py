@@ -346,6 +346,155 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_text_profile_sql("spark"))
 
 
+# ---------------------------------------------------------------------------
+# chunk_documents — token-bounded overlapping chunks (the unit LLM
+# training pipelines actually feed to tokenizers: fixed window, fixed
+# stride, deterministic per doc). Row-local explode: one doc fans out
+# to ceil((n_tokens - overlap) / stride) rows with zero shuffles — at
+# 100 TB chunking is a map stage, never a repartition.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_sql(dialect: str, size: int, overlap: int) -> str:
+    stride = size - overlap
+    if dialect == "spark":
+        # slice() is 1-indexed; sequence gives chunk starts 0, stride, ...
+        return f"""
+WITH t AS (
+  SELECT doc_id, {_SPARK_TOKS} AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks, size(toks) AS n_tokens FROM t
+),
+c AS (
+  SELECT
+    doc_id, toks, n_tokens,
+    explode(sequence(0, CAST(greatest(ceil((n_tokens - {overlap}) / {stride}.0) - 1, 0) AS INT))) AS chunk_idx
+  FROM n WHERE n_tokens > 0
+)
+SELECT
+  doc_id,
+  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  array_join(slice(toks, chunk_idx * {stride} + 1, {size}), ' ') AS chunk_text,
+  CAST(least(n_tokens - chunk_idx * {stride}, {size}) AS BIGINT) AS n_chunk_tokens
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+),
+c AS (
+  SELECT
+    doc_id, toks, n_tokens,
+    unnest(generate_series(0, CAST(greatest(ceil((n_tokens - {overlap}) / {stride}.0) - 1, 0) AS INT))) AS chunk_idx
+  FROM n WHERE n_tokens > 0
+)
+SELECT
+  doc_id,
+  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  array_to_string(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {size}], ' ') AS chunk_text,
+  CAST(least(n_tokens - chunk_idx * {stride}, {size}) AS BIGINT) AS n_chunk_tokens
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str, size: int = 64, overlap: int = 16) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_chunk_sql("spark", size, overlap))
+
+
+def chunk_oracle(size: int = 64, overlap: int = 16) -> str:
+    return _chunk_sql("duckdb", size, overlap)
+
+
+# ---------------------------------------------------------------------------
+# dedup_repeated_blocks — within-document repetition removal (quality
+# filter: boilerplate/loops repeat verbatim). Unit = consecutive
+# BLOCK-token segments; duplicate segments after the first occurrence
+# are dropped and the doc is reassembled in original order. Row-local
+# per doc (explode + per-doc window over doc_id) — partitions by
+# doc_id only, the natural key, no global shuffle beyond it.
+# ---------------------------------------------------------------------------
+
+_BLOCK = 8
+
+
+def _repdedup_sql(dialect: str) -> str:
+    b = _BLOCK
+    if dialect == "spark":
+        return f"""
+WITH t AS (
+  SELECT doc_id, {_SPARK_TOKS} AS toks FROM documents
+),
+blocks AS (
+  SELECT
+    doc_id,
+    explode(sequence(0, CAST(greatest(ceil(size(toks) / {b}.0) - 1, 0) AS INT))) AS block_idx,
+    toks
+  FROM t WHERE size(toks) > 0
+),
+seg AS (
+  SELECT doc_id, block_idx,
+         array_join(slice(toks, block_idx * {b} + 1, {b}), ' ') AS block_text
+  FROM blocks
+),
+firsts AS (
+  SELECT doc_id, block_text, min(block_idx) AS keep_idx, count(*) AS n_occurrences
+  FROM seg GROUP BY doc_id, block_text
+)
+SELECT
+  doc_id,
+  CAST(count(*) AS BIGINT) AS n_kept_blocks,
+  CAST(sum(n_occurrences) AS BIGINT) AS n_total_blocks,
+  array_join(transform(array_sort(collect_list(struct(keep_idx, block_text))), x -> x.block_text), ' ') AS deduped_text
+FROM firsts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(greatest(ceil(len(toks) / {b}.0) - 1, 0) AS INT))) AS block_idx,
+         toks
+  FROM t WHERE len(toks) > 0
+),
+seg AS (
+  SELECT doc_id, block_idx,
+         array_to_string(toks[block_idx * {b} + 1 : block_idx * {b} + {b}], ' ') AS block_text
+  FROM blocks
+),
+firsts AS (
+  SELECT doc_id, block_text, min(block_idx) AS keep_idx, count(*) AS n_occurrences
+  FROM seg GROUP BY doc_id, block_text
+)
+SELECT
+  doc_id,
+  CAST(count(*) AS BIGINT) AS n_kept_blocks,
+  CAST(sum(n_occurrences) AS BIGINT) AS n_total_blocks,
+  string_agg(block_text, ' ' ORDER BY keep_idx) AS deduped_text
+FROM firsts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def dedup_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_repdedup_sql("spark"))
+
+
+def repdedup_oracle() -> str:
+    return _repdedup_sql("duckdb")
+
+
 QUERIES: dict[str, tuple] = {
     "text_profile": (text_profile, _text_profile_sql("duckdb")),
     "tfidf_top_terms": (tfidf_top_terms, _tfidf_sql("duckdb")),
