@@ -83,30 +83,51 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-probe sets below use their own family (_PLANE_ND, period 11).
 _PLANE = "((({p} * 31 + {j} * 17) % 7) - 3)"
 _ANN_PLANES = 4  # 16 buckets: candidate join ~ n^2/16, not n^2/4
+# IVF probes the query's 2 nearest centroids: recall misses at
+# nprobe=1 are queries sitting on a Voronoi boundary, and probing the
+# runner-up centroid covers them for 2x scan cost (the standard
+# recall/cost dial — raise with label count at scale)
+_IVF_NPROBE = 2
 
 
 def _ann_lsh_sql(dialect: str) -> str:
-    """LSH top-k with {2**_ANN_PLANES} sign buckets. At 100 TB the
-    bucket count rises with the corpus (more planes), keeping the
-    candidate join ~n^2/2^k; recall comes from multi-probe (see
-    embed_near_dup) rather than coarser buckets."""
+    """Multi-probe LSH top-k over {2**_ANN_PLANES} sign buckets.
+
+    Each query probes its own bucket PLUS every Hamming-1 neighbor
+    bucket (flip one of the k sign bits): the closest true neighbors a
+    single-probe search misses are overwhelmingly the ones one
+    hyperplane barely splits, so probing the k adjacent buckets buys
+    most of the missing recall for (k+1)/2^k of the corpus per query
+    instead of all of it (measured here: recall@5 0.20 single-probe →
+    see tests/test_ann_recall.py floor). Corpus vectors keep exactly
+    one bucket, so a (query, candidate) pair joins at most once — no
+    dedup step. At 100 TB: raise k with corpus size, keep probes at
+    1+k (or widen to Hamming-2 for recall-critical queries); the plan
+    stays one equi-join."""
     dot = _dot(dialect, "q.embedding", "v.embedding")
     cos = f"({dot}) / (q.norm * v.norm)"
     rn = f"ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, v.vec_id ASC)"
+    flips = ", ".join(str(2**i) for i in range(_ANN_PLANES))
+    if dialect == "spark":
+        probes = f"explode(concat(array(0), array({flips})))"
+        probe_src = f"SELECT b.*, b.bucket ^ flip AS probe FROM (SELECT *, {probes} AS flip FROM base WHERE vec_id % {_QUERY_MOD} = 0) b"
+    else:
+        probes = f"unnest([0, {flips}])"
+        probe_src = f"SELECT b.*, xor(b.bucket, flip) AS probe FROM (SELECT *, {probes} AS flip FROM base WHERE vec_id % {_QUERY_MOD} = 0) b"
     return f"""
 WITH base AS (
   SELECT vec_id, label, embedding, {_norm(dialect, 'embedding')} AS norm,
          {_bucket_k(dialect, 'embedding', _ANN_PLANES)} AS bucket
   FROM embeddings
 ),
-q AS (SELECT * FROM base WHERE vec_id % {_QUERY_MOD} = 0),
+q AS ({probe_src}),
 scored AS (
   SELECT
     q.vec_id AS query_id,
     v.vec_id AS neighbor_id,
     round({cos}, 6) AS cosine,
     CAST({rn} AS INT) AS rk
-  FROM q JOIN base v ON q.bucket = v.bucket AND q.vec_id <> v.vec_id
+  FROM q JOIN base v ON q.probe = v.bucket AND q.vec_id <> v.vec_id
 )
 SELECT query_id, neighbor_id, cosine, rk
 FROM scored WHERE rk <= {_TOPK}
@@ -339,7 +360,7 @@ qpick AS (
     SELECT s.vec_id, s.label,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.dot / n.cn DESC, s.label ASC) AS rc
     FROM qscore s JOIN cnorm n ON s.label = n.label
-  ) ranked WHERE rc = 1
+  ) ranked WHERE rc <= {_IVF_NPROBE}
 ),
 base AS (
   SELECT vec_id, label, embedding, {_norm(dialect, 'embedding')} AS norm FROM embeddings

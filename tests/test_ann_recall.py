@@ -1,0 +1,65 @@
+"""ANN quality measurement: recall of the approximate paths against
+the exact cosine top-k baseline, pinned with floors so a refactor that
+silently guts recall fails in CI instead of in production.
+
+An ANN operator that is fast but returns the wrong neighbors is not
+done — recall is the second axis of correctness for approximate
+search. Floors are set from the operators' design points (single-probe
+LSH with 16 buckets; IVF nprobe=1), not aspiration: LSH single-probe
+recall is bounded by same-bucket collision probability, IVF by the
+query's centroid owning its true neighbors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monday_etl_automation_spark.plans.embed_ops import ann_lsh_topk, cosine_topk, ivf_topk
+
+# recall is a statistical property: at the default test SF (sf0.001,
+# ~4 queries x 5 neighbors) one boundary query swings the measurement
+# by 25%; measure at sf0.01 (~40 queries) where the floors are stable
+_RECALL_SF = "/root/testdata/sf0.01"
+
+
+def _topk_sets(df, k=None):
+    rows = df.collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(approx: dict[int, set[int]], exact: dict[int, set[int]]) -> float:
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(nbrs) for nbrs in exact.values())
+    return hits / total if total else 0.0
+
+
+def test_ann_lsh_recall_floor(spark):
+    exact = _topk_sets(cosine_topk(spark, _RECALL_SF))
+    approx = _topk_sets(ann_lsh_topk(spark, _RECALL_SF))
+    r = _recall(approx, exact)
+    # multi-probe (own bucket + 4 Hamming-1 buckets): measured 0.46
+    # on the near-orthogonal synthetic embeddings (single-probe was
+    # 0.20); floor at 0.35 leaves jitter headroom but catches a
+    # recall-gutting refactor
+    assert r >= 0.35, f"LSH recall {r:.3f} below design floor"
+
+
+def test_ivf_recall_floor(spark):
+    exact = _topk_sets(cosine_topk(spark, _RECALL_SF))
+    approx = _topk_sets(ivf_topk(spark, _RECALL_SF))
+    r = _recall(approx, exact)
+    # nprobe=2: measured 0.44 (nprobe=1 was 0.16 — Voronoi-boundary
+    # queries dominate the misses on near-orthogonal data)
+    assert r >= 0.35, f"IVF recall {r:.3f} below design floor"
+
+
+def test_exact_is_self_consistent(spark, sf_dir):
+    """The baseline's own sanity: every query returns k neighbors and
+    never itself."""
+    df = cosine_topk(spark, sf_dir)
+    assert df.where(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    per_q = df.groupBy("query_id").count().agg(F.min("count"), F.max("count")).collect()[0]
+    assert per_q[0] == per_q[1]  # uniform k
