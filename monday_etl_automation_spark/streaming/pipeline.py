@@ -302,6 +302,182 @@ def run_stateful_replay(spark: SparkSession, sf_dir: str, name: str | None = Non
     )
 
 
+def sessionize_with_timers(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
+    """Custom sessionization via applyInPandasWithState +
+    EventTimeTimeout — the explicit-timer pattern the built-in
+    ``session_window`` hides: per-user open-session state, a timer at
+    (last event + gap), and session emission when the WATERMARK passes
+    the timer (state eviction on event time, not on data arrival).
+
+    Semantics: a session closes when no event lands within
+    ``gap_seconds``; closed sessions are emitted with their span and
+    aggregates, exactly like the built-in — parity with
+    ``session_stats`` on closed sessions is asserted in
+    tests/test_streaming.py. Sessions still open at end-of-stream are
+    never closed by a timer (the watermark stops at max(ts) - delay),
+    which is correct streaming semantics: the comparison restricts to
+    sessions the watermark provably closed.
+
+    Scale: state is one (start, last, n, sum) struct per user with an
+    armed timer — eviction is O(1) per close; the state store never
+    accumulates finished sessions. This is the custom-operator shape
+    for decode state machines, funnels, and timeout-driven feature
+    windows that session_window's merge-on-gap cannot express.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key: tuple, pdfs, state: GroupState):
+        from monday_etl_automation_spark.functions.numeric import (  # noqa: PLC0415
+            checked_micros_sum,
+        )
+
+        out = []
+        if state.hasTimedOut:
+            # watermark passed (last_event + gap): close and evict
+            start_us, last_us, n, s = state.get
+            out.append((key[0], start_us, last_us, n, s))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            if len(rows):
+                rows = rows.sort_values("ts")
+                ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+                vals = rows["value"].to_numpy(dtype="float64")
+                # split the batch into sessions at > gap silences; a
+                # batch can hold MANY sessions (time-sliced replays)
+                breaks = [0]
+                for i in range(1, len(ts_us)):
+                    if ts_us[i] - ts_us[i - 1] > gap_us:
+                        breaks.append(i)
+                breaks.append(len(ts_us))
+                segs = []  # (start, last, n, sum_micros)
+                import numpy as np  # noqa: PLC0415
+
+                for a, b in zip(breaks[:-1], breaks[1:]):
+                    seg_vals = vals[a:b]
+                    segs.append(
+                        (
+                            int(ts_us[a]),
+                            int(ts_us[b - 1]),
+                            b - a,
+                            checked_micros_sum(seg_vals[~np.isnan(seg_vals)]),
+                        )
+                    )
+                if state.exists:
+                    start_us, last_us, n, s = state.get
+                    if segs[0][0] - last_us <= gap_us:
+                        # first segment continues the open session
+                        f = segs[0]
+                        segs[0] = (
+                            min(start_us, f[0]),
+                            max(last_us, f[1]),
+                            n + f[2],
+                            s + f[3],
+                        )
+                    else:
+                        # the open session's gap elapsed inside the
+                        # batch window — close it now (the timer would
+                        # have fired anyway once the watermark passed)
+                        out.append((key[0], start_us, last_us, n, s))
+                # every segment followed by a gap is closed; the final
+                # one stays open with a timer at (last + gap) — unless
+                # the watermark already passed that point (late/stale
+                # data), in which case it is closed on the spot (a
+                # timer may never be armed behind the watermark)
+                for seg in segs[:-1]:
+                    out.append((key[0], *seg))
+                timeout_ms = (segs[-1][1] + gap_us) // 1000
+                if timeout_ms <= state.getCurrentWatermarkMs():
+                    out.append((key[0], *segs[-1]))
+                    state.remove()
+                else:
+                    state.update(segs[-1])
+                    state.setTimeoutTimestamp(timeout_ms)
+        columns = ["user_id", "start_us", "last_us", "n_events", "sum_micros"]
+        yield pd.DataFrame(out, columns=columns)
+
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id BIGINT, start_us BIGINT, last_us BIGINT,"
+                " n_events BIGINT, sum_micros BIGINT"
+            ),
+            stateStructType="start_us BIGINT, last_us BIGINT, n BIGINT, s BIGINT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_timer_sessions_replay(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 300, n_splits: int = 8
+) -> DataFrame:
+    """Replay events through the timer sessionizer in ``n_splits``
+    TIME-ORDERED micro-batches (range-repartitioned by ts, one file
+    per trigger) so the watermark advances between batches and fires
+    the timers — a single availableNow batch would never time out."""
+    import time as _time  # noqa: PLC0415
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="timer_src_")
+    # contiguous time slices written SEQUENTIALLY: the parquet file
+    # stream source orders files by modification time, and a parallel
+    # repartitionByRange write finishes its part files in arbitrary
+    # order — the replay must control mtime order explicitly or the
+    # "later" file can land first and stall the watermark. (The global
+    # ntile window is replay-harness code at test scale, not an
+    # operator path.)
+    sliced = ev.withColumn("_slice", F.ntile(n_splits).over(Window.orderBy("ts")))
+    for i in range(1, n_splits + 1):
+        (
+            sliced.where(F.col("_slice") == i)
+            .drop("_slice")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        _time.sleep(0.05)  # distinct mtimes at ms resolution
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    sink = f"timer_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_with_timers(stream, gap_seconds)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_timer_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("start_us")).alias("session_start"),
+            F.timestamp_micros(F.col("last_us")).alias("session_last"),
+            "n_events",
+            "sum_micros",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # transformWithState (Spark 4.x) — the successor API to
 # applyInPandasWithState: typed state variables (ValueState / ListState /

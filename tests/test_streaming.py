@@ -226,7 +226,7 @@ def test_transform_with_state_equals_legacy_and_batch(spark, sf_dir):
             events.groupBy("user_id")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.floor(F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint"))
+                F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
                 .cast("bigint")
                 .alias("sum_micros"),
             )
@@ -257,7 +257,7 @@ def test_transform_with_state_initial_state_bootstrap(spark, sf_dir):
     first, second = events.where(F.col("ts") < cut), events.where(F.col("ts") >= cut)
     backfill = first.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.floor(F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint"))
+        F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
         .cast("bigint")
         .alias("sum_micros"),
     )
@@ -303,6 +303,45 @@ def test_transform_with_state_map_state_counts(spark, sf_dir):
     )
     assert len(got) > 0
     assert got == want
+
+
+def test_timer_sessionization_matches_builtin_on_closed_sessions(spark, sf_dir):
+    """The explicit-timer sessionizer (applyInPandasWithState +
+    EventTimeTimeout) must agree with the built-in session_window on
+    every session it closes, and must close most sessions (only those
+    still open when the watermark stops may be missing)."""
+    from monday_etl_automation_spark.sources.tables import load_table
+    from monday_etl_automation_spark.streaming.pipeline import run_timer_sessions_replay
+
+    gap = 300
+    got = run_timer_sessions_replay(spark, sf_dir, gap_seconds=gap).collect()
+    # no duplicate emissions
+    keys = [(r.user_id, r.session_start) for r in got]
+    assert len(keys) == len(set(keys))
+
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_micros)
+        for r in events.groupBy(
+            F.session_window("ts", f"{gap} seconds").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1000000).cast("bigint")
+            ).alias("sum_micros"),
+        )
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "sum_micros")
+        .collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        assert (r.user_id, r.session_start) in want, f"spurious session {r}"
+        n, s = want[(r.user_id, r.session_start)]
+        assert (r.n_events, r.sum_micros) == (n, s), f"mismatch at {r}"
+    # the timer path must close the overwhelming majority of sessions —
+    # only per-user tail sessions can remain open at end-of-stream
+    assert len(got) >= 0.5 * len(want), f"only {len(got)}/{len(want)} sessions closed"
 
 
 def test_status_upsert_keeps_latest_per_key(spark, tmp_path):
