@@ -23,6 +23,8 @@ bucket info, which is why these helpers go through saveAsTable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -34,7 +36,19 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (optionally sorted) catalog table.
-    Overwrites any existing table of the same name."""
+    Overwrites any existing table of the same name — including a stale
+    warehouse directory left by a previous session (the in-memory
+    catalog forgets the table but its managed location survives, and
+    CREATE then fails with LOCATION_ALREADY_EXISTS)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(warehouse, table.lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
