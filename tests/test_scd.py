@@ -1,0 +1,121 @@
+"""SCD2 contracts: DuckDB-twin parity on the events-derived status
+changelog, merge/build associativity, and point-in-time correctness."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from monday_etl_automation_spark.operators.scd import (
+    scd2_as_of,
+    scd2_from_changelog,
+    scd2_merge,
+)
+from monday_etl_automation_spark.sources.tables import load_table
+from oracle_compare import assert_matches_oracle
+
+# the webhook status stream re-expressed as an SCD changelog
+_CHANGELOG_SQL = "SELECT user_id AS k, event_type AS status, ts FROM events"
+
+_SCD_ORACLE = """
+WITH log AS (SELECT user_id AS k, event_type AS status, ts FROM events),
+collapsed AS (
+  SELECT k, status, ts,
+         lag(status) OVER (PARTITION BY k ORDER BY ts, status) AS prev_status
+  FROM log
+),
+versioned AS (
+  SELECT k, status, ts FROM collapsed
+  WHERE prev_status IS NULL OR prev_status <> status
+)
+SELECT k, status,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY k ORDER BY ts, status) AS valid_to,
+       lead(ts) OVER (PARTITION BY k ORDER BY ts, status) IS NULL AS is_current
+FROM versioned
+ORDER BY k, valid_from
+"""
+
+
+def _changelog(spark, sf_dir):
+    from monday_etl_automation_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CHANGELOG_SQL)
+
+
+def _normalize(df):
+    return df.select(
+        "k",
+        "status",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+        "is_current",
+    ).orderBy("k", "valid_from")
+
+
+def test_scd2_build_matches_oracle(spark, sf_dir):
+    log = _changelog(spark, sf_dir)
+    dim = scd2_from_changelog(log, "k", ["status"], "ts")
+    assert_matches_oracle(_normalize(dim), _SCD_ORACLE, sf_dir)
+
+
+def test_scd2_invariants(spark, sf_dir):
+    dim = scd2_from_changelog(_changelog(spark, sf_dir), "k", ["status"], "ts")
+    per_key = dim.groupBy("k").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_open"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    # exactly one open version per key
+    assert per_key.where("n_open <> 1").count() == 0
+    # no zero-length or inverted intervals
+    assert dim.where("valid_to IS NOT NULL AND valid_to <= valid_from").count() == 0
+    # consecutive versions never repeat the same state
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("valid_from")
+    repeats = (
+        dim.withColumn("_next", F.lead("status").over(w))
+        .where(F.col("_next").isNotNull() & (F.col("_next") == F.col("status")))
+        .count()
+    )
+    assert repeats == 0
+
+
+def test_scd2_merge_is_associative_with_build(spark, sf_dir):
+    """merge(build(first half), second half) == build(everything)."""
+    log = _changelog(spark, sf_dir)
+    cut_us = log.agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY unix_micros(ts))").alias("m")
+    ).collect()[0]["m"]
+    first = log.where(F.unix_micros("ts") < cut_us)
+    second = log.where(F.unix_micros("ts") >= cut_us)
+    incremental = _normalize(
+        scd2_merge(
+            scd2_from_changelog(first, "k", ["status"], "ts"),
+            second,
+            "k",
+            ["status"],
+            "ts",
+        )
+    )
+    full = _normalize(scd2_from_changelog(log, "k", ["status"], "ts"))
+    assert incremental.exceptAll(full).count() == 0
+    assert full.exceptAll(incremental).count() == 0
+    assert full.count() > 0
+
+
+def test_scd2_as_of_returns_one_version_per_key(spark, sf_dir):
+    dim = scd2_from_changelog(_changelog(spark, sf_dir), "k", ["status"], "ts")
+    mid_us = _changelog(spark, sf_dir).agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY unix_micros(ts))").alias("m")
+    ).collect()[0]["m"]
+    import datetime as _dt
+    mid = _dt.datetime.utcfromtimestamp(int(mid_us) / 1e6)
+    snap = scd2_as_of(dim, "k", mid)
+    # at most one valid version per key, and every key with history
+    # starting before `mid` is present
+    assert snap.groupBy("k").count().where("count > 1").count() == 0
+    started = dim.where(F.col("valid_from") <= F.lit(mid)).select("k").distinct().count()
+    assert snap.count() == started
