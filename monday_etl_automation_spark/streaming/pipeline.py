@@ -833,6 +833,106 @@ class StatusUpsertSink:
         q.awaitTermination()
 
 
+class RollupSink:
+    """Incrementally-maintained aggregate table (streaming materialized
+    view): per micro-batch, partial aggregates MERGE-ADD into a keyed
+    rollup table — the additive counterpart of StatusUpsertSink's
+    latest-wins MERGE (counts/sums combine across batches; a status
+    replaces). The serving table always equals the batch groupBy over
+    everything ingested so far (asserted in tests/test_streaming.py).
+
+    Scale shape mirrors the upsert sink: state partitioned by
+    bucket(key), each batch rewrites ONLY touched buckets (dynamic
+    partition overwrite), batch work = batch partials + touched
+    buckets' existing rows. Additivity is what makes this safe:
+    merging partials is the SAME aggregation, so batch boundaries
+    can't change the result. In a real deployment this is the
+    foreachBatch + Delta-MERGE pattern for driving dashboards off a
+    stream without re-scanning history.
+    """
+
+    _KEYS = ("window_start", "event_type")
+
+    def __init__(self, spark: SparkSession, path: str | None = None, n_buckets: int = 8) -> None:
+        self.spark = spark
+        self.path = path or tempfile.mkdtemp(prefix="rollup_")
+        self.n_buckets = n_buckets
+        self._has_state = False
+
+    def current(self) -> DataFrame:
+        if not self._has_state:
+            return self.spark.createDataFrame(
+                [], "window_start TIMESTAMP, event_type STRING, n_events BIGINT, sum_micros BIGINT"
+            )
+        return self.spark.read.parquet(self.path).drop("bucket")
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("window_start", "event_type"), F.lit(self.n_buckets)).cast("int")
+        )
+
+    @staticmethod
+    def _partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias("sum_micros"),
+        )
+
+    @staticmethod
+    def _combine(df: DataFrame) -> DataFrame:
+        # additive merge — the same aggregation applied to partials
+        return df.groupBy("window_start", "event_type").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_micros").alias("sum_micros"),
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        partial = self._bucketed(self._partials(batch))
+        if self._has_state:
+            touched = [
+                r["bucket"] for r in partial.select("bucket").distinct().collect()
+            ]
+            prev = self.spark.read.parquet(self.path).where(F.col("bucket").isin(touched))
+            merged = self._bucketed(self._combine(prev.drop("bucket").unionByName(partial.drop("bucket"))))
+        else:
+            merged = partial
+        merged = merged.repartition(self.n_buckets, "bucket").localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
+        self._has_state = True
+
+    def run(self, events: DataFrame) -> None:
+        q = (
+            events.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rollup_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def run_rollup_sink(spark: SparkSession, sf_dir: str, n_splits: int = 6) -> DataFrame:
+    """Drive RollupSink across ``n_splits`` real micro-batches and
+    return the maintained table."""
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="rollup_src_")
+    ev.repartition(n_splits).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = RollupSink(spark)
+    sink.run(stream)
+    return sink.current().orderBy("window_start", "event_type")
+
+
 def derive_statuses(events: DataFrame) -> DataFrame:
     """S12 input shape derived from the events stream: each event is a
     status mutation (item = user, column = 'status', label = the event

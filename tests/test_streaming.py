@@ -344,6 +344,34 @@ def test_timer_sessionization_matches_builtin_on_closed_sessions(spark, sf_dir):
     assert len(got) >= 0.5 * len(want), f"only {len(got)}/{len(want)} sessions closed"
 
 
+def test_rollup_sink_equals_batch_aggregate(spark, sf_dir):
+    """The incrementally-maintained rollup table must equal the batch
+    groupBy over all events regardless of micro-batch splits (additive
+    MERGE correctness), with multiple real batches exercised."""
+    from monday_etl_automation_spark.sources.tables import load_table
+    from monday_etl_automation_spark.streaming.pipeline import run_rollup_sink
+
+    got = sorted(map(tuple, run_rollup_sink(spark, sf_dir).collect()))
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        map(
+            tuple,
+            ev.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias(
+                    "sum_micros"
+                ),
+            )
+            .collect(),
+        )
+    )
+    assert len(got) > 0
+    assert got == want
+
+
 def test_status_upsert_keeps_latest_per_key(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
     rows = [
