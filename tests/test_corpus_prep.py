@@ -69,6 +69,29 @@ def test_dropping_quality_doc_does_not_drop_its_near_dup(spark, sf_dir):
     assert n_near <= n_pairs
 
 
+def test_exact_dup_branch_fires_on_injected_duplicate(spark, sf_dir):
+    """The synthetic corpus has no exact duplicates (verified via
+    DuckDB), so the dropped_exact_dup branch would be vacuously green;
+    inject a verbatim copy of a kept doc and assert the copy (higher
+    doc_id) is dropped as an exact dup while the original stays kept."""
+    from monday_etl_automation_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    kept_id = corpus_prep(spark, sf_dir).where("disposition = 'kept'").first().doc_id
+    base = spark.table("documents")
+    clone = base.where(F.col("doc_id") == kept_id).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    base.unionByName(clone).createOrReplaceTempView("documents")
+    try:
+        out = {r.doc_id: r.disposition for r in corpus_prep(spark, sf_dir).collect()}
+        assert out[kept_id] == "kept"
+        assert out[kept_id + 10_000_000] == "dropped_exact_dup"
+    finally:
+        spark._mea_views_sf_dir = None  # noqa: SLF001
+        register_views(spark, sf_dir)
+
+
 def test_summary_totals(spark, sf_dir):
     rows = corpus_prep_summary(spark, sf_dir).collect()
     total = sum(r.n_docs for r in rows)
