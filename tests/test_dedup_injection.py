@@ -1,0 +1,88 @@
+"""Non-vacuousness checks for the dedup family: the synthetic corpus
+contains zero exact duplicates (and few natural near-dups), so the
+driver-oracle parity of `dedup_exact` holds even for a broken keeper
+rule. These tests inject engineered duplicates and assert each
+operator actually detects and resolves them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monday_etl_automation_spark.sources.tables import register_views
+
+_OFFSET = 20_000_000
+
+
+def _with_clones(spark, sf_dir, n=3, mutate=None):
+    """Temp-view documents with the first ``n`` docs cloned at
+    doc_id + _OFFSET (optionally perturbed by ``mutate``)."""
+    register_views(spark, sf_dir)
+    base = spark.table("documents")
+    ids = [r.doc_id for r in base.orderBy("doc_id").limit(n).collect()]
+    clones = base.where(F.col("doc_id").isin(ids)).withColumn(
+        "doc_id", F.col("doc_id") + _OFFSET
+    )
+    if mutate is not None:
+        clones = mutate(clones)
+    base.unionByName(clones).createOrReplaceTempView("documents")
+    return ids
+
+
+def _restore(spark, sf_dir):
+    spark._mea_views_sf_dir = None  # noqa: SLF001
+    register_views(spark, sf_dir)
+
+
+def test_dedup_exact_detects_injected_duplicates(spark, sf_dir):
+    from monday_etl_automation_spark.plans.dedup_ops import dedup_exact
+
+    ids = _with_clones(spark, sf_dir)
+    try:
+        rows = {r.keep_doc_id: r.n_copies for r in dedup_exact(spark, sf_dir).collect()}
+        for i in ids:
+            assert rows[i] == 2, f"doc {i}: expected 2 copies, got {rows.get(i)}"
+            assert i + _OFFSET not in rows  # keeper is the min doc_id
+    finally:
+        _restore(spark, sf_dir)
+
+
+def test_dedup_exact_normalization_folds_case_and_whitespace(spark, sf_dir):
+    """The 'exact' hash is over NORMALIZED text: an uppercased,
+    re-whitespaced copy still collapses."""
+    from monday_etl_automation_spark.plans.dedup_ops import dedup_exact
+
+    def shout(df):
+        return df.withColumn(
+            "text", F.upper(F.regexp_replace(F.col("text"), " ", "   "))
+        )
+
+    ids = _with_clones(spark, sf_dir, n=2, mutate=shout)
+    try:
+        rows = {r.keep_doc_id: r.n_copies for r in dedup_exact(spark, sf_dir).collect()}
+        for i in ids:
+            assert rows[i] == 2
+    finally:
+        _restore(spark, sf_dir)
+
+
+def test_minhash_lsh_finds_injected_near_duplicates(spark, sf_dir):
+    """A lightly-perturbed clone (one word changed) must surface as an
+    LSH candidate pair with its original."""
+    from monday_etl_automation_spark.plans.dedup_ops import minhash_lsh_candidates
+
+    def tweak(df):
+        # change one token: replace the first occurrence of 'table'
+        return df.withColumn(
+            "text", F.regexp_replace(F.col("text"), "table", "tables")
+        )
+
+    ids = _with_clones(spark, sf_dir, n=3, mutate=tweak)
+    try:
+        pairs = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in minhash_lsh_candidates(spark, sf_dir).collect()
+        }
+        found = sum((i, i + _OFFSET) in pairs or (i + _OFFSET, i) in pairs for i in ids)
+        assert found >= 2, f"only {found}/3 injected near-dup pairs surfaced: {pairs}"
+    finally:
+        _restore(spark, sf_dir)
