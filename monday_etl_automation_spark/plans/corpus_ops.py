@@ -148,7 +148,7 @@ final AS (
   SELECT a.doc_id, a.n_tokens,
     CASE
       WHEN a.exact_drop IS NOT NULL THEN a.exact_drop
-      WHEN min(CASE WHEN b.exact_drop IS NULL THEN e.nbr END) < a.doc_id THEN 'dropped_near_dup'
+      WHEN min(CASE WHEN b.doc_id IS NOT NULL AND b.exact_drop IS NULL THEN e.nbr END) < a.doc_id THEN 'dropped_near_dup'
       ELSE 'kept'
     END AS disposition
   FROM after_exact a

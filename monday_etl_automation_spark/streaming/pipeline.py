@@ -21,6 +21,7 @@ is identical from the first transformation on.
 
 from __future__ import annotations
 
+import glob
 import os
 import tempfile
 import uuid
@@ -427,7 +428,7 @@ def run_timer_sessions_replay(
     the timers — a single availableNow batch would never time out."""
     import time as _time  # noqa: PLC0415
 
-    from pyspark.sql import Window  # noqa: PLC0415
+    from monday_etl_automation_spark.operators.indexing import with_global_index  # noqa: PLC0415
 
     ev = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="timer_src_")
@@ -435,10 +436,16 @@ def run_timer_sessions_replay(
     # stream source orders files by modification time, and a parallel
     # repartitionByRange write finishes its part files in arbitrary
     # order — the replay must control mtime order explicitly or the
-    # "later" file can land first and stall the watermark. (The global
-    # ntile window is replay-harness code at test scale, not an
-    # operator path.)
-    sliced = ev.withColumn("_slice", F.ntile(n_splits).over(Window.orderBy("ts")))
+    # "later" file can land first and stall the watermark. Slices come
+    # from the two-pass global index (no single-task global-sort
+    # window — the repo-wide rule holds in harness code too); ties on
+    # ts are broken by event_id so the order is total.
+    idxed = with_global_index(ev, ["ts", "event_id"], name="_rn")
+    total = ev.count()
+    sliced = idxed.withColumn(
+        "_slice",
+        (F.floor((F.col("_rn") - 1) * n_splits / F.lit(total)) + 1).cast("int"),
+    ).drop("_rn")
     for i in range(1, n_splits + 1):
         (
             sliced.where(F.col("_slice") == i)
@@ -759,7 +766,10 @@ class StatusUpsertSink:
         self.spark = spark
         self.path = path or tempfile.mkdtemp(prefix="status_upsert_")
         self.n_buckets = n_buckets
-        self._has_state = False
+        # survive a restart-after-crash: state on disk IS state (the
+        # latest-wins MERGE is replay-idempotent, but a restarted sink
+        # must not treat its first delivery as a from-scratch write)
+        self._has_state = bool(glob.glob(os.path.join(self.path, "bucket=*")))
 
     _SCHEMA = "item_id BIGINT, column_id STRING, status STRING, updated_at TIMESTAMP"
 
@@ -849,6 +859,19 @@ class RollupSink:
     can't change the result. In a real deployment this is the
     foreachBatch + Delta-MERGE pattern for driving dashboards off a
     stream without re-scanning history.
+
+    Replay idempotency: foreachBatch is AT-LEAST-ONCE — after a crash
+    between the parquet commit and the checkpoint commit, the
+    restarted query re-delivers the same micro-batch with the same
+    ``batch_id``, and a naive additive MERGE would double-count it
+    (latest-wins merges like StatusUpsertSink's are naturally immune;
+    additive ones are not). Every bucket rewrite therefore stamps the
+    bucket's rows with ``applied_batch_id = batch_id``; on delivery,
+    buckets whose stamp is already >= batch_id are skipped, and only
+    still-behind buckets merge+rewrite. Because a rewrite replaces the
+    WHOLE bucket partition atomically (one parquet overwrite per
+    partition directory), the stamp is exact even when a crash lands
+    mid-write with some touched buckets committed and others not.
     """
 
     _KEYS = ("window_start", "event_type")
@@ -857,14 +880,15 @@ class RollupSink:
         self.spark = spark
         self.path = path or tempfile.mkdtemp(prefix="rollup_")
         self.n_buckets = n_buckets
-        self._has_state = False
+        # survive a restart-after-crash: state on disk IS state
+        self._has_state = bool(glob.glob(os.path.join(self.path, "bucket=*")))
 
     def current(self) -> DataFrame:
         if not self._has_state:
             return self.spark.createDataFrame(
                 [], "window_start TIMESTAMP, event_type STRING, n_events BIGINT, sum_micros BIGINT"
             )
-        return self.spark.read.parquet(self.path).drop("bucket")
+        return self.spark.read.parquet(self.path).drop("bucket", "applied_batch_id")
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -895,10 +919,34 @@ class RollupSink:
                 r["bucket"] for r in partial.select("bucket").distinct().collect()
             ]
             prev = self.spark.read.parquet(self.path).where(F.col("bucket").isin(touched))
-            merged = self._bucketed(self._combine(prev.drop("bucket").unionByName(partial.drop("bucket"))))
+            # replay guard: a touched bucket already stamped with this
+            # (or a later) batch_id has applied this delivery — skip it
+            done = {
+                r["bucket"]
+                for r in prev.where(F.col("applied_batch_id") >= batch_id)
+                .select("bucket")
+                .distinct()
+                .collect()
+            }
+            todo = [b for b in touched if b not in done]
+            if not todo:
+                return
+            prev_todo = prev.where(F.col("bucket").isin(todo))
+            partial_todo = partial.where(F.col("bucket").isin(todo))
+            merged = self._bucketed(
+                self._combine(
+                    prev_todo.drop("bucket", "applied_batch_id").unionByName(
+                        partial_todo.drop("bucket")
+                    )
+                )
+            )
         else:
             merged = partial
-        merged = merged.repartition(self.n_buckets, "bucket").localCheckpoint(eager=True)
+        merged = (
+            merged.withColumn("applied_batch_id", F.lit(batch_id).cast("bigint"))
+            .repartition(self.n_buckets, "bucket")
+            .localCheckpoint(eager=True)
+        )
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

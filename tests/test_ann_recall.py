@@ -40,20 +40,23 @@ def test_ann_lsh_recall_floor(spark):
     exact = _topk_sets(cosine_topk(spark, _RECALL_SF))
     approx = _topk_sets(ann_lsh_topk(spark, _RECALL_SF))
     r = _recall(approx, exact)
-    # multi-probe (own bucket + 4 Hamming-1 buckets): measured 0.46
-    # on the near-orthogonal synthetic embeddings (single-probe was
-    # 0.20); floor at 0.35 leaves jitter headroom but catches a
-    # recall-gutting refactor
-    assert r >= 0.35, f"LSH recall {r:.3f} below design floor"
+    # 4 OR'd probe sets x 4 Knuth-mix planes, Hamming-1 multi-probe,
+    # exact re-rank over deduped candidates: measured 0.96 at sf0.01 /
+    # 0.94 at sf0.1 (single-probe single-set was 0.20). Floor 0.80
+    # leaves headroom for a testdata redraw while catching any
+    # recall-gutting refactor.
+    assert r >= 0.80, f"LSH recall {r:.3f} below design floor"
 
 
 def test_ivf_recall_floor(spark):
     exact = _topk_sets(cosine_topk(spark, _RECALL_SF))
     approx = _topk_sets(ivf_topk(spark, _RECALL_SF))
     r = _recall(approx, exact)
-    # nprobe=2: measured 0.44 (nprobe=1 was 0.16 — Voronoi-boundary
-    # queries dominate the misses on near-orthogonal data)
-    assert r >= 0.35, f"IVF recall {r:.3f} below design floor"
+    # k-means quantizer (20 centroids, 2 Lloyd rounds), nprobe=8:
+    # measured 0.94 at sf0.01 / 0.86 at sf0.1. The old per-label
+    # quantizer capped at ~0.44 because only 8% of true neighbors
+    # share the query's label.
+    assert r >= 0.80, f"IVF recall {r:.3f} below design floor"
 
 
 def test_exact_is_self_consistent(spark, sf_dir):

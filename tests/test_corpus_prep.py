@@ -69,6 +69,52 @@ def test_dropping_quality_doc_does_not_drop_its_near_dup(spark, sf_dir):
     assert n_near <= n_pairs
 
 
+def test_gate_dropped_smaller_neighbor_does_not_drop_survivor(spark, sf_dir):
+    """Adversarial injection for the fail-open bug: a near-dup pair
+    whose SMALLER-id member is dropped by the quality gate must leave
+    the surviving member 'kept' (the LEFT JOIN to after_exact finds no
+    row for a gate-dropped neighbor, and a naive NULL test would treat
+    that as a surviving neighbor).
+
+    Construction: simhash is a per-token +1/-1 majority vote, so a
+    text repeated N times has the IDENTICAL signature (hamming 0 →
+    guaranteed band match) while its token count scales N× — push it
+    past the 1000-token quality cap and the clone fails the gate
+    (loses the 40-point length component AND the 15-point
+    distinct-ratio component, so score <= 45 < 55) while staying a
+    near-dup of the original."""
+    from monday_etl_automation_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    before = {r.doc_id: r.disposition for r in corpus_prep(spark, sf_dir).collect()}
+    base = spark.table("documents")
+    victim = (
+        corpus_prep(spark, sf_dir)
+        .where("disposition = 'kept'")
+        .orderBy("doc_id")
+        .first()
+        .doc_id
+    )
+    vrow = base.where(F.col("doc_id") == victim).first()
+    n_toks = len(vrow.text.split())
+    rep = max(2, 1000 // n_toks + 1)
+    clone = spark.createDataFrame(
+        [(-5, " ".join([vrow.text] * rep), vrow.lang, vrow.source, len(vrow.text) * rep)],
+        schema=base.schema,
+    )
+    base.unionByName(clone).createOrReplaceTempView("documents")
+    try:
+        out = {r.doc_id: r.disposition for r in corpus_prep(spark, sf_dir).collect()}
+        assert out[-5] == "dropped_quality"
+        # the survivor must NOT be collateral damage of its gate-dropped twin
+        assert out[victim] == "kept"
+        # and nobody else's disposition may shift either
+        assert {k: v for k, v in out.items() if k != -5} == before
+    finally:
+        spark._mea_views_sf_dir = None  # noqa: SLF001
+        register_views(spark, sf_dir)
+
+
 def test_exact_dup_branch_fires_on_injected_duplicate(spark, sf_dir):
     """The synthetic corpus has no exact duplicates (verified via
     DuckDB), so the dropped_exact_dup branch would be vacuously green;

@@ -372,6 +372,51 @@ def test_rollup_sink_equals_batch_aggregate(spark, sf_dir):
     assert got == want
 
 
+def test_rollup_sink_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after a crash between the parquet
+    commit and the checkpoint commit, the SAME micro-batch is
+    re-delivered with the SAME batch_id. The additive MERGE must
+    no-op on the re-delivery (per-bucket applied_batch_id stamp), in
+    the same process AND through a restarted sink instance whose only
+    knowledge is the on-disk state."""
+    from monday_etl_automation_spark.streaming.pipeline import RollupSink
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    b0 = batch([(t0, "click", 1.5), (t0, "view", 2.0)])
+    b1 = batch([(t0, "click", 0.5), (t0 + dt.timedelta(hours=1), "click", 3.0)])
+    path = str(tmp_path / "rollup_state")
+    sink = RollupSink(spark, path)
+    sink.process_batch(b0, 0)
+    sink.process_batch(b1, 1)
+    want = sorted(map(tuple, sink.current().collect()))
+    assert want  # non-vacuous
+
+    # same batch, same id, delivered again -> table unchanged
+    sink.process_batch(b1, 1)
+    assert sorted(map(tuple, sink.current().collect())) == want
+    # an even older delivery must also no-op
+    sink.process_batch(b0, 0)
+    assert sorted(map(tuple, sink.current().collect())) == want
+
+    # crash-restart: a FRESH instance on the same path must see the
+    # state (not clobber it) and still reject the replayed batch
+    sink2 = RollupSink(spark, path)
+    assert sorted(map(tuple, sink2.current().collect())) == want
+    sink2.process_batch(b1, 1)
+    assert sorted(map(tuple, sink2.current().collect())) == want
+
+    # ...and a genuinely new batch still applies additively
+    sink2.process_batch(batch([(t0, "view", 1.0)]), 2)
+    got = {(r.window_start, r.event_type): (r.n_events, r.sum_micros) for r in sink2.current().collect()}
+    assert got[(t0, "view")] == (2, 3_000_000)
+    assert got[(t0, "click")] == (2, 2_000_000)
+
+
 def test_status_upsert_keeps_latest_per_key(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
     rows = [

@@ -41,6 +41,29 @@ def run(label: str, args: list[str], timeout: int) -> bool:
     return rc == 0
 
 
+def static_checks() -> bool:
+    """Repo-rule greps that need no JVM. Currently: no global-sort
+    window (``Window.orderBy`` with no partition spec funnels the
+    whole relation through one task) anywhere in the package — use
+    operators/indexing.py:with_global_index instead."""
+    print("=== static checks ===", flush=True)
+    bad: list[str] = []
+    pkg = os.path.join(REPO, "monday_etl_automation_spark")
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path, encoding="utf-8") as f:
+                for i, line in enumerate(f, 1):
+                    if "Window.orderBy" in line:
+                        bad.append(f"{path}:{i}: {line.strip()}")
+    for hit in bad:
+        print(f"GLOBAL-WINDOW {hit}")
+    print(f"=== static checks: {'OK' if not bad else 'FAIL'} ===\n", flush=True)
+    return not bad
+
+
 def main() -> int:
     full = "--full" in sys.argv[1:]
     steps = [
@@ -53,7 +76,8 @@ def main() -> int:
             ("driver_sim sf0.1", [sys.executable, f"{HERE}/driver_sim.py", "/root/testdata/sf0.1"], 1200),
             ("strict_compare sf0.1", [sys.executable, f"{HERE}/strict_compare.py", "/root/testdata/sf0.1"], 1200),
         ]
-    results = [(label, run(label, args, timeout)) for label, args, timeout in steps]
+    results = [("static checks", static_checks())]
+    results += [(label, run(label, args, timeout)) for label, args, timeout in steps]
     print("GATE SUMMARY:")
     for label, ok in results:
         print(f"  {'PASS' if ok else 'FAIL'}  {label}")
