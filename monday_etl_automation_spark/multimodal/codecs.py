@@ -25,6 +25,41 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import sys
+from types import ModuleType
+
+
+def available_backend() -> str:
+    """'real' when PyMuPDF + PIL are importable in this environment,
+    else 'stub'. Probed lazily so importing this module never pays
+    (or fails on) the heavy imports."""
+    from monday_etl_automation_spark.multimodal import codecs_real  # noqa: PLC0415
+
+    return "real" if codecs_real.HAVE_REAL_CODECS else "stub"
+
+
+def resolve(backend: str = "auto") -> ModuleType:
+    """Select the codec backend module.
+
+    - 'stub': this module (deterministic fakes with exact size
+      oracles — what the driver-oracle queries pin).
+    - 'real': multimodal/codecs_real.py (PyMuPDF/PIL); raises if the
+      libraries are missing.
+    - 'auto': 'real' when available, else 'stub' — what the
+      user-facing pipeline entry points default to.
+    """
+    if backend == "auto":
+        backend = available_backend()
+    if backend == "stub":
+        return sys.modules[__name__]
+    if backend == "real":
+        from monday_etl_automation_spark.multimodal import codecs_real  # noqa: PLC0415
+
+        if not codecs_real.HAVE_REAL_CODECS:
+            raise ImportError("backend='real' requires PyMuPDF and PIL")
+        return codecs_real
+    raise ValueError(f"unknown codec backend {backend!r}")
+
 
 PAGE_CHARS = 200  # chars per fake page
 _MAGIC = b"%FPDF\n"

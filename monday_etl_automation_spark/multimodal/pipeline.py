@@ -27,13 +27,14 @@ from monday_etl_automation_spark.multimodal import codecs
 DOC_BIN_SCHEMA = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, content BINARY"
 
 
-def documents_to_binary(documents: DataFrame) -> DataFrame:
-    """Materialize the fake-PDF binary column from document text.
+def documents_to_binary(documents: DataFrame, backend: str = "auto") -> DataFrame:
+    """Materialize the PDF binary column from document text.
 
     (Stand-in for S7 download / binaryFile scan: real deployments read
     ``spark.read.format('binaryFile')`` or fetch via a UDF; here the
     bytes derive deterministically from the text fixture.)
     """
+    codec = codecs.resolve(backend)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -43,7 +44,7 @@ def documents_to_binary(documents: DataFrame) -> DataFrame:
                     "lang": pdf["lang"],
                     "source": pdf["source"],
                     "n_chars": pdf["n_chars"],
-                    "content": pdf["text"].map(lambda t: codecs.pdf_encode(t)),
+                    "content": pdf["text"].map(lambda t: codec.pdf_encode(t)),
                 }
             )
 
@@ -57,7 +58,7 @@ def documents_to_binary(documents: DataFrame) -> DataFrame:
 B1_SCHEMA = "doc_id BIGINT, n_pages BIGINT, in_bytes BIGINT, out_bytes BIGINT, out_sha STRING"
 
 
-def compress_pdf(docs_bin: DataFrame, preset: str = "balanced") -> DataFrame:
+def compress_pdf(docs_bin: DataFrame, preset: str = "balanced", backend: str = "auto") -> DataFrame:
     """B1 (fixed_signature_utils.py:38-110): page-at-a-time rasterize at
     the preset DPI, 'sharpen', JPEG re-encode, rebuild the container.
 
@@ -68,6 +69,7 @@ def compress_pdf(docs_bin: DataFrame, preset: str = "balanced") -> DataFrame:
     preset."""
     if "preset" not in docs_bin.columns:
         docs_bin = docs_bin.withColumn("preset", F.lit(preset))
+    codec = codecs.resolve(backend)
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -75,12 +77,12 @@ def compress_pdf(docs_bin: DataFrame, preset: str = "balanced") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, content, pr in zip(pdf["doc_id"], pdf["content"], pdf["preset"]):
-                dpi, quality = codecs.quality_preset(pr)
-                pages = codecs.pdf_pages(bytes(content))
+                dpi, quality = codec.quality_preset(pr)
+                pages = codec.pdf_pages(bytes(content))
                 images = [
-                    codecs.jpeg_encode(codecs.rasterize_page(p, dpi), quality) for p in pages
+                    codec.jpeg_encode(codec.rasterize_page(p, dpi), quality) for p in pages
                 ]
-                out = codecs.pdf_from_page_images(images)
+                out = codec.pdf_from_page_images(images)
                 rows.append(
                     (doc_id, len(pages), len(content), len(out), hashlib.sha256(out).hexdigest())
                 )
@@ -98,7 +100,7 @@ PAGE_SCHEMA = "doc_id BIGINT, page_idx INT, page BINARY, preset STRING"
 B7_SCHEMA = "doc_id BIGINT, page_idx INT, out_page BINARY"
 
 
-def explode_pages(docs_bin: DataFrame, dpi: int | None = 150) -> DataFrame:
+def explode_pages(docs_bin: DataFrame, dpi: int | None = 150, backend: str = "auto") -> DataFrame:
     """Fan a document out to one row per rastered page — at scale the
     page rows redistribute across the cluster, so one huge document
     cannot hot-spot a single task.
@@ -109,25 +111,27 @@ def explode_pages(docs_bin: DataFrame, dpi: int | None = 150) -> DataFrame:
     per_row = "preset" in docs_bin.columns
     if not per_row:
         docs_bin = docs_bin.withColumn("preset", F.lit("balanced"))
+    codec = codecs.resolve(backend)
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[tuple] = []
             for doc_id, content, pr in zip(pdf["doc_id"], pdf["content"], pdf["preset"]):
-                page_dpi = codecs.quality_preset(pr)[0] if per_row else dpi
-                for i, p in enumerate(codecs.pdf_pages(bytes(content))):
-                    out.append((doc_id, i, codecs.rasterize_page(p, page_dpi), pr))
+                page_dpi = codec.quality_preset(pr)[0] if per_row else dpi
+                for i, p in enumerate(codec.pdf_pages(bytes(content))):
+                    out.append((doc_id, i, codec.rasterize_page(p, page_dpi), pr))
             yield pd.DataFrame(out, columns=["doc_id", "page_idx", "page", "preset"])
 
     return docs_bin.mapInPandas(split, PAGE_SCHEMA)
 
 
-def scan_pages(pages: DataFrame, preset: str | None = "balanced") -> DataFrame:
+def scan_pages(pages: DataFrame, preset: str | None = "balanced", backend: str = "auto") -> DataFrame:
     """B2/B3: seeded scan effects + A4 normalization per page. The seed
     is (doc_id, page_idx, preset) — retry-reproducible (§7.5 item 4).
     A ``preset`` column on ``pages`` (from explode_pages) overrides the
     constant argument per row."""
     per_row = "preset" in pages.columns
+    codec = codecs.resolve(backend)
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -135,8 +139,8 @@ def scan_pages(pages: DataFrame, preset: str | None = "balanced") -> DataFrame:
             prs = pdf["preset"] if per_row else [preset] * len(pdf)
             for doc_id, idx, page, pr in zip(pdf["doc_id"], pdf["page_idx"], pdf["page"], prs):
                 key = f"{doc_id}:{idx}".encode()
-                eff = codecs.scan_effects(bytes(page), key=key, preset=pr)
-                out.append((doc_id, idx, codecs.a4_normalize(eff)))
+                eff = codec.scan_effects(bytes(page), key=key, preset=pr)
+                out.append((doc_id, idx, codec.a4_normalize(eff)))
             yield pd.DataFrame(out, columns=["doc_id", "page_idx", "out_page"])
 
     return pages.mapInPandas(work, B7_SCHEMA)
@@ -159,7 +163,7 @@ def reassemble(scanned: DataFrame) -> DataFrame:
     )
 
 
-def scanned_pdf(docs_bin: DataFrame, preset: str = "balanced", dpi: int = 150) -> DataFrame:
+def scanned_pdf(docs_bin: DataFrame, preset: str = "balanced", dpi: int = 150, backend: str = "auto") -> DataFrame:
     """Full B7: explode -> scan -> reassemble -> rebuild container.
 
     Per-row ``preset`` column (if present) wins over the constant
@@ -168,7 +172,8 @@ def scanned_pdf(docs_bin: DataFrame, preset: str = "balanced", dpi: int = 150) -
     direct explode callers)."""
     if "preset" not in docs_bin.columns:
         docs_bin = docs_bin.withColumn("preset", F.lit(preset))
-    parts = reassemble(scan_pages(explode_pages(docs_bin, dpi)))
+    codec = codecs.resolve(backend)
+    parts = reassemble(scan_pages(explode_pages(docs_bin, dpi, backend=backend), backend=backend))
 
     def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -176,7 +181,7 @@ def scanned_pdf(docs_bin: DataFrame, preset: str = "balanced", dpi: int = 150) -
         for pdf in batches:
             rows = []
             for doc_id, n_pages, pages in zip(pdf["doc_id"], pdf["n_pages"], pdf["pages"]):
-                out = codecs.pdf_from_page_images([bytes(p) for p in pages])
+                out = codec.pdf_from_page_images([bytes(p) for p in pages])
                 rows.append((doc_id, int(n_pages), len(out), hashlib.sha256(out).hexdigest()))
             yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "out_bytes", "out_sha"])
 
@@ -192,11 +197,12 @@ B5_SCHEMA = (
 )
 
 
-def sign_pipeline(docs_bin: DataFrame, signer: str = "engine", preset: str = "balanced") -> DataFrame:
+def sign_pipeline(docs_bin: DataFrame, signer: str = "engine", preset: str = "balanced", backend: str = "auto") -> DataFrame:
     """B5 (fixed_signature_utils.py:211-254): compress -> sign ->
     rename. The uvloop/ThreadPool plumbing of the reference disappears:
     Spark tasks are already parallel sync contexts (SURVEY §2.9 B4)."""
-    dpi, quality = codecs.quality_preset(preset)
+    codec = codecs.resolve(backend)
+    dpi, quality = codec.quality_preset(preset)
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -204,12 +210,12 @@ def sign_pipeline(docs_bin: DataFrame, signer: str = "engine", preset: str = "ba
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                pages = codecs.pdf_pages(bytes(content))
+                pages = codec.pdf_pages(bytes(content))
                 images = [
-                    codecs.jpeg_encode(codecs.rasterize_page(p, dpi), quality) for p in pages
+                    codec.jpeg_encode(codec.rasterize_page(p, dpi), quality) for p in pages
                 ]
-                compressed = codecs.pdf_from_page_images(images)
-                signed = codecs.sign_pdf_bytes(compressed, signer)
+                compressed = codec.pdf_from_page_images(images)
+                signed = codec.sign_pdf_bytes(compressed, signer)
                 rows.append(
                     (doc_id, len(pages), len(signed), hashlib.sha256(signed).hexdigest())
                 )

@@ -66,17 +66,58 @@ def salted_join(
     return salted.join(replicated, [*on, "_salt"], how).drop("_salt")
 
 
+def salted_join_hot_only(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    hot: DataFrame,
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-path salted join: ONLY the hot keys pay the salting tax.
+
+    ``salted_join`` replicates the whole ``other`` side n_salts× even
+    though only the hot keys need spreading — for a mostly-uniform key
+    distribution that's n_salts× wasted shuffle. This variant splits
+    on membership in ``hot`` (a key frame from ``hot_keys`` — small by
+    construction, broadcast to both sides):
+
+    - hot path:  skewed∩hot  salted-joins  other∩hot  (only the hot
+      keys' dim rows are replicated);
+    - cold path: plain equi-join for everything else (AQE handles it).
+
+    Exact: the two paths partition the key space, so the union equals
+    the unsalted join row-for-row (pinned by tests/test_skew.py).
+    At 100 TB this is the default posture: the hot set is typically a
+    handful of keys, so the replicated slice of ``other`` is KB-sized
+    while the cold 99.99% of both tables moves exactly once."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join_hot_only supports inner/left, got {how!r}")
+    hot_k = F.broadcast(hot.select(*on).distinct())
+    skew_hot = skewed.join(hot_k, on, "left_semi")
+    skew_cold = skewed.join(hot_k, on, "left_anti")
+    other_hot = other.join(hot_k, on, "left_semi")
+    hot_joined = salted_join(skew_hot, other_hot, on, n_salts, how, salt_on)
+    cold_joined = skew_cold.join(other, on, how)
+    return hot_joined.unionByName(cold_joined)
+
+
 def hot_keys(df: DataFrame, on: list[str], min_share: float = 0.01) -> DataFrame:
     """Keys owning more than ``min_share`` of the rows — the frequency
-    probe that decides which keys need salting. One partial-aggregated
-    count per key; at 100 TB run it on a sample
+    probe that decides which keys need salting. ONE scan of ``df``:
+    the per-key counts are materialized (|keys|-sized, spillable), and
+    both the total and the threshold filter read that frame — a naive
+    ``df.count()`` + ``groupBy`` would scan the (possibly unmaterialized,
+    recomputed) input twice. At 100 TB run the probe on a sample
     (``df.sample(0.001)``) — hot keys by definition survive sampling."""
-    total = df.count()
-    return (
+    counts = (
         df.groupBy(*on)
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .where(F.col("n_rows") >= F.lit(max(1.0, min_share * total)))
+        .localCheckpoint(eager=True)
     )
+    total = counts.agg(F.sum("n_rows")).collect()[0][0] or 0
+    return counts.where(F.col("n_rows") >= F.lit(max(1.0, min_share * total)))
 
 
 def salted_aggregate(

@@ -44,7 +44,12 @@ def _scan_block(preset: str) -> int:
 
 
 def _docs_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pipeline.documents_to_binary(load_table(spark, sf_dir, "documents"))
+    # backend pinned to the stub: this plan's DuckDB oracle recomputes
+    # the stub's EXACT size model, which no real JPEG encoder promises.
+    # The real-codec route (codecs.resolve("auto")) is the user-facing
+    # pipeline default, exercised by tests/test_real_codecs.py where
+    # the libraries exist.
+    return pipeline.documents_to_binary(load_table(spark, sf_dir, "documents"), backend="stub")
 
 
 _WIDE_COLS = ("stage", "preset", "doc_id", "n_pages", "in_bytes", "out_bytes", "file_name")
@@ -79,10 +84,10 @@ def binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out = out.withColumn(c, F.lit(None).cast(t))
         return out.select(*_WIDE_COLS)
 
-    compress = tag(pipeline.compress_pdf(docs_bin).drop("out_sha"), "compress")
-    scan = tag(pipeline.scanned_pdf(docs_bin).drop("out_sha"), "scan")
+    compress = tag(pipeline.compress_pdf(docs_bin, backend="stub").drop("out_sha"), "compress")
+    scan = tag(pipeline.scanned_pdf(docs_bin, backend="stub").drop("out_sha"), "scan")
     sign = _widen(
-        pipeline.sign_pipeline(docs_bin.drop("preset"), signer="engine", preset=_SIGN_PRESET).drop(
+        pipeline.sign_pipeline(docs_bin.drop("preset"), signer="engine", preset=_SIGN_PRESET, backend="stub").drop(
             "out_sha"
         ),
         "sign",

@@ -493,6 +493,64 @@ def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 20  # hop+pointer-jump rounds: reach doubles per round, 2^20 >> any real chain
 
 
+def _converge_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS):
+    """Min-label propagation with pointer doubling over a
+    both-directions edge list ``(src, dst)`` (pre-checkpointed).
+
+    Returns ``(labels, n_rounds)`` where ``labels`` maps every edge
+    vertex to its component's min vertex id and ``n_rounds`` counts
+    loop iterations (each = two hop+jump steps + one convergence
+    check). Reach at least doubles per step, so n_rounds is
+    O(log diameter) — pinned as an invariant by
+    tests/test_dedup_injection.py's 130-doc chain."""
+    from pyspark.sql import functions as F
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    def step(lbl: DataFrame) -> DataFrame:
+        nbr_min = (
+            edges.join(lbl, edges.dst == lbl.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        hopped = lbl.join(nbr_min, lbl.doc_id == nbr_min.src, "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+        )
+        # pointer jump: label values are vertex ids, so the hopped map
+        # resolves its own labels' labels (min-labels only decrease, so
+        # label(label(v)) <= label(v) and the jump is always safe)
+        parent = hopped.select(F.col("doc_id").alias("_p"), F.col("label").alias("_plabel"))
+        return hopped.join(parent, hopped.label == parent._p, "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("_plabel", F.col("label"))).alias("label"),
+        )
+
+    rounds = 0
+    for _ in range(max_iters):
+        # two hop+jump steps per materialization: on small-per-round
+        # frames the cost is per-job scheduling, not data, so halving
+        # the checkpoint/convergence-check cadence halves wall time;
+        # the extra no-op step on the final round is one tiny job
+        rounds += 1
+        old = labels.select("doc_id", F.col("label").alias("_old"))
+        new_labels = (
+            step(step(labels))
+            .join(old, "doc_id")
+            .select("doc_id", "label", (F.col("label") < F.col("_old")).alias("_chg"))
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels, rounds
+
+
 def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label propagation with pointer doubling to a fixed point.
 
@@ -528,46 +586,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst"))
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    def step(lbl: DataFrame) -> DataFrame:
-        nbr_min = (
-            edges.join(lbl, edges.dst == lbl.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        hopped = lbl.join(nbr_min, lbl.doc_id == nbr_min.src, "left").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
-        )
-        # pointer jump: label values are vertex ids, so the hopped map
-        # resolves its own labels' labels (min-labels only decrease, so
-        # label(label(v)) <= label(v) and the jump is always safe)
-        parent = hopped.select(F.col("doc_id").alias("_p"), F.col("label").alias("_plabel"))
-        return hopped.join(parent, hopped.label == parent._p, "left").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce("_plabel", F.col("label"))).alias("label"),
-        )
-
-    for _ in range(_CC_MAX_ITERS):
-        # two hop+jump steps per materialization: on small-per-round
-        # frames the cost is per-job scheduling, not data, so halving
-        # the checkpoint/convergence-check cadence halves wall time;
-        # the extra no-op step on the final round is one tiny job
-        old = labels.select("doc_id", F.col("label").alias("_old"))
-        new_labels = (
-            step(step(labels))
-            .join(old, "doc_id")
-            .select("doc_id", "label", (F.col("label") < F.col("_old")).alias("_chg"))
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.where(F.col("_chg")).limit(1).count()
-        labels = new_labels.drop("_chg")
-        if changed == 0:
-            break
+    labels, _rounds = _converge_components(edges)
     # single corpus scan: broadcast the (dup-population-sized) label
     # map onto the full doc list; isolated docs are their own
     # canonical. If the dup population ever outgrew broadcast size,

@@ -86,3 +86,32 @@ def test_minhash_lsh_finds_injected_near_duplicates(spark, sf_dir):
         assert found >= 2, f"only {found}/3 injected near-dup pairs surfaced: {pairs}"
     finally:
         _restore(spark, sf_dir)
+
+
+def test_components_long_chain_converges_logarithmically(spark):
+    """Adversarial worst case for connected components: a 130-vertex
+    path graph (A~B~C~...~Z) has diameter 129, so naive min-label
+    propagation needs ~129 rounds. Pointer doubling must collapse it
+    in O(log diameter): each loop round runs two hop+jump steps and
+    reach at least doubles per step, so ceil(log2(129)) = 8 steps =
+    4 rounds (+1 to observe the fixed point) suffice. Pins both the
+    correctness of the fixed point and the round bound — a refactor
+    that silently drops the pointer jump fails here, not at 100 TB."""
+    import math
+
+    from monday_etl_automation_spark.plans.dedup_ops import _converge_components
+
+    n = 130
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    edges = (
+        spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
+        .unionByName(spark.createDataFrame([(b, a) for a, b in pairs], "src BIGINT, dst BIGINT"))
+        .localCheckpoint(eager=True)
+    )
+    labels, rounds = _converge_components(edges)
+    got = {r.doc_id: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}, "chain did not fully collapse to min id"
+    max_steps = math.ceil(math.log2(n - 1)) + 2  # +2: fixed-point detection round
+    assert 2 * rounds <= max_steps + 1, (
+        f"{rounds} rounds ({2 * rounds} steps) for a {n}-chain — pointer doubling broken?"
+    )

@@ -42,15 +42,15 @@ def test_sign_is_content_addressed():
 
 def test_distributed_pipeline_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
-    bin_df = pipeline.documents_to_binary(docs)
-    a = {r.doc_id: r.out_sha for r in pipeline.scanned_pdf(bin_df).collect()}
-    b = {r.doc_id: r.out_sha for r in pipeline.scanned_pdf(bin_df).collect()}
+    bin_df = pipeline.documents_to_binary(docs, backend="stub")
+    a = {r.doc_id: r.out_sha for r in pipeline.scanned_pdf(bin_df, backend="stub").collect()}
+    b = {r.doc_id: r.out_sha for r in pipeline.scanned_pdf(bin_df, backend="stub").collect()}
     assert a == b and len(a) == 50
 
 
 def test_reassembly_preserves_page_order(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(5)
-    bin_df = pipeline.documents_to_binary(docs)
+    bin_df = pipeline.documents_to_binary(docs, backend="stub")
     # driver-side reference computation, page by page in order
     rows = {r.doc_id: bytes(r.content) for r in bin_df.collect()}
     expected = {}
@@ -61,5 +61,5 @@ def test_reassembly_preserves_page_order(spark, sf_dir):
             eff = codecs.scan_effects(img, key=f"{doc_id}:{i}".encode(), preset="balanced")
             imgs.append(codecs.a4_normalize(eff))
         expected[doc_id] = hashlib.sha256(codecs.pdf_from_page_images(imgs)).hexdigest()
-    got = {r.doc_id: r.out_sha for r in pipeline.scanned_pdf(bin_df).collect()}
+    got = {r.doc_id: r.out_sha for r in pipeline.scanned_pdf(bin_df, backend="stub").collect()}
     assert got == expected

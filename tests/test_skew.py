@@ -139,3 +139,45 @@ def test_salted_distinct_count_equals_plain(spark, sf_dir):
     )
     got = sorted(map(tuple, salted_distinct_count(ev, ["user_id"], "event_type").collect()))
     assert got == plain
+
+
+def test_salted_join_hot_only_equals_plain_join(spark, sf_dir):
+    """Two-path variant: hot keys salted, cold keys joined plainly —
+    the union must equal the unsalted join row-for-row, for inner AND
+    left (left exercises unmatched cold rows surviving the anti/semi
+    split)."""
+    from monday_etl_automation_spark.operators.skew import salted_join_hot_only
+
+    ev = _skewed_events(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        # drop some keys so a LEFT join has unmatched rows on both paths
+        .where(F.col("user_id") % 7 != 3)
+        .withColumn("user_tag", F.concat(F.lit("u"), F.col("user_id")))
+    )
+    hot = hot_keys(ev, ["user_id"], min_share=0.1)
+    assert hot.count() == 1  # the synthetic zipf head, and only it
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(
+                tuple,
+                ev.hint("shuffle_hash")
+                .join(dim, ["user_id"], how)
+                .select("event_id", "user_tag")
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                salted_join_hot_only(
+                    ev, dim, ["user_id"], hot, n_salts=8, how=how, salt_on="event_id"
+                )
+                .select("event_id", "user_tag")
+                .collect(),
+            )
+        )
+        assert len(got) > 0
+        assert got == plain, f"hot-only salted {how} join diverged from plain"
