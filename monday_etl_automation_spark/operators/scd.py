@@ -17,11 +17,19 @@ row. Two operators:
   per-batch work is O(touched keys' history), not O(dimension) — the
   same touched-partition principle as StatusUpsertSink
   (`streaming/pipeline.py`). Merge is associative with the builder:
-  merge(build(log1), log2) == build(log1 ∪ log2), pinned by
-  tests/test_scd.py.
+  merge(build(log1), log2) == build(log1 ∪ log2) for ARBITRARY
+  batches — including retroactive events that land between two
+  previously-collapsed duplicate events — pinned by tests/test_scd.py
+  (median split + retro-insert).
 
-Output contract: (key, attrs..., valid_from, valid_to, is_current)
-with valid_to NULL on the open version (driver-safe types).
+Output contract: (key, attrs..., valid_from, valid_to, is_current,
+_event_ts) with valid_to NULL on the open version (driver-safe
+types). ``_event_ts`` is internal bookkeeping: the sorted timestamps
+of every change event collapsed into the version (no-op collapse is
+otherwise lossy — a retro batch event landing between two collapsed
+duplicates would lose the reversion version on rebuild). Serving
+queries drop it; its size is bounded by the key's duplicate-event
+count, and only touched keys ever re-explode it.
 """
 
 from __future__ import annotations
@@ -37,25 +45,40 @@ def scd2_from_changelog(
 
     Consecutive duplicate states collapse (a change event that sets
     the same attributes extends the current version instead of opening
-    a redundant one). Ties on (key, ts) are broken by the attribute
-    tuple so the result is deterministic under any input order.
+    a redundant one), but their timestamps are RETAINED in
+    ``_event_ts`` so an incremental merge can replay the exact event
+    history for touched keys. Ties on (key, ts) are broken by the
+    attribute tuple so the result is deterministic under any input
+    order.
+
+    One shuffle on the key: the version-id running sum, the per-version
+    group-by, and the interval-closing lead all share the key
+    partitioning (grouping on (key, _vid) is co-located by key).
     """
     w = Window.partitionBy(key).orderBy(F.col(ts).asc(), *[F.col(a).asc() for a in attrs])
     state = F.struct(*[F.col(a) for a in attrs])
-    versioned = (
+    # version id = running count of state changes per key; rows sharing
+    # a _vid are the collapsed duplicates of one version
+    flagged = (
         changes.select(key, *attrs, ts)
         .withColumn("_prev_state", F.lag(state).over(w))
-        .where(F.col("_prev_state").isNull() | (F.col("_prev_state") != state))
-        .drop("_prev_state")
+        .withColumn(
+            "_new",
+            (F.col("_prev_state").isNull() | (F.col("_prev_state") != state)).cast("int"),
+        )
+        .withColumn("_vid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     )
-    # same window ordering on the collapsed rows: close each interval
-    # at the next version's start
-    w2 = Window.partitionBy(key).orderBy(F.col(ts).asc(), *[F.col(a).asc() for a in attrs])
+    versioned = flagged.groupBy(key, "_vid").agg(
+        *[F.first(a).alias(a) for a in attrs],
+        F.min(ts).alias("valid_from"),
+        F.sort_array(F.collect_list(ts)).alias("_event_ts"),
+    )
+    w2 = Window.partitionBy(key).orderBy(F.col("valid_from").asc(), *[F.col(a).asc() for a in attrs])
     return (
-        versioned.withColumn("valid_from", F.col(ts))
-        .withColumn("valid_to", F.lead(ts).over(w2))
+        versioned.withColumn("valid_to", F.lead("valid_from").over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
-        .drop(ts)
+        .drop("_vid")
+        .select(key, *attrs, "valid_from", "valid_to", "is_current", "_event_ts")
     )
 
 
@@ -64,14 +87,23 @@ def scd2_merge(
 ) -> DataFrame:
     """Incrementally apply ``batch`` (a change log) to an existing SCD2
     dimension: untouched keys pass through with zero work; touched
-    keys' histories are rebuilt from (their existing versions ∪ the
-    batch). Equivalent to rebuilding from the full concatenated log
-    (associativity test), but per-batch cost follows the batch."""
+    keys' histories are rebuilt from (their replayed event history ∪
+    the batch). Equivalent to rebuilding from the full concatenated
+    log for ARBITRARY batches — retroactive events included — because
+    ``_event_ts`` replays every collapsed duplicate event, not just
+    version starts (a valid_from-only replay loses the reversion when
+    a retro event lands between two collapsed duplicates).
+
+    Dimensions built before ``_event_ts`` existed degrade gracefully:
+    their versions replay as single events at valid_from, which is
+    exact for append-only (non-retroactive) batches only."""
     touched = batch.select(key).distinct()
+    if "_event_ts" not in dim.columns:
+        dim = dim.withColumn("_event_ts", F.array(F.col("valid_from")))
     untouched = dim.join(touched, key, "left_anti")
     affected_as_log = (
         dim.join(touched, key, "left_semi")
-        .select(key, *attrs, F.col("valid_from").alias(ts))
+        .select(key, *attrs, F.explode("_event_ts").alias(ts))
     )
     rebuilt = scd2_from_changelog(
         affected_as_log.unionByName(batch.select(key, *attrs, ts)), key, attrs, ts

@@ -69,11 +69,13 @@ def compact_parquet(
     table (the same reason StatusUpsertSink severs lineage before its
     overwrite: never write over files still being read).
     """
+    staging = path.rstrip("/") + "._compact_staging"
+    backup = path.rstrip("/") + "._compact_old"
+    _recover_interrupted(path, staging, backup)
     plan = plan_compaction(path, target_file_bytes)
     if not plan["compact"]:
         return {**plan, "rewritten": False}
     df = spark.read.parquet(path)
-    staging = path.rstrip("/") + "._compact_staging"
     if partition_by:
         # spread within partitions only as far as size demands:
         # files-per-partition budget ~ total target spread over
@@ -91,11 +93,42 @@ def compact_parquet(
     else:
         df.repartition(plan["target_files"]).write.mode("overwrite").parquet(staging)
     # atomic-ish swap (rename): on HDFS/local a dir rename is atomic;
-    # on object stores this step is the table format's metadata commit
-    backup = path.rstrip("/") + "._compact_old"
+    # on object stores this step is the table format's metadata commit.
+    # Order matters for crash-safety: the backup is deleted ONLY after
+    # the staging->path rename lands, and a crash anywhere in between
+    # is repaired by _recover_interrupted on the next run.
     os.rename(path, backup)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        os.rename(backup, path)  # restore — the table must never vanish
+        raise
     import shutil
 
     shutil.rmtree(backup)
     return {**plan, "rewritten": True, **{f"after_{k}": v for k, v in dir_stats(path).items()}}
+
+
+def _recover_interrupted(path: str, staging: str, backup: str) -> None:
+    """Repair leftovers from a compaction that crashed mid-swap, so
+    compact_parquet is safely re-runnable:
+
+    - backup exists and the table path is MISSING → crash landed
+      between the two renames; the backup IS the table — restore it.
+    - backup exists alongside the table → crash after the swap but
+      before cleanup; the table is current — drop the stale backup
+      (a blind ``os.rename(path, backup)`` would otherwise fail:
+      POSIX refuses to rename onto a non-empty directory).
+    - stale staging → partial write from an aborted run — drop it
+      (the overwrite would clobber it anyway, but a crash BEFORE the
+      write must not leave it to be mistaken for a finished stage).
+    """
+    import shutil
+
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)
+        else:
+            shutil.rmtree(backup)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)

@@ -83,7 +83,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cache is None:
         cache = {}
         spark._mea_table_cache = cache  # noqa: SLF001 (own session tag)
-    key = (sf_dir, name)
+    # the key carries the file's (mtime_ns, size): the cached plan pins
+    # the parquet footer/listing from first read, and this environment
+    # is KNOWN to regenerate /root/testdata mid-round (round-5
+    # incident) — a stale plan would silently read the old snapshot.
+    # One os.stat per call is ~1000x cheaper than the listing it saves.
+    fpath = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(fpath)
+        fkey = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fkey = None
+    key = (sf_dir, name, fkey)
     cached = cache.get(key)
     if cached is not None:
         return cached

@@ -67,3 +67,52 @@ def test_plan_compaction_is_metadata_only(spark, sf_dir, tmp_path):
     assert plan["n_files"] == 10
     assert plan["target_files"] == 1
     assert plan["compact"]
+
+
+def test_compact_recovers_from_crash_leftovers(spark, sf_dir, tmp_path):
+    """compact_parquet must be re-runnable after any mid-swap crash:
+    (a) table missing + backup present -> backup restored;
+    (b) stale backup next to a live table -> backup dropped (a blind
+        rename onto the non-empty dir would raise);
+    (c) stale staging -> dropped."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "tbl")
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    ev.repartition(8).write.parquet(path)
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+    backup, staging = path + "._compact_old", path + "._compact_staging"
+
+    # (a) crash between the two renames: only the backup exists
+    os.rename(path, backup)
+    out = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert out["rewritten"]
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(backup) and not os.path.exists(staging)
+
+    # (b)+(c) crash after swap but before cleanup, plus a stale staging
+    ev.repartition(8).write.mode("overwrite").parquet(path)
+    shutil.copytree(path, backup)
+    shutil.copytree(path, staging)
+    out = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert out["rewritten"]
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+    assert not os.path.exists(backup) and not os.path.exists(staging)
+
+
+def test_load_table_cache_invalidates_on_rewrite(spark, sf_dir, tmp_path):
+    """The per-session memo must key on the file fingerprint: this
+    environment regenerates testdata mid-round, and a plan pinned to
+    the old snapshot would silently serve stale rows."""
+    import shutil
+
+    sf_copy = str(tmp_path / "sf")
+    shutil.copytree(sf_dir, sf_copy)
+    n1 = load_table(spark, sf_copy, "region").count()
+    # rewrite the file with fewer rows (new mtime/size)
+    load_table(spark, sf_copy, "region").limit(2).toPandas().to_parquet(
+        f"{sf_copy}/region.parquet"
+    )
+    n2 = load_table(spark, sf_copy, "region").count()
+    assert n1 > 2 and n2 == 2, f"stale cache: {n1} -> {n2}"

@@ -119,3 +119,47 @@ def test_scd2_as_of_returns_one_version_per_key(spark, sf_dir):
     assert snap.groupBy("k").count().where("count > 1").count() == 0
     started = dim.where(F.col("valid_from") <= F.lit(mid)).select("k").distinct().count()
     assert snap.count() == started
+
+
+def test_scd2_merge_handles_retroactive_insert(spark):
+    """The lossy-collapse trap: log (t1:A, t2:A) collapses to one
+    version A@t1 — a retro batch event t1.5:B must still yield
+    A@t1 -> B@t1.5 -> A@t2 (the reversion at t2 comes back from
+    _event_ts), identical to rebuilding from the full log."""
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    log1 = spark.createDataFrame(
+        [(1, "A", t(10)), (1, "A", t(20))], "k BIGINT, status STRING, ts TIMESTAMP"
+    )
+    batch = spark.createDataFrame([(1, "B", t(15))], "k BIGINT, status STRING, ts TIMESTAMP")
+    merged = _normalize(
+        scd2_merge(scd2_from_changelog(log1, "k", ["status"], "ts"), batch, "k", ["status"], "ts")
+    )
+    full = _normalize(
+        scd2_from_changelog(log1.unionByName(batch), "k", ["status"], "ts")
+    )
+    got = [(r.k, r.status, r.valid_from, r.valid_to, r.is_current) for r in merged.collect()]
+    want = [(r.k, r.status, r.valid_from, r.valid_to, r.is_current) for r in full.collect()]
+    assert got == want
+    assert [g[1] for g in got] == ["A", "B", "A"], f"reversion lost: {got}"
+    assert got[2][2] == t(20)  # the reversion starts at the ORIGINAL t2
+
+
+def test_scd2_merge_retro_between_triple_duplicates(spark):
+    """Three collapsed duplicates (t1,t2,t3 all A) + retro B at t1.5:
+    the reversion must start at t2 (the first surviving duplicate),
+    which only full event replay gets right — a (first,last)-only
+    summary would misplace it at t3."""
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    log1 = spark.createDataFrame(
+        [(1, "A", t(10)), (1, "A", t(20)), (1, "A", t(30))],
+        "k BIGINT, status STRING, ts TIMESTAMP",
+    )
+    batch = spark.createDataFrame([(1, "B", t(15))], "k BIGINT, status STRING, ts TIMESTAMP")
+    merged = scd2_merge(
+        scd2_from_changelog(log1, "k", ["status"], "ts"), batch, "k", ["status"], "ts"
+    )
+    rows = sorted(
+        (r.status, r.valid_from) for r in merged.collect()
+    )
+    assert ("A", t(20)) in rows and ("B", t(15)) in rows
+    assert ("A", t(30)) not in rows  # t30 collapses into the t20 reversion
