@@ -411,81 +411,98 @@ def _ivf_sql(dialect: str) -> str:
     quantizer on a sample, broadcast the centroid table (KB-sized),
     and keep nprobe/ncent roughly constant — the per-query scan stays
     at nprobe/ncent of the corpus."""
-    idiv = "DIV" if dialect == "spark" else "//"
-    if dialect == "spark":
-        ex = "SELECT vec_id, posexplode(embedding) AS (dim, x) FROM embeddings"
-    else:
-        ex = (
-            "SELECT vec_id, i - 1 AS dim, embedding[i] AS x"
-            f" FROM embeddings, (SELECT unnest(generate_series(1, {_DIM})) AS i)"
-        )
-    xd = "CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))"
-
-    def lloyd(k: int) -> str:
-        """One Lloyd round: assign to cent{k}, recompute cent{k+1}."""
-        return f"""cnorm{k} AS (
-  SELECT cid, sqrt(CAST(sum(md * md) AS DOUBLE)) AS cn FROM cent{k} GROUP BY cid
-),
-dots{k} AS (
-  SELECT e.vec_id, c.cid, CAST(sum(e.xd * c.md) AS DOUBLE) AS dot
-  FROM ex e JOIN cent{k} c ON e.dim = c.dim
-  GROUP BY e.vec_id, c.cid
-),
-asg{k} AS (
-  SELECT vec_id, cid FROM (
-    SELECT d.vec_id, d.cid,
-           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dot / n.cn DESC, d.cid ASC) AS rc
-    FROM dots{k} d JOIN cnorm{k} n ON d.cid = n.cid
-  ) r{k} WHERE rc = 1
-),
-cent{k + 1} AS (
-  SELECT a.cid, e.dim,
-         CAST(round(CAST(sum(e.xd) AS DOUBLE) / count(*), 6) AS DECIMAL(12,6)) AS md
-  FROM ex e JOIN asg{k} a ON e.vec_id = a.vec_id
-  GROUP BY a.cid, e.dim
-)"""
-
-    rounds = ",\n".join(lloyd(k) for k in range(_IVF_ITERS))
     fin = _IVF_ITERS
-    dot = _dot(dialect, "q.embedding", "v.embedding")
-    cos = f"({dot}) / (q.norm * v.norm)"
+    idiv = "DIV" if dialect == "spark" else "//"
+    rounds = ",\n".join(
+        f"""{_ivf_ranked_sql(dialect, 'ex', f'cent{k}', str(k))},
+asg{k} AS (SELECT vec_id, cid FROM ranked{k} WHERE rc = 1),
+cent{k + 1} AS ({_ivf_cent_next_sql('ex', f'asg{k}')})"""
+        for k in range(_IVF_ITERS)
+    )
     return f"""
 WITH meta AS (
   SELECT count(*) {idiv} {_IVF_NCENT} AS step FROM embeddings
 ),
-ex0 AS ({ex}),
-ex AS (SELECT vec_id, dim, {xd} AS xd FROM ex0),
-cent0 AS (
-  SELECT CAST(e.vec_id {idiv} m.step AS INT) AS cid, e.dim,
-         CAST(round(CAST(e.xd AS DOUBLE), 6) AS DECIMAL(12,6)) AS md
-  FROM ex e CROSS JOIN meta m
-  WHERE e.vec_id % m.step = 0 AND e.vec_id {idiv} m.step < {_IVF_NCENT}
-),
+ex AS ({_ivf_ex_sql(dialect)}),
+cent0 AS ({_ivf_cent0_sql(dialect, "(SELECT step FROM meta)")}),
 {rounds},
-cnorm{fin} AS (
-  SELECT cid, sqrt(CAST(sum(md * md) AS DOUBLE)) AS cn FROM cent{fin} GROUP BY cid
-),
-dots{fin} AS (
-  SELECT e.vec_id, c.cid, CAST(sum(e.xd * c.md) AS DOUBLE) AS dot
-  FROM ex e JOIN cent{fin} c ON e.dim = c.dim
-  GROUP BY e.vec_id, c.cid
-),
-ranked{fin} AS (
-  SELECT d.vec_id, d.cid,
-         ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dot / n.cn DESC, d.cid ASC) AS rc
-  FROM dots{fin} d JOIN cnorm{fin} n ON d.cid = n.cid
-),
+{_ivf_ranked_sql(dialect, 'ex', f'cent{fin}', str(fin))},
 asg{fin} AS (SELECT vec_id, cid FROM ranked{fin} WHERE rc = 1),
 qpick AS (
   SELECT vec_id, cid FROM ranked{fin}
   WHERE vec_id % {_QUERY_MOD} = 0 AND rc <= {_IVF_NPROBE}
 ),
-base AS (
+{_ivf_rerank_sql(dialect, 'qpick', f'asg{fin}')}
+""".strip()
+
+
+# stage fragments shared by the one-shot oracle SQL (_ivf_sql) and the
+# stepwise Spark executor (ivf_topk) — identical value arithmetic is
+# what keeps the strict hash compare exact
+
+
+def _ivf_ex_sql(dialect: str) -> str:
+    # scaled-int64 elements (floor(x * 1e8)): exact and order-insensitive
+    # like decimal, but the hot multiply-sum stays in codegen'd long
+    # arithmetic instead of BigDecimal (measured ~3x on the Lloyd
+    # passes). Bounds: |x| < 4 so xd < 4e8; xd*md < 1.6e15, 64-dim dots
+    # < 1.1e17; per-(cid,dim) mean sums overflow only past ~2e10-row
+    # clusters - nowhere near any real shard.
+    xd = "CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)"
+    if dialect == "spark":
+        ex0 = "SELECT vec_id, posexplode(embedding) AS (dim, x) FROM embeddings"
+    else:
+        ex0 = (
+            "SELECT vec_id, i - 1 AS dim, embedding[i] AS x"
+            f" FROM embeddings, (SELECT unnest(generate_series(1, {_DIM})) AS i)"
+        )
+    return f"SELECT vec_id, dim, {xd} AS xd FROM ({ex0}) ex0"
+
+
+def _ivf_cent0_sql(dialect: str, step: str, ex: str = "ex") -> str:
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""SELECT CAST(e.vec_id {idiv} {step} AS INT) AS cid, e.dim,
+         CAST(round(CAST(e.xd AS DOUBLE) / 100, 0) AS BIGINT) AS md
+  FROM {ex} e
+  WHERE e.vec_id % {step} = 0 AND e.vec_id {idiv} {step} < {_IVF_NCENT}"""
+
+
+def _ivf_ranked_sql(dialect: str, ex: str, cent: str, tag: str) -> str:
+    """Assignment scoring: ranked{tag}(vec_id, cid, rc) — rc=1 is the
+    owning centroid, rc<=nprobe the probe set."""
+    return f"""cnorm{tag} AS (
+  SELECT cid, sqrt(CAST(sum(md * md) AS DOUBLE)) AS cn FROM {cent} GROUP BY cid
+),
+dots{tag} AS (
+  SELECT e.vec_id, c.cid, CAST(sum(e.xd * c.md) AS DOUBLE) AS dot
+  FROM {ex} e JOIN {cent} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.cid
+),
+ranked{tag} AS (
+  SELECT d.vec_id, d.cid,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dot / n.cn DESC, d.cid ASC) AS rc
+  FROM dots{tag} d JOIN cnorm{tag} n ON d.cid = n.cid
+)"""
+
+
+def _ivf_cent_next_sql(ex: str, asg: str) -> str:
+    # md is 1e6-scaled (xd/100): centroid means round to the same 1e-6
+    # grain the decimal formulation used; the scale cancels in dot/cn
+    return f"""SELECT a.cid, e.dim,
+         CAST(round(CAST(sum(e.xd) AS DOUBLE) / count(*) / 100, 0) AS BIGINT) AS md
+  FROM {ex} e JOIN {asg} a ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.dim"""
+
+
+def _ivf_rerank_sql(dialect: str, qpick: str, asg: str) -> str:
+    dot = _dot(dialect, "q.embedding", "v.embedding")
+    cos = f"({dot}) / (q.norm * v.norm)"
+    return f"""base AS (
   SELECT vec_id, embedding, {_norm(dialect, 'embedding')} AS norm FROM embeddings
 ),
 cand AS (
   SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, a.cid AS probe_cid
-  FROM qpick p JOIN asg{fin} a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+  FROM {qpick} p JOIN {asg} a ON p.cid = a.cid AND p.vec_id <> a.vec_id
 ),
 scored AS (
   SELECT c.query_id, c.probe_cid, c.neighbor_id, {cos} AS cos_raw
@@ -501,13 +518,58 @@ final_rank AS (
 )
 SELECT query_id, probe_cid, neighbor_id, cosine, rk
 FROM final_rank WHERE rk <= {_TOPK}
-ORDER BY query_id, rk
-""".strip()
+ORDER BY query_id, rk"""
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stepwise Spark executor for the identical algorithm _ivf_sql
+    describes: Spark INLINES every CTE reference, so the one-shot
+    unrolled Lloyd chain re-expands its whole upstream tree per
+    reference — measured 8.2s vs 0.8s at sf0.1, and the growth is
+    exponential in the round count. Each stage therefore materializes
+    through localCheckpoint (ex: n×64 rows, asg: n rows, cent: 20×64
+    — all tiny relative to the corpus) and later stages read the
+    pinned result, exactly the simhash/minhash barrier pattern. At
+    cluster scale these barriers are reliable-storage checkpoints —
+    the standard shape of every iterative Spark algorithm (k-means in
+    MLlib does the same per iteration)."""
     register_views(spark, sf_dir)
-    return spark.sql(_ivf_sql("spark"))
+    step = spark.sql(f"SELECT count(*) DIV {_IVF_NCENT} FROM embeddings").collect()[0][0]
+
+    def view(df: DataFrame, name: str) -> None:
+        df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+
+    view(spark.sql(_ivf_ex_sql("spark")), "_ivf_ex")
+    view(spark.sql(_ivf_cent0_sql("spark", str(step), "_ivf_ex")), "_ivf_cent")
+    for _ in range(_IVF_ITERS):
+        # one materialization per Lloyd round: assignment and centroid
+        # recompute in a single statement (the asg relation is only
+        # ever consumed by the recompute)
+        view(
+            spark.sql(
+                f"WITH {_ivf_ranked_sql('spark', '_ivf_ex', '_ivf_cent', 'i')},\n"
+                "asgi AS (SELECT vec_id, cid FROM rankedi WHERE rc = 1)\n"
+                + _ivf_cent_next_sql("_ivf_ex", "asgi")
+            ),
+            "_ivf_cent",
+        )
+    view(
+        spark.sql(
+            f"WITH {_ivf_ranked_sql('spark', '_ivf_ex', '_ivf_cent', 'f')} "
+            "SELECT vec_id, cid, rc FROM rankedf"
+        ),
+        "_ivf_ranked",
+    )
+    return spark.sql(
+        f"""
+WITH asgf AS (SELECT vec_id, cid FROM _ivf_ranked WHERE rc = 1),
+qpick AS (
+  SELECT vec_id, cid FROM _ivf_ranked
+  WHERE vec_id % {_QUERY_MOD} = 0 AND rc <= {_IVF_NPROBE}
+),
+{_ivf_rerank_sql('spark', 'qpick', 'asgf')}
+""".strip()
+    )
 
 
 QUERIES: dict[str, tuple] = {

@@ -1,0 +1,102 @@
+"""Sequence packing: fill fixed-token-budget training sequences from
+document chunks with minimal padding (SURVEY.md §2.12 — the step
+between chunking and batch assembly in a pretraining data pipeline;
+the reference has no analog, this is north-star surface).
+
+Padding is pure waste at training time: a 2048-token sequence carrying
+a single 64-token chunk burns 97% of its FLOPs on pad tokens. Packing
+concatenates chunks (with the usual attention-mask reset between
+documents) until the budget is full.
+
+Operator shape (the 100 TB posture):
+
+- **Shard, then pack.** Chunks are hash-sharded (deterministic md5 of
+  doc_id — retry-stable, never ``rand()``); each shard packs
+  INDEPENDENTLY, so parallelism = n_shards and no global state exists.
+  Cross-shard packing could at best save < one sequence per shard of
+  padding, which is noise at any real shard size.
+- **Greedy first-fit-decreasing inside a shard** via ``applyInPandas``
+  (grouped map, Arrow): sort by (tokens DESC, doc_id, chunk_idx),
+  drop each chunk into the first open sequence with room, else open a
+  new one. FFD is the textbook near-optimal bin-packing heuristic
+  (≤ 11/9·OPT + 1); the per-shard loop is pure pandas — this is
+  exactly the custom-operator case built-ins cannot express (stateful
+  bin list per group), so the Pandas-UDF route is the design, not a
+  fallback.
+- Determinism: the sort key is total and the bin scan order is
+  creation order, so task retries and re-runs produce identical
+  assignments (pinned by tests/test_packing.py).
+
+Chunks larger than the budget raise — the upstream chunker
+(text_ops.chunk_documents) caps chunk size, so an oversize chunk here
+is a pipeline-wiring bug, not data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator  # noqa: F401 (mirrors sibling pipelines)
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monday_etl_automation_spark.plans.text_ops import chunk_documents
+
+# deterministic cross-engine shard hash (same md5 trick as _SPARK_H60)
+_SHARD = "pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), {n})"
+
+PACKED_SCHEMA = (
+    "shard INT, seq_idx INT, doc_id BIGINT, chunk_idx BIGINT, n_chunk_tokens BIGINT"
+)
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 256,
+    n_shards: int = 8,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Assign every chunk to a (shard, seq_idx) training sequence whose
+    token total never exceeds ``budget``."""
+    chunks = chunk_documents(spark, sf_dir, chunk_size, overlap).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens"
+    )
+    sharded = chunks.withColumn("shard", F.expr(_SHARD.format(n=n_shards)).cast("int"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_chunk_tokens", "doc_id", "chunk_idx"], ascending=[False, True, True]
+        )
+        remaining: list[int] = []  # remaining budget per open sequence
+        out_seq = []
+        for tok in pdf["n_chunk_tokens"]:
+            if tok > budget:
+                raise ValueError(f"chunk of {tok} tokens exceeds budget {budget}")
+            for i, room in enumerate(remaining):  # first fit, creation order
+                if room >= tok:
+                    remaining[i] = room - tok
+                    out_seq.append(i)
+                    break
+            else:
+                remaining.append(budget - tok)
+                out_seq.append(len(remaining) - 1)
+        pdf = pdf.assign(seq_idx=pd.Series(out_seq, index=pdf.index, dtype="int32"))
+        return pdf[["shard", "seq_idx", "doc_id", "chunk_idx", "n_chunk_tokens"]]
+
+    return sharded.groupBy("shard").applyInPandas(pack, PACKED_SCHEMA)
+
+
+def packing_stats(packed: DataFrame, budget: int = 256) -> DataFrame:
+    """Per-run fill report: sequences, tokens, padding waste."""
+    per_seq = packed.groupBy("shard", "seq_idx").agg(
+        F.sum("n_chunk_tokens").alias("seq_tokens"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    return per_seq.agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum("seq_tokens").alias("total_tokens"),
+        F.max("seq_tokens").alias("max_seq_tokens"),
+        (F.sum("seq_tokens") / (F.count(F.lit(1)) * budget)).alias("fill_ratio"),
+    )

@@ -1,0 +1,106 @@
+"""Deterministic mixture sampling: hit per-source token-share targets
+(SURVEY.md §2.12 — the "data mixing" step of a pretraining pipeline:
+upweight curated sources, downsample the crawl, cap any one domain).
+
+Two operators, both pure SQL with DuckDB twins (exact cross-engine
+parity — tests/test_sampling.py):
+
+- ``mixture_rates`` — per-source keep-rates from target weights:
+  rate_s = min(1, weight_s * T / tokens_s) where T is the total token
+  budget. A source short of its target keeps everything (rate 1);
+  oversupplied sources are thinned. One aggregation over the corpus
+  (or a sample of it at 100 TB — shares survive sampling).
+- ``mixture_sample`` — the row filter: keep doc iff
+  md5_hash(doc_id) % 1e6 < rate * 1e6. Hash-gated, not ``rand()``:
+  the SAME docs are kept on every run, task retry, and engine —
+  reproducible data mixes are what make training runs comparable —
+  and the filter is row-local (zero shuffle, fully pushable).
+
+Expected-token accuracy: the hash gate keeps each doc independently
+with probability ~rate, so realized tokens concentrate around the
+target (law of large numbers over docs); the test pins a ±20% band at
+test scale and exactness at rate 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from monday_etl_automation_spark.sources.tables import register_views
+
+# 6-digit deterministic gate in [0, 1e6) from doc_id — same md5-derived
+# construction as text_ops._SPARK_H60 / _DUCK_H60, identical value in
+# both engines
+_SPARK_GATE = "pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 1000000)"
+_DUCK_GATE = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000"
+
+_TOKS = {
+    "spark": "size(split(trim(coalesce(text, '')), '\\\\s+'))",
+    "duckdb": "len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))",
+}
+
+
+def _weights_cte(weights: dict[str, float]) -> str:
+    rows = ", ".join(f"('{s}', CAST({w} AS DOUBLE))" for s, w in sorted(weights.items()))
+    return f"(VALUES {rows}) AS w(source, weight)"
+
+
+def _rates_sql(dialect: str, weights: dict[str, float], total_tokens: int) -> str:
+    toks = _TOKS[dialect]
+    return f"""
+WITH per_source AS (
+  SELECT source, CAST(sum({toks}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+wt AS (SELECT * FROM {_weights_cte(weights)}),
+norm AS (SELECT CAST(sum(weight) AS DOUBLE) AS z FROM wt)
+SELECT p.source,
+       p.n_tokens,
+       CAST(round(w.weight / n.z * {total_tokens}, 0) AS BIGINT) AS target_tokens,
+       least(CAST(1.0 AS DOUBLE),
+             (w.weight / n.z * {total_tokens}) / p.n_tokens) AS keep_rate
+FROM per_source p
+JOIN wt w ON p.source = w.source
+CROSS JOIN norm n
+ORDER BY p.source
+""".strip()
+
+
+def _sample_sql(dialect: str, weights: dict[str, float], total_tokens: int) -> str:
+    gate = _SPARK_GATE if dialect == "spark" else _DUCK_GATE
+    rates = _rates_sql(dialect, weights, total_tokens)
+    toks = _TOKS[dialect]
+    return f"""
+WITH rates AS ({rates}),
+gated AS (
+  SELECT d.doc_id, d.source, CAST({toks} AS BIGINT) AS n_tokens,
+         {gate} AS gate, r.keep_rate
+  FROM documents d JOIN rates r ON d.source = r.source
+)
+SELECT doc_id, source, n_tokens
+FROM gated
+WHERE gate < CAST(keep_rate * 1000000 AS BIGINT)
+ORDER BY doc_id
+""".strip()
+
+
+def mixture_rates(
+    spark: SparkSession, sf_dir: str, weights: dict[str, float], total_tokens: int
+) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_rates_sql("spark", weights, total_tokens))
+
+
+def mixture_rates_oracle(weights: dict[str, float], total_tokens: int) -> str:
+    return _rates_sql("duckdb", weights, total_tokens)
+
+
+def mixture_sample(
+    spark: SparkSession, sf_dir: str, weights: dict[str, float], total_tokens: int
+) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_sample_sql("spark", weights, total_tokens))
+
+
+def mixture_sample_oracle(weights: dict[str, float], total_tokens: int) -> str:
+    return _sample_sql("duckdb", weights, total_tokens)

@@ -1,0 +1,64 @@
+"""Mixture sampling: DuckDB-twin parity, target-share accuracy, and
+hash-gate determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monday_etl_automation_spark.plans.sampling_ops import (
+    mixture_rates,
+    mixture_rates_oracle,
+    mixture_sample,
+    mixture_sample_oracle,
+)
+from oracle_compare import assert_matches_oracle
+
+# uneven mix over the synthetic 20-source corpus: upweight src0,
+# exclude everything past src3 (exclusion IS a mixing decision)
+_WEIGHTS = {"src0": 6.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+_BUDGET = 4_000
+
+
+def test_mixture_rates_match_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        mixture_rates(spark, sf_dir, _WEIGHTS, _BUDGET),
+        mixture_rates_oracle(_WEIGHTS, _BUDGET),
+        sf_dir,
+    )
+
+
+def test_mixture_sample_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        mixture_sample(spark, sf_dir, _WEIGHTS, _BUDGET),
+        mixture_sample_oracle(_WEIGHTS, _BUDGET),
+        sf_dir,
+    )
+
+
+def test_mixture_sample_is_deterministic(spark, sf_dir):
+    a = sorted(r.doc_id for r in mixture_sample(spark, sf_dir, _WEIGHTS, _BUDGET).collect())
+    b = sorted(r.doc_id for r in mixture_sample(spark, sf_dir, _WEIGHTS, _BUDGET).collect())
+    assert a == b and len(a) > 0
+
+
+def test_mixture_sample_hits_targets(spark, sf_dir):
+    """Realized per-source tokens: exact when the source keeps
+    everything (rate 1 — undersupplied vs target), within a tolerance
+    band when thinned (hash gate is per-doc Bernoulli at test scale)."""
+    rates = {r.source: r for r in mixture_rates(spark, sf_dir, _WEIGHTS, _BUDGET).collect()}
+    got = {
+        r.source: r.tok
+        for r in mixture_sample(spark, sf_dir, _WEIGHTS, _BUDGET)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    assert set(got) <= set(_WEIGHTS)  # unlisted sources fully excluded
+    for src, r in rates.items():
+        if r.keep_rate >= 1.0:
+            assert got[src] == r.n_tokens  # kept in full
+        else:
+            lo, hi = 0.55 * r.target_tokens, 1.45 * r.target_tokens
+            assert lo <= got.get(src, 0) <= hi, (
+                f"{src}: {got.get(src, 0)} vs target {r.target_tokens}"
+            )
