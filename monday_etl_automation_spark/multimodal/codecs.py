@@ -38,27 +38,52 @@ def available_backend() -> str:
     return "real" if codecs_real.HAVE_REAL_CODECS else "stub"
 
 
+def resolve_name(backend: str = "auto") -> str:
+    """Normalize a backend request to a concrete name ('stub'/'real').
+
+    Pipeline entry points call this ON THE DRIVER and capture only the
+    resulting STRING in their pandas-UDF closures; the executor then
+    calls ``resolve(name)`` at task time. Capturing the module object
+    instead would serialize it by reference, and an executor missing
+    PyMuPDF/PIL would fail deep inside a task with a bare NameError
+    (codecs_real's imports are try/except-guarded) — or, worse, an
+    'auto' probe answered on a lib-less driver would silently pick the
+    stub even where executors DO have the real libraries. Resolving
+    'auto' here makes the driver's answer authoritative for the whole
+    job; a concrete 'real' then fails loudly on executors that can't
+    honor it (see resolve()).
+    """
+    if backend == "auto":
+        return available_backend()
+    if backend not in ("stub", "real"):
+        raise ValueError(f"unknown codec backend {backend!r}")
+    return backend
+
+
 def resolve(backend: str = "auto") -> ModuleType:
     """Select the codec backend module.
 
     - 'stub': this module (deterministic fakes with exact size
       oracles — what the driver-oracle queries pin).
-    - 'real': multimodal/codecs_real.py (PyMuPDF/PIL); raises if the
-      libraries are missing.
+    - 'real': multimodal/codecs_real.py (PyMuPDF/PIL); raises a clear
+      ImportError naming the missing libraries when they are absent
+      IN THE CALLING PROCESS (driver or executor).
     - 'auto': 'real' when available, else 'stub' — what the
       user-facing pipeline entry points default to.
     """
-    if backend == "auto":
-        backend = available_backend()
+    backend = resolve_name(backend)
     if backend == "stub":
         return sys.modules[__name__]
-    if backend == "real":
-        from monday_etl_automation_spark.multimodal import codecs_real  # noqa: PLC0415
+    from monday_etl_automation_spark.multimodal import codecs_real  # noqa: PLC0415
 
-        if not codecs_real.HAVE_REAL_CODECS:
-            raise ImportError("backend='real' requires PyMuPDF and PIL")
-        return codecs_real
-    raise ValueError(f"unknown codec backend {backend!r}")
+    if not codecs_real.HAVE_REAL_CODECS:
+        raise ImportError(
+            "codec backend 'real' requires "
+            + " and ".join(codecs_real.missing_libraries())
+            + " (not importable in this process; on a cluster every "
+            "executor needs them, not just the driver)"
+        )
+    return codecs_real
 
 
 PAGE_CHARS = 200  # chars per fake page

@@ -26,9 +26,9 @@ should plug pyhanko in at deploy time.
 
 from __future__ import annotations
 
-import hashlib
 import io
-import struct
+
+from monday_etl_automation_spark.multimodal import codecs_common as _common
 
 try:  # pragma: no cover - availability depends on the container
     import fitz  # PyMuPDF
@@ -47,26 +47,24 @@ except ImportError:  # pragma: no cover
 
 HAVE_REAL_CODECS = _HAVE_FITZ and _HAVE_PIL
 
-PAGE_CHARS = 200  # chars per page — same pagination as the stub
-_A4_PT = (595, 842)  # A4 in points (app.py:220-221)
-_QUALITY = {
-    "minimum": (90, 50),
-    "balanced": (150, 85),
-    "high": (200, 90),
-    "premium": (250, 95),
-    "ultra": (300, 100),
-}
 
+def missing_libraries() -> list[str]:
+    """Names of the libraries the real backend still needs in THIS
+    process (empty when HAVE_REAL_CODECS). Used for actionable
+    ImportErrors on executors that lack what the driver had."""
+    missing = []
+    if not _HAVE_FITZ:
+        missing.append("PyMuPDF (fitz)")
+    if not _HAVE_PIL:
+        missing.append("Pillow (PIL) + numpy")
+    return missing
 
-def quality_preset(name: str) -> tuple[int, int]:
-    return _QUALITY[name]
-
-
-def _digest(*parts: bytes) -> bytes:
-    h = hashlib.sha256()
-    for p in parts:
-        h.update(p)
-    return h.digest()
+# pure halves (pagination, presets, seeds, signing marks) live in
+# codecs_common so they stay pytest-executable in lib-less containers
+PAGE_CHARS = _common.PAGE_CHARS
+_A4_PT = _common.A4_PT
+quality_preset = _common.quality_preset
+_digest = _common.digest
 
 
 # --- PDF container -----------------------------------------------------------
@@ -74,8 +72,7 @@ def _digest(*parts: bytes) -> bytes:
 
 def pdf_encode(text: str) -> bytes:
     """text -> real PDF, PAGE_CHARS chars per A4 page."""
-    data = text or ""
-    chunks = [data[i : i + PAGE_CHARS] for i in range(0, len(data), PAGE_CHARS)] or [""]
+    chunks = _common.paginate(text)
     doc = fitz.open()
     for c in chunks:
         page = doc.new_page(width=_A4_PT[0], height=_A4_PT[1])
@@ -139,8 +136,7 @@ def scan_effects(img: bytes, *, key: bytes, preset: str = "balanced", determinis
     — task retries reproduce bytes exactly."""
     if not deterministic and not key:
         raise ValueError("non-deterministic scan effects require a per-row key")
-    seed = int.from_bytes(_digest(img[:64], key, preset.encode())[:8], "big")
-    rng = _np.random.default_rng(seed)
+    rng = _np.random.default_rng(_common.scan_seed(img[:64], key, preset))
     im = Image.open(io.BytesIO(img)).convert("RGB")
     angle = float(rng.uniform(-0.7, 0.7))
     im = im.rotate(angle, expand=False, fillcolor=(255, 255, 255))
@@ -154,7 +150,7 @@ def scan_effects(img: bytes, *, key: bytes, preset: str = "balanced", determinis
 
 def a4_normalize(img: bytes) -> bytes:
     """Resize to A4 geometry at 150 dpi (1240x1754), preserving mode."""
-    im = Image.open(io.BytesIO(img)).convert("RGB").resize((1240, 1754))
+    im = Image.open(io.BytesIO(img)).convert("RGB").resize(_common.A4_PX_150DPI)
     out = io.BytesIO()
     im.save(out, format="PNG")
     return out.getvalue()
@@ -164,7 +160,7 @@ def sign_pdf_bytes(pdf: bytes, signer: str) -> bytes:
     """Visible-signature stamp: append a trailer page carrying the
     signer and the content sha256 (see module docstring for why this
     is a stamp, not a PKCS#12 signature)."""
-    mark = hashlib.sha256(pdf + signer.encode()).hexdigest()
+    mark = _common.sign_mark(pdf, signer)
     doc = fitz.open(stream=pdf, filetype="pdf")
     page = doc[-1]
     page.insert_text((36, _A4_PT[1] - 24), f"Signed by {signer} sha256:{mark[:32]}", fontsize=8)
@@ -180,11 +176,4 @@ def compressed_pdf_size(n_chars: int, preset: str = "balanced") -> int:  # pragm
     raise NotImplementedError("real codecs have no exact size model; use the stub backend")
 
 
-def _stream(seed: bytes, n: int) -> bytes:
-    """Deterministic byte stream (shared helper, same as the stub)."""
-    out = bytearray()
-    ctr = 0
-    while len(out) < n:
-        out.extend(_digest(seed, struct.pack(">Q", ctr)))
-        ctr += 1
-    return bytes(out[:n])
+_stream = _common.stream

@@ -34,9 +34,12 @@ def documents_to_binary(documents: DataFrame, backend: str = "auto") -> DataFram
     ``spark.read.format('binaryFile')`` or fetch via a UDF; here the
     bytes derive deterministically from the text fixture.)
     """
-    codec = codecs.resolve(backend)
+    # capture the backend NAME only; the module is re-resolved per task
+    # (executors may lack — or uniquely have — the real libraries)
+    backend_name = codecs.resolve_name(backend)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = codecs.resolve(backend_name)
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -69,11 +72,12 @@ def compress_pdf(docs_bin: DataFrame, preset: str = "balanced", backend: str = "
     preset."""
     if "preset" not in docs_bin.columns:
         docs_bin = docs_bin.withColumn("preset", F.lit(preset))
-    codec = codecs.resolve(backend)
+    backend_name = codecs.resolve_name(backend)
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        codec = codecs.resolve(backend_name)
         for pdf in batches:
             rows = []
             for doc_id, content, pr in zip(pdf["doc_id"], pdf["content"], pdf["preset"]):
@@ -111,9 +115,10 @@ def explode_pages(docs_bin: DataFrame, dpi: int | None = 150, backend: str = "au
     per_row = "preset" in docs_bin.columns
     if not per_row:
         docs_bin = docs_bin.withColumn("preset", F.lit("balanced"))
-    codec = codecs.resolve(backend)
+    backend_name = codecs.resolve_name(backend)
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = codecs.resolve(backend_name)
         for pdf in batches:
             out: list[tuple] = []
             for doc_id, content, pr in zip(pdf["doc_id"], pdf["content"], pdf["preset"]):
@@ -131,9 +136,10 @@ def scan_pages(pages: DataFrame, preset: str | None = "balanced", backend: str =
     A ``preset`` column on ``pages`` (from explode_pages) overrides the
     constant argument per row."""
     per_row = "preset" in pages.columns
-    codec = codecs.resolve(backend)
+    backend_name = codecs.resolve_name(backend)
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = codecs.resolve(backend_name)
         for pdf in batches:
             out = []
             prs = pdf["preset"] if per_row else [preset] * len(pdf)
@@ -172,12 +178,13 @@ def scanned_pdf(docs_bin: DataFrame, preset: str = "balanced", dpi: int = 150, b
     direct explode callers)."""
     if "preset" not in docs_bin.columns:
         docs_bin = docs_bin.withColumn("preset", F.lit(preset))
-    codec = codecs.resolve(backend)
-    parts = reassemble(scan_pages(explode_pages(docs_bin, dpi, backend=backend), backend=backend))
+    backend_name = codecs.resolve_name(backend)
+    parts = reassemble(scan_pages(explode_pages(docs_bin, dpi, backend=backend_name), backend=backend_name))
 
     def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        codec = codecs.resolve(backend_name)
         for pdf in batches:
             rows = []
             for doc_id, n_pages, pages in zip(pdf["doc_id"], pdf["n_pages"], pdf["pages"]):
@@ -201,12 +208,14 @@ def sign_pipeline(docs_bin: DataFrame, signer: str = "engine", preset: str = "ba
     """B5 (fixed_signature_utils.py:211-254): compress -> sign ->
     rename. The uvloop/ThreadPool plumbing of the reference disappears:
     Spark tasks are already parallel sync contexts (SURVEY §2.9 B4)."""
-    codec = codecs.resolve(backend)
-    dpi, quality = codec.quality_preset(preset)
+    backend_name = codecs.resolve_name(backend)
+    # preset table is identical across backends — pure driver-side lookup
+    dpi, quality = codecs.quality_preset(preset)
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        codec = codecs.resolve(backend_name)
         for pdf in batches:
             rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):

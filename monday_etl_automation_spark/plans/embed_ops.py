@@ -18,6 +18,8 @@ exact), so cosine values match bit-for-bit before the final round.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from monday_etl_automation_spark.sources.tables import register_views
@@ -168,10 +170,26 @@ def _ann_lsh_sql(dialect: str) -> str:
     else:
         flip_src = f"SELECT unnest([0, {flips}]) AS flip"
         xor = "xor(b.bucket, f.flip)"
-    buckets = "\nUNION ALL\n".join(
-        f"  SELECT vec_id, {s} AS s, {_bucket_mix(dialect, 'embedding', s)} AS bucket FROM embeddings"
-        for s in range(1, _ANN_SETS + 1)
-    )
+    if dialect == "spark":
+        # ONE corpus scan: all probe-set buckets as columns in a single
+        # projection, then stack() to (vec_id, s, bucket) rows. The
+        # UNION-ALL formulation reads the table once per set — free at
+        # sf0.1, but 4 scans where 1 suffices against 100 TB.
+        cols = ", ".join(
+            f"{_bucket_mix(dialect, 'embedding', s)} AS b{s}"
+            for s in range(1, _ANN_SETS + 1)
+        )
+        pairs = ", ".join(f"{s}, b{s}" for s in range(1, _ANN_SETS + 1))
+        buckets = (
+            f"  SELECT vec_id, stack({_ANN_SETS}, {pairs}) AS (s, bucket)\n"
+            f"  FROM (SELECT vec_id, {cols} FROM embeddings)"
+        )
+    else:
+        # oracle: scan count is irrelevant to the value compare
+        buckets = "\nUNION ALL\n".join(
+            f"  SELECT vec_id, {s} AS s, {_bucket_mix(dialect, 'embedding', s)} AS bucket FROM embeddings"
+            for s in range(1, _ANN_SETS + 1)
+        )
     return f"""
 WITH base AS (
   SELECT vec_id, embedding, {_norm(dialect, 'embedding')} AS norm FROM embeddings
@@ -421,7 +439,10 @@ cent{k + 1} AS ({_ivf_cent_next_sql('ex', f'asg{k}')})"""
     )
     return f"""
 WITH meta AS (
-  SELECT count(*) {idiv} {_IVF_NCENT} AS step FROM embeddings
+  -- clamp to >= 1: a corpus smaller than {_IVF_NCENT} vectors would
+  -- make step 0, where Spark's % 0 yields NULL (silently empty
+  -- centroids) while DuckDB raises — divergent edge behavior
+  SELECT greatest(1, count(*) {idiv} {_IVF_NCENT}) AS step FROM embeddings
 ),
 ex AS ({_ivf_ex_sql(dialect)}),
 cent0 AS ({_ivf_cent0_sql(dialect, "(SELECT step FROM meta)")}),
@@ -521,20 +542,49 @@ FROM final_rank WHERE rk <= {_TOPK}
 ORDER BY query_id, rk"""
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stepwise Spark executor for the identical algorithm _ivf_sql
-    describes: Spark INLINES every CTE reference, so the one-shot
-    unrolled Lloyd chain re-expands its whole upstream tree per
-    reference — measured 8.2s vs 0.8s at sf0.1, and the growth is
-    exponential in the round count. Each stage therefore materializes
-    through localCheckpoint (ex: n×64 rows, asg: n rows, cent: 20×64
-    — all tiny relative to the corpus) and later stages read the
-    pinned result, exactly the simhash/minhash barrier pattern. At
-    cluster scale these barriers are reliable-storage checkpoints —
-    the standard shape of every iterative Spark algorithm (k-means in
-    MLlib does the same per iteration)."""
-    register_views(spark, sf_dir)
-    step = spark.sql(f"SELECT count(*) DIV {_IVF_NCENT} FROM embeddings").collect()[0][0]
+def _train_ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer and score every vector against
+    the final centroids — memoized per (session, data snapshot).
+
+    The quantizer is deterministic, so retraining it inside every
+    search is pure waste: at scale you train ONCE, persist the
+    centroid table (KB-sized) and the vector→centroid assignment, and
+    every search just probes — exactly what a persisted IVF index is.
+    Here "persist" is a session-lifetime localCheckpoint keyed by
+    (sf_dir, embeddings file mtime+size) — the same snapshot-pinning
+    scheme as sources/tables.load_table, so a driver-side testdata
+    regeneration invalidates the trained index instead of silently
+    serving assignments for vanished vectors. On a cluster this
+    becomes a warehouse table written by the (rare) training job.
+
+    Stepwise execution rationale: Spark INLINES every CTE reference,
+    so the one-shot unrolled Lloyd chain re-expands its whole upstream
+    tree per reference — measured 8.2s vs 0.8s at sf0.1, and the
+    growth is exponential in the round count. Each stage therefore
+    materializes through localCheckpoint (ex: n×64 rows, asg: n rows,
+    cent: 20×64 — all tiny relative to the corpus) and later stages
+    read the pinned result, exactly the simhash/minhash barrier
+    pattern (k-means in MLlib does the same per iteration)."""
+    cache = getattr(spark, "_mea_ivf_cache", None)
+    if cache is None:
+        cache = {}
+        spark._mea_ivf_cache = cache  # noqa: SLF001 (own session tag)
+    fpath = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(fpath)
+        fkey = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fkey = None
+    key = (sf_dir, fkey)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+
+    # max(1, ...): mirrors the oracle's greatest(1, ...) clamp — a
+    # sub-_IVF_NCENT corpus must degrade to 1-spaced seeds, not % 0
+    step = max(
+        1, spark.sql(f"SELECT count(*) DIV {_IVF_NCENT} FROM embeddings").collect()[0][0]
+    )
 
     def view(df: DataFrame, name: str) -> None:
         df.localCheckpoint(eager=True).createOrReplaceTempView(name)
@@ -553,13 +603,20 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "_ivf_cent",
         )
-    view(
-        spark.sql(
-            f"WITH {_ivf_ranked_sql('spark', '_ivf_ex', '_ivf_cent', 'f')} "
-            "SELECT vec_id, cid, rc FROM rankedf"
-        ),
-        "_ivf_ranked",
-    )
+    ranked = spark.sql(
+        f"WITH {_ivf_ranked_sql('spark', '_ivf_ex', '_ivf_cent', 'f')} "
+        "SELECT vec_id, cid, rc FROM rankedf"
+    ).localCheckpoint(eager=True)
+    cache[key] = ranked
+    return ranked
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against the persisted quantizer (_train_ivf_ranked):
+    the per-query work is ONLY qpick (nprobe centroid ids per query) +
+    the inverted-list candidate join + exact re-rank — no training."""
+    register_views(spark, sf_dir)
+    _train_ivf_ranked(spark, sf_dir).createOrReplaceTempView("_ivf_ranked")
     return spark.sql(
         f"""
 WITH asgf AS (SELECT vec_id, cid FROM _ivf_ranked WHERE rc = 1),

@@ -46,6 +46,13 @@ def _weights_cte(weights: dict[str, float]) -> str:
 
 
 def _rates_sql(dialect: str, weights: dict[str, float], total_tokens: int) -> str:
+    # weights drive the join (LEFT JOIN from wt): a weighted source
+    # absent from the corpus (or present with zero tokens) must NOT
+    # silently inflate the normalizer z — that would thin every present
+    # source below its intended share and underfill the token budget.
+    # Such sources surface as explicit rows (n_tokens=0, keep_rate=0)
+    # and their weight is excluded from z; the division is guarded by
+    # the n_tokens > 0 branch so no zero-divide can occur.
     toks = _TOKS[dialect]
     return f"""
 WITH per_source AS (
@@ -53,16 +60,24 @@ WITH per_source AS (
   FROM documents GROUP BY source
 ),
 wt AS (SELECT * FROM {_weights_cte(weights)}),
-norm AS (SELECT CAST(sum(weight) AS DOUBLE) AS z FROM wt)
-SELECT p.source,
-       p.n_tokens,
-       CAST(round(w.weight / n.z * {total_tokens}, 0) AS BIGINT) AS target_tokens,
-       least(CAST(1.0 AS DOUBLE),
-             (w.weight / n.z * {total_tokens}) / p.n_tokens) AS keep_rate
-FROM per_source p
-JOIN wt w ON p.source = w.source
+eff AS (
+  SELECT w.source, w.weight, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens
+  FROM wt w LEFT JOIN per_source p ON w.source = p.source
+),
+norm AS (
+  SELECT CAST(sum(CASE WHEN n_tokens > 0 THEN weight ELSE 0.0 END) AS DOUBLE) AS z
+  FROM eff
+)
+SELECT e.source,
+       e.n_tokens,
+       CAST(round(CASE WHEN e.n_tokens > 0 THEN e.weight / n.z * {total_tokens}
+                       ELSE 0.0 END, 0) AS BIGINT) AS target_tokens,
+       CASE WHEN e.n_tokens > 0
+            THEN least(CAST(1.0 AS DOUBLE), (e.weight / n.z * {total_tokens}) / e.n_tokens)
+            ELSE CAST(0.0 AS DOUBLE) END AS keep_rate
+FROM eff e
 CROSS JOIN norm n
-ORDER BY p.source
+ORDER BY e.source
 """.strip()
 
 

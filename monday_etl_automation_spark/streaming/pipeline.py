@@ -919,6 +919,11 @@ class RollupSink:
                 r["bucket"] for r in partial.select("bucket").distinct().collect()
             ]
             prev = self.spark.read.parquet(self.path).where(F.col("bucket").isin(touched))
+            if "applied_batch_id" not in prev.columns:
+                # state written by a pre-stamp version of this sink has
+                # no applied_batch_id column; treat it as "applied by
+                # batch -1" so the replay guard filter stays valid
+                prev = prev.withColumn("applied_batch_id", F.lit(-1).cast("bigint"))
             # replay guard: a touched bucket already stamped with this
             # (or a later) batch_id has applied this delivery — skip it
             done = {

@@ -62,3 +62,24 @@ def test_mixture_sample_hits_targets(spark, sf_dir):
             assert lo <= got.get(src, 0) <= hi, (
                 f"{src}: {got.get(src, 0)} vs target {r.target_tokens}"
             )
+
+
+def test_absent_source_excluded_from_normalizer(spark, sf_dir):
+    """A weighted source missing from the corpus (or with zero tokens)
+    must NOT inflate the normalizer z — that would silently thin every
+    present source below its intended share and underfill the budget.
+    It surfaces as an explicit (n_tokens=0, keep_rate=0) row instead."""
+    ghost = dict(_WEIGHTS, ghost_source=100.0)
+    with_ghost = {r.source: r for r in mixture_rates(spark, sf_dir, ghost, _BUDGET).collect()}
+    without = {r.source: r for r in mixture_rates(spark, sf_dir, _WEIGHTS, _BUDGET).collect()}
+    g = with_ghost.pop("ghost_source")
+    assert (g.n_tokens, g.target_tokens, g.keep_rate) == (0, 0, 0.0)
+    for src, r in without.items():
+        w = with_ghost[src]
+        assert (w.target_tokens, w.keep_rate) == (r.target_tokens, r.keep_rate), src
+    # and the twin agrees exactly
+    assert_matches_oracle(
+        mixture_rates(spark, sf_dir, ghost, _BUDGET),
+        mixture_rates_oracle(ghost, _BUDGET),
+        sf_dir,
+    )

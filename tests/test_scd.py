@@ -163,3 +163,42 @@ def test_scd2_merge_retro_between_triple_duplicates(spark):
     )
     assert ("A", t(20)) in rows and ("B", t(15)) in rows
     assert ("A", t(30)) not in rows  # t30 collapses into the t20 reversion
+
+
+def test_scd2_merge_fold_equals_single_build_random(spark):
+    """Property: for ANY (seeded) partition of a changelog into
+    batches, folding scd2_merge over the batches equals one
+    scd2_from_changelog over the union. The hand-picked median/retro
+    splits above can't catch order-dependence that only shows up for
+    adversarial batch shapes — interleaved keys, batches entirely in
+    the past, single-event batches; random partitions sweep those."""
+    import random
+
+    t0 = dt.datetime(2024, 1, 1)
+    for seed in (1, 7, 42):
+        rnd = random.Random(seed)
+        # unique (k, ts) pairs: ties on the version timestamp have no
+        # defined arrival order in a changelog, so they are excluded
+        # from the property (the build's own tie-break is pinned by
+        # test_scd2_build_matches_oracle)
+        pairs = rnd.sample([(k, m) for k in range(4) for m in range(200)], 90)
+        rows = [
+            (k, rnd.choice("ABC"), t0 + dt.timedelta(minutes=m)) for k, m in pairs
+        ]
+        n_batches = rnd.randint(2, 5)
+        batches: list[list] = [[] for _ in range(n_batches)]
+        for r in rows:
+            batches[rnd.randrange(n_batches)].append(r)
+        batches = [b for b in batches if b]
+        schema = "k BIGINT, status STRING, ts TIMESTAMP"
+        dim = scd2_from_changelog(
+            spark.createDataFrame(batches[0], schema), "k", ["status"], "ts"
+        )
+        for b in batches[1:]:
+            dim = scd2_merge(dim, spark.createDataFrame(b, schema), "k", ["status"], "ts")
+        folded = _normalize(dim)
+        full = _normalize(
+            scd2_from_changelog(spark.createDataFrame(rows, schema), "k", ["status"], "ts")
+        )
+        assert folded.exceptAll(full).count() == 0, f"seed {seed}: extra rows"
+        assert full.exceptAll(folded).count() == 0, f"seed {seed}: missing rows"
