@@ -490,7 +490,8 @@ def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near_dup_assign: A~B, B~C => {A,B,C} all collapse to min(doc_id))
 # ---------------------------------------------------------------------------
 
-_CC_MAX_ITERS = 20  # hop+pointer-jump rounds: reach doubles per round, 2^20 >> any real chain
+_CC_MAX_ITERS = 20  # materialization rounds; reach grows 2^_CC_STEPS_PER_ROUND per round
+_CC_STEPS_PER_ROUND = 4  # hop+jump steps fused into one materialized job
 
 
 def _converge_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS):
@@ -499,10 +500,19 @@ def _converge_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS):
 
     Returns ``(labels, n_rounds)`` where ``labels`` maps every edge
     vertex to its component's min vertex id and ``n_rounds`` counts
-    loop iterations (each = two hop+jump steps + one convergence
-    check). Reach at least doubles per step, so n_rounds is
-    O(log diameter) — pinned as an invariant by
-    tests/test_dedup_injection.py's 130-doc chain."""
+    materialization rounds. Each round fuses _CC_STEPS_PER_ROUND
+    hop+jump steps into ONE checkpointed job: on the small per-round
+    frames the cost is per-job scheduling, not data, so materializing
+    every 4 steps instead of every 2 cuts the job count per
+    convergence by ~2x at the price of a deeper (still tiny) DAG per
+    job — the r7 plan audit measured the loop as pure scheduling
+    overhead. Reach at least doubles per STEP, so rounds =
+    O(log(diameter) / steps_per_round) — pinned by
+    tests/test_dedup_injection.py's 130-doc chain.
+
+    The previous label rides along as ``_old`` (seeded once per round,
+    preserved by every step's left joins) so change detection needs no
+    extra join against the prior frame."""
     from pyspark.sql import functions as F
 
     labels = (
@@ -512,13 +522,15 @@ def _converge_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS):
     )
 
     def step(lbl: DataFrame) -> DataFrame:
+        carry = [c for c in lbl.columns if c not in ("doc_id", "label")]
         nbr_min = (
-            edges.join(lbl, edges.dst == lbl.doc_id)
+            edges.join(lbl.select("doc_id", "label"), edges.dst == lbl.doc_id)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
         hopped = lbl.join(nbr_min, lbl.doc_id == nbr_min.src, "left").select(
             "doc_id",
+            *carry,
             F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
         )
         # pointer jump: label values are vertex ids, so the hopped map
@@ -527,21 +539,18 @@ def _converge_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS):
         parent = hopped.select(F.col("doc_id").alias("_p"), F.col("label").alias("_plabel"))
         return hopped.join(parent, hopped.label == parent._p, "left").select(
             "doc_id",
+            *carry,
             F.least(F.col("label"), F.coalesce("_plabel", F.col("label"))).alias("label"),
         )
 
     rounds = 0
     for _ in range(max_iters):
-        # two hop+jump steps per materialization: on small-per-round
-        # frames the cost is per-job scheduling, not data, so halving
-        # the checkpoint/convergence-check cadence halves wall time;
-        # the extra no-op step on the final round is one tiny job
         rounds += 1
-        old = labels.select("doc_id", F.col("label").alias("_old"))
+        cur = labels.withColumn("_old", F.col("label"))
+        for _s in range(_CC_STEPS_PER_ROUND):
+            cur = step(cur)
         new_labels = (
-            step(step(labels))
-            .join(old, "doc_id")
-            .select("doc_id", "label", (F.col("label") < F.col("_old")).alias("_chg"))
+            cur.select("doc_id", "label", (F.col("label") < F.col("_old")).alias("_chg"))
             .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("_chg")).limit(1).count()
@@ -581,9 +590,15 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     pairs = simhash_near_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    # coalesce before pinning: the dup-edge list is a small fraction of
+    # the corpus, but it inherits the pair-join's full partition count —
+    # every loop iteration then schedules that many map tasks per join.
+    # 8 partitions keeps the loop's task count flat; at a scale where
+    # the dup graph itself is huge, raise it with the edge count.
     edges = (
         pairs.selectExpr("doc_id_a AS src", "doc_id_b AS dst")
         .unionByName(pairs.selectExpr("doc_id_b AS src", "doc_id_a AS dst"))
+        .coalesce(8)
         .localCheckpoint(eager=True)
     )
     labels, _rounds = _converge_components(edges)

@@ -45,48 +45,64 @@ def _weights_cte(weights: dict[str, float]) -> str:
     return f"(VALUES {rows}) AS w(source, weight)"
 
 
-def _rates_sql(dialect: str, weights: dict[str, float], total_tokens: int) -> str:
-    # weights drive the join (LEFT JOIN from wt): a weighted source
-    # absent from the corpus (or present with zero tokens) must NOT
-    # silently inflate the normalizer z — that would thin every present
-    # source below its intended share and underfill the token budget.
-    # Such sources surface as explicit rows (n_tokens=0, keep_rate=0)
-    # and their weight is excluded from z; the division is guarded by
-    # the n_tokens > 0 branch so no zero-divide can occur.
+def rates_ctes(
+    dialect: str, weights: dict[str, float], total_tokens: int, prefix: str = ""
+) -> str:
+    """CTE chain computing per-source keep-rates, composable into a
+    larger WITH statement (text_ops.text_profile embeds it under the
+    ``mr_`` prefix for driver-oracle exposure). Final relation:
+    ``{prefix}rates(source, n_tokens, target_tokens, keep_rate)``.
+
+    Weights drive the join (LEFT JOIN from wt): a weighted source
+    absent from the corpus (or present with zero tokens) must NOT
+    silently inflate the normalizer z — that would thin every present
+    source below its intended share and underfill the token budget.
+    Such sources surface as explicit rows (n_tokens=0, keep_rate=0)
+    and their weight is excluded from z; the division is guarded by
+    the n_tokens > 0 branch so no zero-divide can occur.
+    """
     toks = _TOKS[dialect]
-    return f"""
-WITH per_source AS (
+    p = prefix
+    return f"""{p}per_source AS (
   SELECT source, CAST(sum({toks}) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ),
-wt AS (SELECT * FROM {_weights_cte(weights)}),
-eff AS (
+{p}wt AS (SELECT * FROM {_weights_cte(weights)}),
+{p}eff AS (
   SELECT w.source, w.weight, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens
-  FROM wt w LEFT JOIN per_source p ON w.source = p.source
+  FROM {p}wt w LEFT JOIN {p}per_source p ON w.source = p.source
 ),
-norm AS (
+{p}norm AS (
   SELECT CAST(sum(CASE WHEN n_tokens > 0 THEN weight ELSE 0.0 END) AS DOUBLE) AS z
-  FROM eff
-)
-SELECT e.source,
-       e.n_tokens,
-       CAST(round(CASE WHEN e.n_tokens > 0 THEN e.weight / n.z * {total_tokens}
-                       ELSE 0.0 END, 0) AS BIGINT) AS target_tokens,
-       CASE WHEN e.n_tokens > 0
-            THEN least(CAST(1.0 AS DOUBLE), (e.weight / n.z * {total_tokens}) / e.n_tokens)
-            ELSE CAST(0.0 AS DOUBLE) END AS keep_rate
-FROM eff e
-CROSS JOIN norm n
-ORDER BY e.source
+  FROM {p}eff
+),
+{p}rates AS (
+  SELECT e.source,
+         e.n_tokens,
+         CAST(round(CASE WHEN e.n_tokens > 0 THEN e.weight / n.z * {total_tokens}
+                         ELSE 0.0 END, 0) AS BIGINT) AS target_tokens,
+         CASE WHEN e.n_tokens > 0
+              THEN least(CAST(1.0 AS DOUBLE), (e.weight / n.z * {total_tokens}) / e.n_tokens)
+              ELSE CAST(0.0 AS DOUBLE) END AS keep_rate
+  FROM {p}eff e
+  CROSS JOIN {p}norm n
+)"""
+
+
+def _rates_sql(dialect: str, weights: dict[str, float], total_tokens: int) -> str:
+    return f"""
+WITH {rates_ctes(dialect, weights, total_tokens)}
+SELECT source, n_tokens, target_tokens, keep_rate
+FROM rates
+ORDER BY source
 """.strip()
 
 
 def _sample_sql(dialect: str, weights: dict[str, float], total_tokens: int) -> str:
     gate = _SPARK_GATE if dialect == "spark" else _DUCK_GATE
-    rates = _rates_sql(dialect, weights, total_tokens)
     toks = _TOKS[dialect]
     return f"""
-WITH rates AS ({rates}),
+WITH {rates_ctes(dialect, weights, total_tokens)},
 gated AS (
   SELECT d.doc_id, d.source, CAST({toks} AS BIGINT) AS n_tokens,
          {gate} AS gate, r.keep_rate

@@ -275,9 +275,26 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# canonical mixture-sampling config folded into text_profile for
+# driver-oracle exposure (registry is capped at 50 entries — CLAUDE.md
+# merge pattern): upweight src0, thin src1-src3, exclude the rest; the
+# ghost source exercises the z-exclusion edge under the driver gate.
+_MIX_WEIGHTS = {"src0": 6.0, "src1": 2.0, "src2": 1.0, "src3": 1.0, "ghost_source": 5.0}
+# sized so the driver-gate corpus (sf0.01: ~1.4k tokens/source) shows
+# BOTH regimes: src0 keeps everything (rate 1), src1-src3 are thinned
+_MIX_BUDGET = 4_000
+
+
 def _text_profile_sql(dialect: str) -> str:
+    from monday_etl_automation_spark.plans.sampling_ops import (
+        _DUCK_GATE,
+        _SPARK_GATE,
+        rates_ctes,
+    )
+
     spark = dialect == "spark"
     toks = _SPARK_TOKS if spark else _DUCK_TOKS
+    mix_gate = _SPARK_GATE if spark else _DUCK_GATE
     stop_list = ", ".join(f"'{w}'" for w in _STOP_EN)
     bpe = (
         f"size(regexp_extract_all(coalesce(text, ''), '{_BPE_RE_SPARK}', 0))"
@@ -323,21 +340,26 @@ s AS (
   FROM t
 ),
 sh AS (SELECT *, {shingles} AS shingles FROM s),
-hs AS (SELECT *, {hashes} AS hashes FROM sh)
+hs AS (SELECT *, {hashes} AS hashes FROM sh),
+{rates_ctes(dialect, _MIX_WEIGHTS, _MIX_BUDGET, prefix="mr_")}
 SELECT
-  doc_id, lang, source, n_chars, n_tokens, sum_token_len, n_stopwords, n_distinct_tokens,
+  hs.doc_id, lang, hs.source, n_chars, hs.n_tokens, sum_token_len, n_stopwords, n_distinct_tokens,
   CAST(
-    CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
-    + CASE WHEN n_tokens > 0 AND sum_token_len * 10 BETWEEN n_tokens * 30 AND n_tokens * 80 THEN 30 ELSE 0 END
-    + CASE WHEN n_stopwords * 100 >= n_tokens * 2 THEN 15 ELSE 0 END
-    + CASE WHEN n_distinct_tokens * 100 >= n_tokens * 30 THEN 15 ELSE 0 END
+    CASE WHEN hs.n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
+    + CASE WHEN hs.n_tokens > 0 AND sum_token_len * 10 BETWEEN hs.n_tokens * 30 AND hs.n_tokens * 80 THEN 30 ELSE 0 END
+    + CASE WHEN n_stopwords * 100 >= hs.n_tokens * 2 THEN 15 ELSE 0 END
+    + CASE WHEN n_distinct_tokens * 100 >= hs.n_tokens * 30 THEN 15 ELSE 0 END
   AS INT) AS quality_score,
   n_bpe_tokens,
-  n_tokens AS n_ws_tokens,
+  hs.n_tokens AS n_ws_tokens,
   {fp_min} AS fp_min,
-  {fp_xor} AS fp_xor
+  {fp_xor} AS fp_xor,
+  coalesce(r.keep_rate, CAST(0.0 AS DOUBLE)) AS mix_keep_rate,
+  CAST(CASE WHEN {mix_gate} < CAST(coalesce(r.keep_rate, 0.0) * 1000000 AS BIGINT)
+       THEN 1 ELSE 0 END AS INT) AS mix_kept
 FROM hs
-ORDER BY doc_id
+LEFT JOIN mr_rates r ON hs.source = r.source
+ORDER BY hs.doc_id
 """.strip()
 
 

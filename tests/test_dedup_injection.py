@@ -92,14 +92,18 @@ def test_components_long_chain_converges_logarithmically(spark):
     """Adversarial worst case for connected components: a 130-vertex
     path graph (A~B~C~...~Z) has diameter 129, so naive min-label
     propagation needs ~129 rounds. Pointer doubling must collapse it
-    in O(log diameter): each loop round runs two hop+jump steps and
-    reach at least doubles per step, so ceil(log2(129)) = 8 steps =
-    4 rounds (+1 to observe the fixed point) suffice. Pins both the
+    in O(log diameter): reach at least doubles per hop+jump step, so
+    ceil(log2(129)) = 8 steps suffice; the loop materializes every
+    _CC_STEPS_PER_ROUND steps, so ceil(8 / steps_per_round) rounds
+    (+1 to observe the fixed point) is the bound. Pins both the
     correctness of the fixed point and the round bound — a refactor
     that silently drops the pointer jump fails here, not at 100 TB."""
     import math
 
-    from monday_etl_automation_spark.plans.dedup_ops import _converge_components
+    from monday_etl_automation_spark.plans.dedup_ops import (
+        _CC_STEPS_PER_ROUND,
+        _converge_components,
+    )
 
     n = 130
     pairs = [(i, i + 1) for i in range(n - 1)]
@@ -111,7 +115,9 @@ def test_components_long_chain_converges_logarithmically(spark):
     labels, rounds = _converge_components(edges)
     got = {r.doc_id: r.label for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}, "chain did not fully collapse to min id"
-    max_steps = math.ceil(math.log2(n - 1)) + 2  # +2: fixed-point detection round
-    assert 2 * rounds <= max_steps + 1, (
-        f"{rounds} rounds ({2 * rounds} steps) for a {n}-chain — pointer doubling broken?"
+    max_steps = math.ceil(math.log2(n - 1))
+    max_rounds = math.ceil(max_steps / _CC_STEPS_PER_ROUND) + 1  # +1: fixed-point round
+    assert rounds <= max_rounds, (
+        f"{rounds} rounds (steps/round={_CC_STEPS_PER_ROUND}) for a {n}-chain —"
+        " pointer doubling broken?"
     )
