@@ -25,11 +25,39 @@ import glob
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from monday_etl_automation_spark.sources.tables import load_table, normalize_ts
+
+# Stateful streaming stages instantiate ONE state store per shuffle
+# partition, and every micro-batch commits a delta file (+CRC) per
+# store to the checkpoint dir — at replay scale the commit I/O, not
+# the data, dominates (measured at sf0.1: 32 partitions ≈ 2x the wall
+# time of 8 on every replay). Replays therefore pin a smaller shuffle
+# width; a real deployment sizes this to state volume / key count
+# (state stores are the unit of both parallelism and recovery), and a
+# restarted query keeps the width its checkpoint recorded.
+_REPLAY_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def _replay_partitions(spark: SparkSession):
+    """Scoped spark.sql.shuffle.partitions override for a replay.
+
+    Concurrent replays in one session (dead_letter_counts runs two via
+    a thread pool) may interleave set/restore: both set the same value
+    and a batch planned after the first restore just runs at the
+    session width — a wall-time wobble, never a correctness issue
+    (partition count does not change any aggregation result)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,15 +206,16 @@ def run_interval_join_replay(
     joined = stream_stream_interval_join(
         event_stream(spark, sf_dir), event_stream(spark, sf_dir), window_seconds
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssj_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssj_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("l_event_id", "r_event_id")
 
 
@@ -199,15 +228,16 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 def _replay(agg: DataFrame, sink: str) -> None:
     """availableNow replay of a streaming aggregation into a memory
     sink (complete mode: the final table IS the batch answer)."""
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_partitions(agg.sparkSession):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def run_replay(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
@@ -283,16 +313,17 @@ def run_stateful_replay(spark: SparkSession, sf_dir: str, name: str | None = Non
     from pyspark.sql import Window
 
     sink = name or f"stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        stateful_user_totals_stream(event_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_state_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_partitions(spark):
+        q = (
+            stateful_user_totals_stream(event_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_state_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(sink)
@@ -462,16 +493,17 @@ def run_timer_sessions_replay(
         .parquet(src)
     )
     sink = f"timer_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_with_timers(stream, gap_seconds)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_timer_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_partitions(spark):
+        q = (
+            sessionize_with_timers(stream, gap_seconds)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_timer_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(sink)
         .select(
@@ -724,13 +756,14 @@ class DeadLetterSink:
         )
 
     def run(self, events: DataFrame) -> None:
-        q = (
-            events.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dlq_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _replay_partitions(events.sparkSession):
+            q = (
+                events.writeStream.foreachBatch(self.process_batch)
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dlq_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
 
 def run_dead_letter(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -813,9 +846,12 @@ class StatusUpsertSink:
             merged = self._bucketed(self._latest_per_key(prev.unionByName(latest)))
         else:
             merged = latest
-        # sever lineage back to the target files being overwritten —
-        # the write must never re-read self.path
-        merged = merged.repartition(self.n_buckets, "bucket").localCheckpoint(eager=True)
+        merged = merged.repartition(self.n_buckets, "bucket")
+        if self._has_state:
+            # sever lineage back to the target files being overwritten —
+            # the write must never re-read self.path (the no-state first
+            # batch has no such lineage and skips the materialization)
+            merged = merged.localCheckpoint(eager=True)
         # One write per touched bucket per batch: dynamic partition
         # overwrite replaces ONLY the touched bucket partitions. No
         # staging copy: write amplification per micro-batch is 1x the
@@ -834,13 +870,14 @@ class StatusUpsertSink:
         self._has_state = True
 
     def run(self, statuses: DataFrame) -> None:
-        q = (
-            statuses.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _replay_partitions(statuses.sparkSession):
+            q = (
+                statuses.writeStream.foreachBatch(self.process_batch)
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
 
 class RollupSink:
@@ -947,11 +984,13 @@ class RollupSink:
             )
         else:
             merged = partial
-        merged = (
-            merged.withColumn("applied_batch_id", F.lit(batch_id).cast("bigint"))
-            .repartition(self.n_buckets, "bucket")
-            .localCheckpoint(eager=True)
-        )
+        merged = merged.withColumn(
+            "applied_batch_id", F.lit(batch_id).cast("bigint")
+        ).repartition(self.n_buckets, "bucket")
+        if self._has_state:
+            # sever lineage back to the target files being overwritten
+            # (the no-state first batch reads nothing from self.path)
+            merged = merged.localCheckpoint(eager=True)
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -961,13 +1000,14 @@ class RollupSink:
         self._has_state = True
 
     def run(self, events: DataFrame) -> None:
-        q = (
-            events.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rollup_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _replay_partitions(events.sparkSession):
+            q = (
+                events.writeStream.foreachBatch(self.process_batch)
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rollup_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
 
 def run_rollup_sink(spark: SparkSession, sf_dir: str, n_splits: int = 6) -> DataFrame:
