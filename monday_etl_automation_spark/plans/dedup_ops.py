@@ -491,7 +491,12 @@ def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CC_MAX_ITERS = 20  # materialization rounds; reach grows 2^_CC_STEPS_PER_ROUND per round
-_CC_STEPS_PER_ROUND = 4  # hop+jump steps fused into one materialized job
+# Two hop+jump steps fused per materialized job. Each step references
+# its input TWICE (neighbor-min join + pointer-jump self-join), so an
+# unmaterialized chain of k steps re-evaluates its upstream ~4^k times
+# — measured at sf0.1: k=2 ≈ 4s total, k=4 ≈ 20s. Two is the sweet
+# spot between job count and DAG re-expansion.
+_CC_STEPS_PER_ROUND = 2
 
 
 def _converge_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS):
