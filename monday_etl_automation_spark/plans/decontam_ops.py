@@ -1,0 +1,197 @@
+"""Benchmark decontamination + PII scrubbing (SURVEY.md §2.12 — two
+standard steps of a pretraining corpus pipeline the engine was missing:
+drop training docs that overlap the eval set, and redact personal data
+before anything ships to a trainer).
+
+Both are pure SQL with exact DuckDB twins (tests/test_decontam.py);
+both stay OUT of the 50-entry driver registry (CLAUDE.md cap) like
+packing/sampling — the pytest twins are the oracle.
+
+- ``benchmark_overlap`` — n-gram collision decontamination (the
+  GPT-3/Pile recipe): hash every word {_NGRAM}-gram of every corpus
+  doc and of every benchmark doc, equi-join on the hash, and flag a
+  corpus doc when it shares >= {_HIT_MIN} DISTINCT n-grams with the
+  benchmark set. Scale shape: the benchmark n-gram table is tiny
+  (eval sets are KB-MB against a 100 TB corpus) → broadcast side of
+  the equi-join; the corpus side is a row-local explode — no
+  all-pairs stage, no shuffle of the corpus beyond the final
+  aggregation by doc.
+- ``pii_scrub`` — regex redaction of emails / phone numbers / IPv4
+  addresses, emitting per-doc match counts and the scrubbed text's
+  length+md5. Entirely row-local string ops (whole-stage codegen, zero
+  shuffles beyond the final ORDER BY): at 100 TB this is a map-only
+  pass, which is the only acceptable shape for a whole-corpus rewrite.
+
+The synthetic corpus contains no real overlaps or PII, so both
+operators PLANT deterministic positives inside the query (same
+augmentation in both dialects — the embed_near_dup pattern): benchmark
+docs and ``doc_id % {_PLANT_MOD} == 0`` docs get a fixed sentinel
+phrase appended (guaranteeing >= {_HIT_MIN} shared n-grams), and
+``doc_id % {_PII_MOD} == 0`` docs get a doc_id-derived email, a phone,
+and an IP. The checks therefore prove detection/redaction on known
+positives instead of passing vacuously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from monday_etl_automation_spark.sources.tables import register_views
+
+_BENCH_MOD = 97  # doc_id % 97 == 0 -> benchmark (eval-set stand-in)
+_PLANT_MOD = 31  # planted-contaminated corpus docs
+_NGRAM = 5  # word n-gram size (collision unit)
+_HIT_MIN = 3  # distinct shared n-grams to call a doc contaminated
+_PII_MOD = 11  # docs that get planted PII
+
+# 9 words -> 5 distinct 5-grams, comfortably >= _HIT_MIN
+_SENTINEL = "zebra quark lattice govern ripple ember cactus violet marsh"
+
+_TOKS = {
+    "spark": "split(trim(coalesce(text, '')), '\\\\s+')",
+    "duckdb": "regexp_split_to_array(trim(coalesce(text, '')), '\\s+')",
+}
+
+
+def _ngram_hash_cte(dialect: str, src: str, out: str) -> str:
+    """{out}(doc_id, h): the distinct {_NGRAM}-gram 60-bit hashes of
+    relation {src}(doc_id, text). Same md5-derived hash family as
+    text_ops' fingerprints — identical values in both engines."""
+    toks = _TOKS[dialect]
+    if dialect == "spark":
+        grams = (
+            f"CASE WHEN size(toks) >= {_NGRAM} THEN"
+            f" transform(sequence(0, size(toks) - {_NGRAM}),"
+            f" i -> concat_ws(' ', slice(toks, i + 1, {_NGRAM})))"
+            " ELSE array() END"
+        )
+        body = f"""SELECT doc_id, explode(grams) AS g
+    FROM (SELECT doc_id, {grams} AS grams
+          FROM (SELECT doc_id, {toks} AS toks FROM {src}))"""
+        h = "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        grams = (
+            f"CASE WHEN len(toks) >= {_NGRAM} THEN"
+            f" [array_to_string(toks[i:i + {_NGRAM} - 1], ' ')"
+            f" for i in range(1, len(toks) - {_NGRAM} + 2)]"
+            " ELSE [] END"
+        )
+        body = f"""SELECT doc_id, unnest(grams) AS g
+    FROM (SELECT doc_id, {grams} AS grams
+          FROM (SELECT doc_id, {toks} AS toks FROM {src}))"""
+        h = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"
+    return f"""{out} AS (
+  SELECT DISTINCT doc_id, {h} AS h
+  FROM ({body}) ex
+)"""
+
+
+def _overlap_sql(dialect: str) -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_BENCH_MOD} = 0 OR doc_id % {_PLANT_MOD} = 0
+              THEN coalesce(text, '') || ' {_SENTINEL}'
+              ELSE coalesce(text, '') END AS text
+  FROM documents
+),
+corpus AS (SELECT doc_id, text FROM aug WHERE doc_id % {_BENCH_MOD} <> 0),
+bench AS (SELECT doc_id, text FROM aug WHERE doc_id % {_BENCH_MOD} = 0),
+{_ngram_hash_cte(dialect, "corpus", "cg")},
+{_ngram_hash_cte(dialect, "bench", "bg")},
+hits AS (
+  SELECT cg.doc_id, CAST(count(DISTINCT cg.h) AS BIGINT) AS n_hits
+  FROM cg JOIN (SELECT DISTINCT h FROM bg) b ON cg.h = b.h
+  GROUP BY cg.doc_id
+)
+SELECT c.doc_id,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(hits.n_hits, 0) >= {_HIT_MIN} THEN 1 ELSE 0 END AS INT)
+         AS is_contaminated
+FROM (SELECT doc_id FROM corpus) c
+LEFT JOIN hits ON c.doc_id = hits.doc_id
+ORDER BY c.doc_id
+""".strip()
+
+
+def benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_overlap_sql("spark"))
+
+
+def benchmark_overlap_oracle() -> str:
+    return _overlap_sql("duckdb")
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub — regex redaction, row-local
+# ---------------------------------------------------------------------------
+
+# patterns restricted to syntax Java regex and RE2 interpret identically
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def _rx(dialect: str, pat: str) -> str:
+    # Spark SQL string literals process backslash escapes; DuckDB's do not
+    return pat.replace("\\", "\\\\") if dialect == "spark" else pat
+
+
+def _pii_sql(dialect: str) -> str:
+    spark = dialect == "spark"
+
+    def count(col: str, pat: str) -> str:
+        p = _rx(dialect, pat)
+        if spark:
+            return f"size(regexp_extract_all({col}, '{p}', 0))"
+        return f"CAST(len(regexp_extract_all({col}, '{p}')) AS INT)"
+
+    def scrub(col: str, pat: str, tag: str) -> str:
+        p = _rx(dialect, pat)
+        if spark:  # Spark regexp_replace is global by default
+            return f"regexp_replace({col}, '{p}', '<{tag}>')"
+        return f"regexp_replace({col}, '{p}', '<{tag}>', 'g')"
+
+    scrubbed = "coalesce(text, '')"
+    for tag, pat in _PII_PATTERNS.items():
+        scrubbed = scrub(scrubbed, pat, tag.upper())
+    planted = (
+        "coalesce(text, '') || ' reach user' || CAST(doc_id AS STRING)"
+        " || '@example.com or 555-867-5309 from 10.0.'"
+        " || CAST(doc_id % 256 AS STRING) || '.7'"
+        if spark
+        else "coalesce(text, '') || ' reach user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com or 555-867-5309 from 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_PII_MOD} = 0 THEN {planted}
+              ELSE coalesce(text, '') END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST({count("text", _PII_PATTERNS["email"])} AS BIGINT) AS n_emails,
+       CAST({count("text", _PII_PATTERNS["phone"])} AS BIGINT) AS n_phones,
+       CAST({count("text", _PII_PATTERNS["ip"])} AS BIGINT) AS n_ips,
+       CAST(length({scrubbed}) AS BIGINT) AS clean_len,
+       md5({scrubbed}) AS clean_md5,
+       CAST({count(scrubbed, _PII_PATTERNS["email"])}
+            + {count(scrubbed, _PII_PATTERNS["phone"])}
+            + {count(scrubbed, _PII_PATTERNS["ip"])} AS BIGINT) AS residual_pii
+FROM aug
+ORDER BY doc_id
+""".strip()
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_pii_sql("spark"))
+
+
+def pii_scrub_oracle() -> str:
+    return _pii_sql("duckdb")
