@@ -340,8 +340,12 @@ def _bucket_k(
     return " + ".join(bits)
 
 
-def _near_dup_sql(dialect: str) -> str:
-    """All vector pairs in the same LSH bucket with cosine >= 0.90.
+def _near_dup_ex_ctes(dialect: str) -> str:
+    """WITH-chain producing ``ex`` — the planted+bucketed exploded
+    element relation the near-dup search runs on (see _near_dup_sql
+    for the algorithm contract).
+
+    All vector pairs in the same LSH bucket with cosine >= 0.90.
 
     The bucket equi-join keeps the pair generation at ~n^2/2^k instead
     of n^2; at 100 TB you raise k (and OR together a few independent
@@ -394,20 +398,25 @@ def _near_dup_sql(dialect: str) -> str:
             f" (SELECT unnest(generate_series(1, {_DIM})) AS i)"
         )
     xd = "CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)"
-    return f"""
-WITH aug AS ({aug}),
+    return f"""WITH aug AS ({aug}),
 ex0 AS ({ex}),
-ex AS (SELECT vec_id, label, bucket, dim, {xd} AS xd FROM ex0),
-norms AS (
+ex AS (SELECT vec_id, label, bucket, dim, {xd} AS xd FROM ex0)"""
+
+
+def _near_dup_tail_sql(dialect: str, ex_rel: str) -> str:
+    """norms/dots/pairs over an exploded (vec_id, label, bucket, dim,
+    xd) relation — shared by the one-shot oracle SQL and the Spark
+    executor (which feeds a MATERIALIZED relation, see embed_near_dup)."""
+    return f"""norms AS (
   SELECT vec_id, {"any_value(label)" if dialect == "duckdb" else "first(label)"} AS label,
          sqrt(CAST(sum(xd * xd) AS DOUBLE)) AS norm
-  FROM ex GROUP BY vec_id
+  FROM {ex_rel} GROUP BY vec_id
 ),
 -- norms/dots are in the 1e8-scaled integer space; the scale cancels in
 -- dot / (norm_a * norm_b), so cosine is unchanged up to quantization
 dots AS (
   SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, CAST(sum(a.xd * b.xd) AS DOUBLE) AS dot
-  FROM ex a JOIN ex b ON a.bucket = b.bucket AND a.dim = b.dim AND a.vec_id < b.vec_id
+  FROM {ex_rel} a JOIN {ex_rel} b ON a.bucket = b.bucket AND a.dim = b.dim AND a.vec_id < b.vec_id
   GROUP BY a.vec_id, b.vec_id
 ),
 pairs AS (
@@ -421,13 +430,29 @@ pairs AS (
 )
 SELECT vec_id_a, vec_id_b, same_label, cosine
 FROM pairs WHERE cosine >= {_NEARDUP_COS}
-ORDER BY vec_id_a, vec_id_b
-""".strip()
+ORDER BY vec_id_a, vec_id_b"""
+
+
+def _near_dup_sql(dialect: str) -> str:
+    """One-shot form (what the DuckDB oracle runs; DuckDB materializes
+    CTEs referenced more than once, so the triple ``ex`` reference
+    costs nothing there)."""
+    return f"""{_near_dup_ex_ctes(dialect)},
+{_near_dup_tail_sql(dialect, "ex")}"""
 
 
 def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark executor: the exploded+bucketed element relation ``ex`` is
+    referenced THREE times downstream (norms + both sides of the dots
+    self-join), and Spark inlines CTEs — the one-shot form recomputed
+    the {_NEARDUP_PLANES} plane projections per vector three times.
+    Materialize ``ex`` once (simhash/minhash barrier pattern); it is
+    |aug| x {_DIM} scaled longs — linear in corpus size, spillable."""
     register_views(spark, sf_dir)
-    return spark.sql(_near_dup_sql("spark"))
+    spark.sql(f"{_near_dup_ex_ctes('spark')}\nSELECT * FROM ex").localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("_nd_ex")
+    return spark.sql(f"WITH {_near_dup_tail_sql('spark', '_nd_ex')}")
 
 
 # ---------------------------------------------------------------------------

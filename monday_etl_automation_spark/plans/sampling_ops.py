@@ -69,23 +69,25 @@ def rates_ctes(
 ),
 {p}wt AS (SELECT * FROM {_weights_cte(weights)}),
 {p}eff AS (
-  SELECT w.source, w.weight, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens
+  SELECT w.source, w.weight, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         -- z as a window over eff, not a separate aggregate CTE: a
+         -- second eff reference would re-expand per_source (Spark
+         -- inlines CTEs) and scan documents twice. The unpartitioned
+         -- window is bounded by |weights| — a config literal, never
+         -- data-sized
+         CAST(sum(CASE WHEN p.n_tokens > 0 THEN w.weight ELSE 0.0 END)
+              OVER () AS DOUBLE) AS z
   FROM {p}wt w LEFT JOIN {p}per_source p ON w.source = p.source
-),
-{p}norm AS (
-  SELECT CAST(sum(CASE WHEN n_tokens > 0 THEN weight ELSE 0.0 END) AS DOUBLE) AS z
-  FROM {p}eff
 ),
 {p}rates AS (
   SELECT e.source,
          e.n_tokens,
-         CAST(round(CASE WHEN e.n_tokens > 0 THEN e.weight / n.z * {total_tokens}
+         CAST(round(CASE WHEN e.n_tokens > 0 THEN e.weight / e.z * {total_tokens}
                          ELSE 0.0 END, 0) AS BIGINT) AS target_tokens,
          CASE WHEN e.n_tokens > 0
-              THEN least(CAST(1.0 AS DOUBLE), (e.weight / n.z * {total_tokens}) / e.n_tokens)
+              THEN least(CAST(1.0 AS DOUBLE), (e.weight / e.z * {total_tokens}) / e.n_tokens)
               ELSE CAST(0.0 AS DOUBLE) END AS keep_rate
   FROM {p}eff e
-  CROSS JOIN {p}norm n
 )"""
 
 

@@ -57,8 +57,12 @@ def test_merged_pipelines_scan_once_per_stage(spark, sf_dir):
     """binary_pipeline must read documents once per STAGE (3 scans),
     not once per preset branch (11 scans — the round-2 regression the
     per-row preset refactor fixed); media_pipeline reads once per kind;
-    text_profile computes everything in ONE scan."""
-    for name, max_scans in (("binary_pipeline", 3), ("media_pipeline", 3), ("text_profile", 1)):
+    text_profile computes every per-doc feature in ONE scan plus one
+    compact per-source token-totals scan for the merged mixture-rate
+    columns (the rates side is weights-bounded and broadcast; a third
+    scan would mean the rates CTE chain re-expanded — the round-8
+    z-as-window fix in sampling_ops.rates_ctes)."""
+    for name, max_scans in (("binary_pipeline", 3), ("media_pipeline", 3), ("text_profile", 2)):
         plan = _plan(spark, sf_dir, name)
         n = plan.count("Scan parquet")
         assert n <= max_scans, f"{name}: {n} parquet scans (max {max_scans})"
