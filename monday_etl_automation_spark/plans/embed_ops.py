@@ -5,10 +5,12 @@
                      a row-local zip_with/aggregate fold (JVM, no
                      Python). The baseline every ANN variant is
                      measured against.
-- ann_lsh_topk     — the scale path: random-hyperplane LSH buckets
-                     (sign bits of two fixed projections); the search
-                     join only touches same-bucket pairs, so cost is
-                     O(n * bucket_fraction) instead of O(n * queries).
+- ann_lsh_topk     — the scale path: 4 OR'd 4-plane sign-bucket sets
+                     with Hamming-1 multi-probe and an exact cosine
+                     re-rank; the bucket index and the IVF quantizer
+                     are built once per (session, data snapshot) and
+                     persisted, so a search touches only bucket-join
+                     candidates — never the plane projections.
 
 Float policy for oracle parity: all arithmetic in DOUBLE with
 identical left-fold order in both engines (Spark ``aggregate`` and
