@@ -137,3 +137,73 @@ def mixture_sample(
 
 def mixture_sample_oracle(weights: dict[str, float], total_tokens: int) -> str:
     return _sample_sql("duckdb", weights, total_tokens)
+
+
+# ---------------------------------------------------------------------------
+# corpus_splits — deterministic train/val/test assignment + shuffle key
+# ---------------------------------------------------------------------------
+
+# Split and shuffle use per-purpose salted hashes, NOT the sampling
+# gate's hash: reusing one hash for several decisions correlates them
+# (every sampled doc would land in the same split region).
+_SPARK_SPLIT_H = (
+    "pmod(CAST(conv(substr(md5('split:' || CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT), 1000000)"
+)
+_DUCK_SPLIT_H = (
+    "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    " % 1000000"
+)
+_SPARK_SHUF_H = "CAST(conv(substr(md5('order:' || CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_SHUF_H = "CAST('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+def _split_sql(dialect: str, fracs: dict[str, float]) -> str:
+    """Hash-range split assignment + deterministic shuffle key.
+
+    - ``split``: the doc's salted hash falls into cumulative
+      [0, f_train), [f_train, f_train+f_val), ... ranges of 1e6. Hash
+      assignment (vs rand()) is what makes splits LEAKAGE-SAFE under
+      corpus growth: a doc's split never depends on which other docs
+      exist, so re-running after ingest moves nothing across the
+      train/eval boundary (pinned in tests).
+    - ``shuffle_key``: an independent salted hash; training order =
+      ORDER BY shuffle_key is a reproducible global shuffle that needs
+      no state — at 100 TB it is a repartitionByRange write, not a
+      sort on one machine.
+
+    Row-local (zero shuffles before any final ORDER BY), identical in
+    both engines.
+    """
+    gate = _SPARK_SPLIT_H if dialect == "spark" else _DUCK_SPLIT_H
+    shuf = _SPARK_SHUF_H if dialect == "spark" else _DUCK_SHUF_H
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    cases, lo = [], 0
+    items = list(fracs.items())
+    for name, frac in items[:-1]:
+        hi = lo + int(round(frac * 1_000_000))
+        cases.append(f"WHEN g < {hi} THEN '{name}'")
+        lo = hi
+    case = "CASE " + " ".join(cases) + f" ELSE '{items[-1][0]}' END"
+    return f"""
+WITH gated AS (
+  SELECT doc_id, source, {gate} AS g, {shuf} AS shuffle_key FROM documents
+)
+SELECT doc_id, source, {case} AS split, shuffle_key
+FROM gated
+ORDER BY doc_id
+""".strip()
+
+
+def corpus_splits(
+    spark: SparkSession, sf_dir: str, fracs: dict[str, float] | None = None
+) -> DataFrame:
+    fracs = fracs or {"train": 0.90, "val": 0.05, "test": 0.05}
+    register_views(spark, sf_dir)
+    return spark.sql(_split_sql("spark", fracs))
+
+
+def corpus_splits_oracle(fracs: dict[str, float] | None = None) -> str:
+    return _split_sql("duckdb", fracs or {"train": 0.90, "val": 0.05, "test": 0.05})
