@@ -370,7 +370,26 @@ ORDER BY doc_id_a, doc_id_b
 """.strip()
 
 
-def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _near_pairs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash near-pair relation (doc_id_a, doc_id_b, hamming),
+    MATERIALIZED once per (session, documents snapshot) and shared by
+    its three consumers (the simhash_near_pairs entry, near_dup_assign,
+    near_dup_components) — each used to recompute signatures + the
+    band self-join from scratch. A dedup pipeline at scale persists
+    its signature/pair index next to the corpus for exactly this
+    reason; here "persist" is the snapshot-keyed localCheckpoint
+    scheme shared with the ANN bucket index and IVF quantizer
+    (sources/tables.snapshot_key)."""
+    from monday_etl_automation_spark.sources.tables import (
+        session_artifact_cache,
+        snapshot_key,
+    )
+
+    cache = session_artifact_cache(spark, "simhash_pairs")
+    key = snapshot_key(sf_dir, "documents")
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     register_views(spark, sf_dir)
     # Materialization barrier before the self-join — same reasoning as
     # minhash_lsh_candidates (localCheckpoint, not cache).
@@ -380,7 +399,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_keys = ", ".join(
         f"shiftright(simhash, {j * _BAND_BITS}) % {2**_BAND_BITS}" for j in range(n_bands)
     )
-    return spark.sql(
+    pairs = spark.sql(
         f"""
 WITH kv AS (
   SELECT doc_id, simhash, band_idx, band_key
@@ -394,9 +413,15 @@ cand AS (
 SELECT doc_id_a, doc_id_b, CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming
 FROM cand
 WHERE CAST(bit_count(sim_a ^ sim_b) AS INT) <= {_HAMMING_MAX}
-ORDER BY doc_id_a, doc_id_b
 """.strip()
-    )
+    ).localCheckpoint(eager=True)
+    cache[key] = pairs
+    return pairs
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return _near_pairs_index(spark, sf_dir).orderBy("doc_id_a", "doc_id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -435,8 +460,8 @@ ORDER BY doc_id
 
 def near_dup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    # reuse the checkpointed-fingerprint pair computation
-    pairs = simhash_near_pairs(spark, sf_dir)
+    # reuse the persisted near-pair index (order-free consumer)
+    pairs = _near_pairs_index(spark, sf_dir)
     pairs.createOrReplaceTempView("_nd_pairs")
     return spark.sql(
         """
@@ -499,9 +524,73 @@ _CC_MAX_ITERS = 20  # materialization rounds; reach grows 2^_CC_STEPS_PER_ROUND 
 _CC_STEPS_PER_ROUND = 2
 
 
-def _converge_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS):
-    """Min-label propagation with pointer doubling over a
-    both-directions edge list ``(src, dst)`` (pre-checkpointed).
+_CC_LOCAL_MAX_EDGES = 2_000_000  # ~32 MB of (src,dst) longs: one task's work
+
+
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Exact union-find over a sub-threshold edge list in ONE task
+    (``mapInPandas`` on a single partition — executor-side, nothing
+    ever collects to the driver).
+
+    Union-by-min keeps every tree's root at the component's minimum
+    vertex id, so ``find`` directly yields the canonical label. Path
+    compression makes the whole pass near-linear. 2M edges is ~32 MB
+    and far under a second of CPU — versus ~1s of per-round job
+    scheduling alone for the distributed loop on the same input."""
+    import pandas as pd  # noqa: PLC0415 (executor-side import parity)
+
+    def run(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        verts: set[int] = set()
+        for pdf in batches:
+            for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                a, b = int(a), int(b)
+                verts.add(a)
+                verts.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        ordered = sorted(verts)
+        yield pd.DataFrame({"doc_id": ordered, "label": [find(v) for v in ordered]})
+
+    return (
+        edges.repartition(1)
+        .mapInPandas(run, "doc_id BIGINT, label BIGINT")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _converge_components(
+    edges: DataFrame,
+    max_iters: int = _CC_MAX_ITERS,
+    local_max_edges: int = _CC_LOCAL_MAX_EDGES,
+):
+    """Connected components over a both-directions edge list
+    ``(src, dst)`` (pre-checkpointed) — two-level, like every
+    production CC implementation:
+
+    - **sub-threshold graphs** run exact single-task union-find
+      (_local_components). The dup graph is a small fraction of the
+      corpus by construction, and below ~2M edges the distributed
+      loop's cost is 100% per-round job scheduling (measured at
+      sf0.1: a 1024-edge graph took 6 rounds x ~1s of overhead);
+      one task finishes it in milliseconds.
+    - **above the threshold** the pointer-doubling loop below takes
+      over — O(log diameter) materialized rounds, never more than
+      one machine's memory per partition. At 100 TB the dup graph
+      can be TB-scale and this is the only shape that works.
+
+    The count() gating the switch is metadata-cheap (edges is
+    checkpointed). Min-label propagation with pointer doubling:
 
     Returns ``(labels, n_rounds)`` where ``labels`` maps every edge
     vertex to its component's min vertex id and ``n_rounds`` counts
@@ -519,6 +608,9 @@ def _converge_components(edges: DataFrame, max_iters: int = _CC_MAX_ITERS):
     preserved by every step's left joins) so change detection needs no
     extra join against the prior frame."""
     from pyspark.sql import functions as F
+
+    if edges.count() <= local_max_edges:
+        return _local_components(edges), 1
 
     labels = (
         edges.select(F.col("src").alias("doc_id")).distinct()
@@ -594,7 +686,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     register_views(spark, sf_dir)
-    pairs = simhash_near_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    pairs = _near_pairs_index(spark, sf_dir).select("doc_id_a", "doc_id_b")
     # coalesce before pinning: the dup-edge list is a small fraction of
     # the corpus, but it inherits the pair-join's full partition count —
     # every loop iteration then schedules that many map tasks per join.

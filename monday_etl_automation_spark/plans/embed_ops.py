@@ -20,11 +20,13 @@ exact), so cosine values match bit-for-bit before the final round.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
-from monday_etl_automation_spark.sources.tables import register_views
+from monday_etl_automation_spark.sources.tables import (
+    register_views,
+    session_artifact_cache,
+    snapshot_key,
+)
 
 _DIM = 64
 _TOPK = 5
@@ -244,17 +246,8 @@ def _ann_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-expanded at every reference (Spark inlines CTEs), costing two
     full projection passes per query. At cluster scale this is the
     index table a (rare) build job maintains alongside the corpus."""
-    cache = getattr(spark, "_mea_ann_cache", None)
-    if cache is None:
-        cache = {}
-        spark._mea_ann_cache = cache  # noqa: SLF001 (own session tag)
-    fpath = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(fpath)
-        fkey = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        fkey = None
-    key = (sf_dir, fkey)
+    cache = session_artifact_cache(spark, "ann_buckets")
+    key = snapshot_key(sf_dir, "embeddings")
     hit = cache.get(key)
     if hit is None:
         hit = spark.sql(_ann_buckets_sql_spark()).localCheckpoint(eager=True)
@@ -626,17 +619,8 @@ def _train_ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent: 20×64 — all tiny relative to the corpus) and later stages
     read the pinned result, exactly the simhash/minhash barrier
     pattern (k-means in MLlib does the same per iteration)."""
-    cache = getattr(spark, "_mea_ivf_cache", None)
-    if cache is None:
-        cache = {}
-        spark._mea_ivf_cache = cache  # noqa: SLF001 (own session tag)
-    fpath = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(fpath)
-        fkey = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        fkey = None
-    key = (sf_dir, fkey)
+    cache = session_artifact_cache(spark, "ivf_ranked")
+    key = snapshot_key(sf_dir, "embeddings")
     hit = cache.get(key)
     if hit is not None:
         return hit

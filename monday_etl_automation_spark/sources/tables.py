@@ -108,6 +108,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def snapshot_key(sf_dir: str, name: str) -> tuple:
+    """(sf_dir, table, mtime_ns, size) — the cache key that pins a
+    derived artifact (trained quantizer, LSH bucket index, near-pair
+    relation) to the exact file snapshot it was computed from. This
+    environment is KNOWN to regenerate /root/testdata mid-round; a
+    derived artifact served across a regeneration would silently
+    describe vanished rows."""
+    fpath = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(fpath)
+        return (sf_dir, name, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir, name, None, None)
+
+
+def session_artifact_cache(spark: SparkSession, tag: str) -> dict:
+    """Per-session dict for snapshot-keyed derived artifacts."""
+    attr = f"_mea_cache_{tag}"
+    cache = getattr(spark, attr, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, attr, cache)
+    return cache
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register the test tables as temp views for the SQL surface.
 

@@ -112,7 +112,10 @@ def test_components_long_chain_converges_logarithmically(spark):
         .unionByName(spark.createDataFrame([(b, a) for a, b in pairs], "src BIGINT, dst BIGINT"))
         .localCheckpoint(eager=True)
     )
-    labels, rounds = _converge_components(edges)
+    # local_max_edges=0 forces the DISTRIBUTED loop — this test pins
+    # the pointer-doubling round bound, which the sub-threshold
+    # union-find fast path would bypass
+    labels, rounds = _converge_components(edges, local_max_edges=0)
     got = {r.doc_id: r.label for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}, "chain did not fully collapse to min id"
     max_steps = math.ceil(math.log2(n - 1))
@@ -121,3 +124,36 @@ def test_components_long_chain_converges_logarithmically(spark):
         f"{rounds} rounds (steps/round={_CC_STEPS_PER_ROUND}) for a {n}-chain —"
         " pointer doubling broken?"
     )
+
+
+def test_local_and_distributed_components_agree(spark):
+    """The two-level switch must be invisible: single-task union-find
+    (sub-threshold path) and the pointer-doubling loop must produce
+    identical labels on the same random graph — seeded, with multiple
+    components, chains, and a star."""
+    import random
+
+    from monday_etl_automation_spark.plans.dedup_ops import _converge_components
+
+    rnd = random.Random(13)
+    pairs = set()
+    # three chains, one star, plus random noise edges
+    for base in (0, 200, 400):
+        for i in range(base, base + 40):
+            pairs.add((i, i + 1))
+    pairs.update((600, 600 + i) for i in range(1, 25))
+    pairs.update(
+        (rnd.randrange(700, 900), rnd.randrange(700, 900)) for _ in range(80)
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = (
+        spark.createDataFrame(pairs, "src BIGINT, dst BIGINT")
+        .unionByName(spark.createDataFrame([(b, a) for a, b in pairs], "src BIGINT, dst BIGINT"))
+        .localCheckpoint(eager=True)
+    )
+    local, lr = _converge_components(edges)  # under threshold -> union-find
+    dist, dr = _converge_components(edges, local_max_edges=0)  # forced loop
+    assert lr == 1 and dr >= 1
+    l = {r.doc_id: r.label for r in local.collect()}
+    d = {r.doc_id: r.label for r in dist.collect()}
+    assert l == d
