@@ -167,18 +167,39 @@ ORDER BY doc_id_a, doc_id_b
 """.strip()
 
 
+def _minhash_sigs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash signature relation, materialized once per (session,
+    documents snapshot) — a dedup pipeline's signature table is
+    computed by the (rare) fingerprint job and SHARED by every
+    consumer (LSH candidate generation, the fingerprints entry),
+    not rebuilt per query. localCheckpoint (not cache) on purpose:
+    it is distributed and spillable like cache, but leaves no
+    CacheManager entry — cached plans with expression trees this
+    large make *every subsequent query* in the session pay a
+    plan-comparison tax during analysis."""
+    from monday_etl_automation_spark.sources.tables import (
+        session_artifact_cache,
+        snapshot_key,
+    )
+
+    cache = session_artifact_cache(spark, "minhash_sigs")
+    key = snapshot_key(sf_dir, "documents")
+    hit = cache.get(key)
+    if hit is None:
+        register_views(spark, sf_dir)
+        hit = spark.sql(_minhash_sql("spark")).localCheckpoint(eager=True)
+        cache[key] = hit
+    return hit
+
+
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    # Materialize signatures before the self-join: both join sides and
-    # every band read the same 9-ints-per-doc relation, so without a
-    # materialization barrier the signature computation (md5 per
-    # shingle) would run once per reference. localCheckpoint (not
-    # cache) on purpose: it is distributed and spillable like cache,
-    # but leaves no CacheManager entry — cached plans with expression
-    # trees this large make *every subsequent query* in the session
-    # pay a plan-comparison tax during analysis.
-    sigs = spark.sql(_minhash_sql("spark")).localCheckpoint(eager=True)
-    sigs.createOrReplaceTempView("_mh_sigs")
+    # The persisted signature index doubles as the materialization
+    # barrier before the self-join: both join sides and every band
+    # read the same 9-ints-per-doc relation, so an unmaterialized
+    # signature computation (md5 per shingle) would run once per
+    # reference.
+    _minhash_sigs_index(spark, sf_dir).createOrReplaceTempView("_mh_sigs")
     band_keys = ", ".join(
         f"CAST(sig{2 * j} AS STRING) || ':' || CAST(sig{2 * j + 1} AS STRING)"
         for j in range(_N_BANDS)
@@ -370,6 +391,26 @@ ORDER BY doc_id_a, doc_id_b
 """.strip()
 
 
+def _simhash_sigs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash signature relation (doc_id, lang, simhash), materialized
+    once per (session, documents snapshot) and shared by the near-pair
+    index and the fingerprints entry — same persistence scheme as
+    _minhash_sigs_index."""
+    from monday_etl_automation_spark.sources.tables import (
+        session_artifact_cache,
+        snapshot_key,
+    )
+
+    cache = session_artifact_cache(spark, "simhash_sigs")
+    key = snapshot_key(sf_dir, "documents")
+    hit = cache.get(key)
+    if hit is None:
+        register_views(spark, sf_dir)
+        hit = spark.sql(_simhash_sql("spark")).localCheckpoint(eager=True)
+        cache[key] = hit
+    return hit
+
+
 def _near_pairs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The simhash near-pair relation (doc_id_a, doc_id_b, hamming),
     MATERIALIZED once per (session, documents snapshot) and shared by
@@ -391,10 +432,7 @@ def _near_pairs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     register_views(spark, sf_dir)
-    # Materialization barrier before the self-join — same reasoning as
-    # minhash_lsh_candidates (localCheckpoint, not cache).
-    sims = spark.sql(_simhash_sql("spark")).localCheckpoint(eager=True)
-    sims.createOrReplaceTempView("_sh_sims")
+    _simhash_sigs_index(spark, sf_dir).createOrReplaceTempView("_sh_sims")
     n_bands = _N_BITS // _BAND_BITS
     band_keys = ", ".join(
         f"shiftright(simhash, {j * _BAND_BITS}) % {2**_BAND_BITS}" for j in range(n_bands)
@@ -505,8 +543,20 @@ ORDER BY mh.doc_id
 
 
 def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark executor: join the two PERSISTED signature indexes
+    (minhash + simhash) instead of recomputing both from text — the
+    oracle keeps the one-shot SQL (identical values)."""
     register_views(spark, sf_dir)
-    return spark.sql(_fingerprints_sql("spark"))
+    sig_cols = ", ".join(f"mh.sig{i}" for i in range(len(_MINHASH_AB)))
+    _minhash_sigs_index(spark, sf_dir).createOrReplaceTempView("_fp_mh")
+    _simhash_sigs_index(spark, sf_dir).createOrReplaceTempView("_fp_sh")
+    return spark.sql(
+        f"""
+SELECT mh.doc_id, sh.lang, {sig_cols}, sh.simhash
+FROM _fp_mh mh JOIN _fp_sh sh ON mh.doc_id = sh.doc_id
+ORDER BY mh.doc_id
+""".strip()
+    )
 
 
 # ---------------------------------------------------------------------------

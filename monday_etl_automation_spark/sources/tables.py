@@ -133,6 +133,21 @@ def session_artifact_cache(spark: SparkSession, tag: str) -> dict:
     return cache
 
 
+def clear_artifact_caches(spark: SparkSession) -> None:
+    """Drop every snapshot-keyed derived artifact (signature indexes,
+    ANN buckets, IVF assignments) in this session.
+
+    The snapshot key covers the FILE, not the temp view: a caller that
+    overrides the ``documents``/``embeddings`` view (the injection
+    tests do, to plant duplicates) would otherwise poison the cache —
+    the artifact built from the overridden view stays keyed under the
+    untouched file's snapshot and serves wrong answers after the view
+    is restored. Every view override must bracket itself with this."""
+    for attr in list(vars(spark)):
+        if attr.startswith("_mea_cache_"):
+            getattr(spark, attr).clear()
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register the test tables as temp views for the SQL surface.
 

@@ -16,7 +16,10 @@ _OFFSET = 20_000_000
 def _with_clones(spark, sf_dir, n=3, mutate=None):
     """Temp-view documents with the first ``n`` docs cloned at
     doc_id + _OFFSET (optionally perturbed by ``mutate``)."""
+    from monday_etl_automation_spark.sources.tables import clear_artifact_caches
+
     register_views(spark, sf_dir)
+    clear_artifact_caches(spark)  # view override invalidates file-keyed artifacts
     base = spark.table("documents")
     ids = [r.doc_id for r in base.orderBy("doc_id").limit(n).collect()]
     clones = base.where(F.col("doc_id").isin(ids)).withColumn(
@@ -29,8 +32,11 @@ def _with_clones(spark, sf_dir, n=3, mutate=None):
 
 
 def _restore(spark, sf_dir):
+    from monday_etl_automation_spark.sources.tables import clear_artifact_caches
+
     spark._mea_views_sf_dir = None  # noqa: SLF001
     register_views(spark, sf_dir)
+    clear_artifact_caches(spark)  # artifacts built from the clone view are stale
 
 
 def test_dedup_exact_detects_injected_duplicates(spark, sf_dir):
