@@ -260,22 +260,37 @@ ORDER BY doc_id_a, doc_id_b
 """.strip()
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    # Materialize the per-doc hashed-shingle arrays before the
-    # self-join: both join sides reference them, and Catalyst also
-    # infers join-key not-null filters that would inline (and re-run)
-    # the whole tokenize->shingle->md5 chain several times per row.
-    # The checkpointed relation is ~|shingles| longs per doc — linear
-    # in corpus size, spillable, one computation total.
-    hv = f"transform(shingles, s -> {_SPARK_H60})"
-    hs = spark.sql(
-        f"""
+def _shingle_hash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc hashed-shingle arrays (doc_id, lang, hv, n_sh),
+    materialized once per (session, documents snapshot) — the barrier
+    both Jaccard join sides read (Catalyst's inferred join-key
+    not-null filters would otherwise inline and re-run the whole
+    tokenize->shingle->md5 chain several times per row). ~|shingles|
+    longs per doc: linear in corpus size, spillable."""
+    from monday_etl_automation_spark.sources.tables import (
+        session_artifact_cache,
+        snapshot_key,
+    )
+
+    cache = session_artifact_cache(spark, "shingle_hashes")
+    key = snapshot_key(sf_dir, "documents")
+    hit = cache.get(key)
+    if hit is None:
+        register_views(spark, sf_dir)
+        hv = f"transform(shingles, s -> {_SPARK_H60})"
+        hit = spark.sql(
+            f"""
 WITH {_shingle_cte("spark")}
 SELECT doc_id, lang, {hv} AS hv, size({hv}) AS n_sh FROM sh
 """.strip()
-    ).localCheckpoint(eager=True)
-    hs.createOrReplaceTempView("_ng_hs")
+        ).localCheckpoint(eager=True)
+        cache[key] = hit
+    return hit
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    _shingle_hash_index(spark, sf_dir).createOrReplaceTempView("_ng_hs")
     return spark.sql(
         """
 WITH ex AS (SELECT doc_id, lang, explode(hv) AS h, n_sh FROM _ng_hs),

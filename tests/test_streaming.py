@@ -417,6 +417,46 @@ def test_rollup_sink_replay_is_idempotent(spark, tmp_path):
     assert got[(t0, "click")] == (2, 2_000_000)
 
 
+def test_rollup_sink_upgrades_pre_stamp_state(spark, tmp_path):
+    """State written by a pre-stamp version of the sink has no
+    applied_batch_id column; the first merge after an upgrade must not
+    raise (treat old buckets as applied-by-batch -1) and must merge
+    additively."""
+    from pyspark.sql import functions as F
+
+    from monday_etl_automation_spark.streaming.pipeline import RollupSink
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    path = str(tmp_path / "old_rollup")
+    # hand-write OLD-format state: bucket-partitioned, NO stamp column
+    old = spark.createDataFrame(
+        [(t0, "click", 2, 3_000_000)],
+        "window_start TIMESTAMP, event_type STRING, n_events BIGINT, sum_micros BIGINT",
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("window_start", "event_type"), F.lit(8)).cast("int")
+    )
+    old.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+    sink = RollupSink(spark, path)
+    sink.process_batch(
+        spark.createDataFrame(
+            [(t0, "click", 1.0)], "ts TIMESTAMP, event_type STRING, value DOUBLE"
+        ),
+        5,
+    )
+    got = {(r.window_start, r.event_type): (r.n_events, r.sum_micros) for r in sink.current().collect()}
+    assert got[(t0, "click")] == (3, 4_000_000)
+    # the touched bucket is now stamped: replaying batch 5 no-ops
+    sink.process_batch(
+        spark.createDataFrame(
+            [(t0, "click", 9.0)], "ts TIMESTAMP, event_type STRING, value DOUBLE"
+        ),
+        5,
+    )
+    got2 = {(r.window_start, r.event_type): (r.n_events, r.sum_micros) for r in sink.current().collect()}
+    assert got2 == got
+
+
 def test_status_upsert_keeps_latest_per_key(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
     rows = [
