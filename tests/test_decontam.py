@@ -51,3 +51,66 @@ def test_pii_scrub_detects_and_redacts_planted_pii(spark, sf_dir):
             assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 0), d
         # the scrub is total: no pattern survives in the clean text
         assert r.residual_pii == 0, f"doc {d}: {r.residual_pii} PII left after scrub"
+
+
+def test_pii_regex_parity_adversarial(spark, sf_dir):
+    """The PII twin's exactness rests on Java regex and RE2 agreeing on
+    the three patterns. Pin that agreement on adversarial strings —
+    almost-emails, boundary-adjacent phones, >3-digit octets, unicode
+    neighbors — by counting matches over the same relation in both
+    engines. A pattern revision that drifts between engines fails
+    here, not in a driver-round hash mismatch."""
+    import duckdb
+    import pandas as pd
+
+    from monday_etl_automation_spark.plans.decontam_ops import _PII_PATTERNS, _rx
+
+    cases = [
+        "plain text no pii",
+        "a@b.co",
+        "a@b.c",  # TLD too short: no match
+        "x..y@ex.com and x.y@e-x.org",
+        "not@an@email.com",  # greedy local part: engines must agree
+        "@nolocal.com",
+        "trailing dot@ex.com.",
+        "555-123-4567",
+        "x555-123-4567",  # \b before 5: digit-letter boundary
+        "1555-123-4567",  # no boundary between 1 and 5: no match
+        "555-123-45678",  # trailing extra digit: \b fails
+        "555.123.4567",  # dots: not our pattern
+        "10.0.0.1 and 255.255.255.255",
+        "1234.0.0.1",  # leading octet 4 digits
+        "10.0.0.1234",  # trailing octet 4 digits
+        "1.2.3.4.5",  # five octets: engines must agree on the match span
+        "v1.2.3.4rc",  # letters flush against the dots
+        "café@exämple.com",  # unicode: [A-Za-z] classes are ASCII-only
+        "email: a.b-c_d%e+f@sub.domain.info done",
+        "ip:(10.20.30.40)",
+    ]
+    pdf = pd.DataFrame({"id": range(len(cases)), "s": cases})
+    spark.createDataFrame(pdf).createOrReplaceTempView("_pii_cases")
+    exprs = ", ".join(
+        f"size(regexp_extract_all(s, '{_rx('spark', pat)}', 0)) AS n_{tag}"
+        for tag, pat in _PII_PATTERNS.items()
+    )
+    got_spark = {
+        r.id: (r.n_email, r.n_phone, r.n_ip)
+        for r in spark.sql(f"SELECT id, {exprs} FROM _pii_cases").collect()
+    }
+    con = duckdb.connect()
+    con.register("_pii_cases", pdf)
+    dexprs = ", ".join(
+        f"CAST(len(regexp_extract_all(s, '{_rx('duckdb', pat)}')) AS INT) AS n_{tag}"
+        for tag, pat in _PII_PATTERNS.items()
+    )
+    got_duck = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(f"SELECT id, {dexprs} FROM _pii_cases").fetchall()
+    }
+    assert got_spark == got_duck, {
+        i: (got_spark[i], got_duck[i], cases[i])
+        for i in got_spark
+        if got_spark[i] != got_duck[i]
+    }
+    # and the patterns actually fire on the canonical positives
+    assert got_spark[7] == (0, 1, 0) and got_spark[12] == (0, 0, 2)
