@@ -961,7 +961,30 @@ _D = lambda: F.lit(None).cast("double")  # noqa: E731
 
 
 def tpch_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All sixteen sweep shapes union-tagged under one oracle hash."""
+    """All sixteen sweep shapes union-tagged under one oracle hash.
+
+    The union PLAN is memoized per (session, table snapshots):
+    analyzing the 16-shape union costs ~2s of pure driver-side
+    Catalyst work per build (measured at sf0.1 — comparable to the
+    execution itself), and DataFrames are immutable logical plans, so
+    re-serving one is free and safe — the same reasoning as
+    load_table's memoization (sources/tables.py)."""
+    from monday_etl_automation_spark.sources.tables import (
+        TABLES,
+        session_artifact_cache,
+        snapshot_key,
+    )
+
+    cache = session_artifact_cache(spark, "tpch_extra_plan")
+    key = tuple(snapshot_key(sf_dir, t) for t in TABLES)
+    hit = cache.get(key)
+    if hit is None:
+        hit = _build_tpch_extra(spark, sf_dir)
+        cache[key] = hit
+    return hit
+
+
+def _build_tpch_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     q7 = q7_nation_volume(spark, sf_dir).select(
         F.lit("q7").alias("shape"),
         F.col("supp_nation").alias("s1"),
