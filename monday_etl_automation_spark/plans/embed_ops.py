@@ -444,9 +444,15 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Materialize ``ex`` once (simhash/minhash barrier pattern); it is
     |aug| x {_DIM} scaled longs — linear in corpus size, spillable."""
     register_views(spark, sf_dir)
-    spark.sql(f"{_near_dup_ex_ctes('spark')}\nSELECT * FROM ex").localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("_nd_ex")
+    cache = session_artifact_cache(spark, "nd_ex")
+    key = snapshot_key(sf_dir, "embeddings")
+    ex = cache.get(key)
+    if ex is None:
+        ex = spark.sql(f"{_near_dup_ex_ctes('spark')}\nSELECT * FROM ex").localCheckpoint(
+            eager=True
+        )
+        cache[key] = ex
+    ex.createOrReplaceTempView("_nd_ex")
     return spark.sql(f"WITH {_near_dup_tail_sql('spark', '_nd_ex')}")
 
 
