@@ -23,10 +23,11 @@ only this module.
 
 from __future__ import annotations
 
-import hashlib
 import struct
 import sys
 from types import ModuleType
+
+from monday_etl_automation_spark.multimodal import codecs_common as _common
 
 
 def available_backend() -> str:
@@ -86,22 +87,16 @@ def resolve(backend: str = "auto") -> ModuleType:
     return codecs_real
 
 
-PAGE_CHARS = 200  # chars per fake page
+# pure shared logic (preset table, digests, byte stream) lives in
+# codecs_common — ONE copy for both backends. Pagination is NOT
+# shared: the stub chunks UTF-8 BYTES (its exact size model is
+# byte-addressed), the real backend chunks characters (see
+# codecs_common.paginate).
+PAGE_CHARS = _common.PAGE_CHARS
 _MAGIC = b"%FPDF\n"
-_QUALITY = {"minimum": (90, 50), "balanced": (150, 85), "high": (200, 90), "premium": (250, 95), "ultra": (300, 100)}
-
-
-def quality_preset(name: str) -> tuple[int, int]:
-    """(dpi, jpeg_quality) — presets mirror the reference's table
-    (fixed_signature_utils.py:47-61)."""
-    return _QUALITY[name]
-
-
-def _digest(*parts: bytes) -> bytes:
-    h = hashlib.sha256()
-    for p in parts:
-        h.update(p)
-    return h.digest()
+_QUALITY = _common.QUALITY
+quality_preset = _common.quality_preset
+_digest = _common.digest
 
 
 # --- "PDF" container --------------------------------------------------------
@@ -212,14 +207,7 @@ def sign_pdf_bytes(pdf: bytes, signer: str) -> bytes:
     return pdf + b"SIG:" + mark
 
 
-def _stream(seed: bytes, n: int) -> bytes:
-    """Deterministic byte stream from a seed (sha256 in counter mode)."""
-    out = bytearray()
-    ctr = 0
-    while len(out) < n:
-        out.extend(_digest(seed, struct.pack(">Q", ctr)))
-        ctr += 1
-    return bytes(out[:n])
+_stream = _common.stream
 
 
 # --- exact size model (what the SQL oracle recomputes) ----------------------

@@ -52,8 +52,17 @@ def stream(seed: bytes, n: int) -> bytes:
 
 
 def paginate(text: str, page_chars: int = PAGE_CHARS) -> list[str]:
-    """Split text into page-sized chunks; an empty document still has
-    one (empty) page — both backends agree on page counts this way."""
+    """Split text into page-sized CHARACTER chunks; an empty document
+    still has one (empty) page.
+
+    Used by the REAL backend (text layout is character-based). The
+    stub backend intentionally paginates UTF-8 BYTES instead — its
+    exact size model (what the DuckDB oracles recompute from n_chars)
+    is byte-addressed — so page counts agree between backends only for
+    ASCII text. The synthetic corpus is ASCII; non-ASCII documents get
+    backend-dependent pagination, which is fine because no caller
+    mixes backends within one pipeline run (resolve_name pins one
+    backend per job)."""
     data = text or ""
     return [data[i : i + page_chars] for i in range(0, len(data), page_chars)] or [""]
 

@@ -589,7 +589,13 @@ _CC_MAX_ITERS = 20  # materialization rounds; reach grows 2^_CC_STEPS_PER_ROUND 
 _CC_STEPS_PER_ROUND = 2
 
 
-_CC_LOCAL_MAX_EDGES = 2_000_000  # ~32 MB of (src,dst) longs: one task's work
+# Threshold sized on PYTHON-state memory, not Arrow input bytes: the
+# single task holds a parent dict + vertex set of up to 2x the edge
+# count in boxed Python ints (~100 B/entry) — 200k both-direction rows
+# is ~40 MB of interpreter state, comfortably inside one worker; 2M
+# would be closer to half a GB and flirt with task OOM exactly where
+# the "cheap" path was chosen.
+_CC_LOCAL_MAX_EDGES = 200_000
 
 
 def _local_components(edges: DataFrame) -> DataFrame:
@@ -599,9 +605,9 @@ def _local_components(edges: DataFrame) -> DataFrame:
 
     Union-by-min keeps every tree's root at the component's minimum
     vertex id, so ``find`` directly yields the canonical label. Path
-    compression makes the whole pass near-linear. 2M edges is ~32 MB
-    and far under a second of CPU — versus ~1s of per-round job
-    scheduling alone for the distributed loop on the same input."""
+    compression makes the whole pass near-linear — milliseconds of CPU
+    versus ~1s of per-round job scheduling alone for the distributed
+    loop on the same input."""
     import pandas as pd  # noqa: PLC0415 (executor-side import parity)
 
     def run(batches):
@@ -645,7 +651,7 @@ def _converge_components(
 
     - **sub-threshold graphs** run exact single-task union-find
       (_local_components). The dup graph is a small fraction of the
-      corpus by construction, and below ~2M edges the distributed
+      corpus by construction, and below the threshold the distributed
       loop's cost is 100% per-round job scheduling (measured at
       sf0.1: a 1024-edge graph took 6 rounds x ~1s of overhead);
       one task finishes it in milliseconds.

@@ -112,7 +112,9 @@ gated AS (
 )
 SELECT doc_id, source, n_tokens
 FROM gated
-WHERE gate < CAST(keep_rate * 1000000 AS BIGINT)
+-- floor() explicitly: Spark CAST(double AS BIGINT) truncates, DuckDB
+-- rounds — without it a fractional threshold >= .5 splits the engines
+WHERE gate < CAST(floor(keep_rate * 1000000) AS BIGINT)
 ORDER BY doc_id
 """.strip()
 

@@ -355,7 +355,10 @@ SELECT
   {fp_min} AS fp_min,
   {fp_xor} AS fp_xor,
   coalesce(r.keep_rate, CAST(0.0 AS DOUBLE)) AS mix_keep_rate,
-  CAST(CASE WHEN {mix_gate} < CAST(coalesce(r.keep_rate, 0.0) * 1000000 AS BIGINT)
+  -- floor() explicitly: Spark's CAST(double AS BIGINT) truncates but
+  -- DuckDB's ROUNDS — a keep_rate*1e6 with fraction >= 0.5 would give
+  -- the two engines different gate thresholds (driver hash mismatch)
+  CAST(CASE WHEN {mix_gate} < CAST(floor(coalesce(r.keep_rate, 0.0) * 1000000) AS BIGINT)
        THEN 1 ELSE 0 END AS INT) AS mix_kept
 FROM hs
 LEFT JOIN mr_rates r ON hs.source = r.source

@@ -123,12 +123,37 @@ def snapshot_key(sf_dir: str, name: str) -> tuple:
         return (sf_dir, name, None, None)
 
 
+class _ArtifactCache(dict):
+    """Snapshot-keyed artifact dict that EVICTS superseded snapshots on
+    insert: a testdata regeneration changes the (mtime, size) part of
+    the key, and without eviction the old entry's checkpointed blocks
+    (linear in corpus size for shingle/pair relations) stay pinned in
+    executor storage for the session lifetime. Identity = the key with
+    mtime/size stripped, so one entry per (sf_dir, table [, ...])
+    survives. Dropping the reference lets Spark's ContextCleaner
+    unpersist the orphaned checkpoint blocks."""
+
+    @staticmethod
+    def _identity(key):
+        if isinstance(key, tuple) and key and isinstance(key[0], tuple):
+            return tuple(_ArtifactCache._identity(k) for k in key)
+        if isinstance(key, tuple) and len(key) >= 2:
+            return key[:2]
+        return key
+
+    def __setitem__(self, key, value):
+        ident = self._identity(key)
+        for k in [k for k in self if self._identity(k) == ident and k != key]:
+            dict.pop(self, k)
+        dict.__setitem__(self, key, value)
+
+
 def session_artifact_cache(spark: SparkSession, tag: str) -> dict:
     """Per-session dict for snapshot-keyed derived artifacts."""
     attr = f"_mea_cache_{tag}"
     cache = getattr(spark, attr, None)
     if cache is None:
-        cache = {}
+        cache = _ArtifactCache()
         setattr(spark, attr, cache)
     return cache
 
@@ -163,3 +188,9 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     spark._mea_views_sf_dir = sf_dir  # noqa: SLF001 (own session tag)
     # base views changed — any fixture views derived from them are stale
     spark._mea_fixtures_sf_dir = None  # noqa: SLF001
+    # ...and so is any artifact built while a DIFFERENT view mapping
+    # was live. Clearing here makes the common restore idiom
+    # (`spark._mea_views_sf_dir = None; register_views(...)`) safe even
+    # when the caller forgets clear_artifact_caches; direct
+    # createOrReplaceTempView overrides still need the explicit bracket.
+    clear_artifact_caches(spark)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import os
 import tempfile
+import threading
 import uuid
 from contextlib import contextmanager
 
@@ -43,21 +44,35 @@ from monday_etl_automation_spark.sources.tables import load_table, normalize_ts
 _REPLAY_SHUFFLE_PARTITIONS = 8
 
 
+_REPLAY_GUARD = threading.Lock()
+
+
 @contextmanager
 def _replay_partitions(spark: SparkSession):
-    """Scoped spark.sql.shuffle.partitions override for a replay.
-
-    Concurrent replays in one session (dead_letter_counts runs two via
-    a thread pool) may interleave set/restore: both set the same value
-    and a batch planned after the first restore just runs at the
-    session width — a wall-time wobble, never a correctness issue
-    (partition count does not change any aggregation result)."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_REPLAY_SHUFFLE_PARTITIONS))
+    """Scoped spark.sql.shuffle.partitions override for a replay,
+    REENTRANT across threads: dead_letter_counts runs two replays
+    concurrently, and a naive save/set/restore pair interleaves as
+    T1:save(N),set(8) -> T2:save(8) -> T1:restore(N) -> T2:restore(8),
+    leaking width 8 into the session for its remaining lifetime. A
+    per-session depth counter makes only the OUTERMOST holder save and
+    restore; inner holders are no-ops. A batch planned after another
+    thread's restore just runs at the session width — a wall-time
+    wobble, never a correctness issue (partition count does not change
+    any aggregation result)."""
+    key = "spark.sql.shuffle.partitions"
+    with _REPLAY_GUARD:
+        depth = getattr(spark, "_mea_replay_depth", 0)
+        if depth == 0:
+            spark._mea_replay_saved = spark.conf.get(key)  # noqa: SLF001
+            spark.conf.set(key, str(_REPLAY_SHUFFLE_PARTITIONS))
+        spark._mea_replay_depth = depth + 1  # noqa: SLF001
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        with _REPLAY_GUARD:
+            spark._mea_replay_depth -= 1  # noqa: SLF001
+            if spark._mea_replay_depth == 0:
+                spark.conf.set(key, spark._mea_replay_saved)  # noqa: SLF001
 
 
 def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -955,12 +970,25 @@ class RollupSink:
             touched = [
                 r["bucket"] for r in partial.select("bucket").distinct().collect()
             ]
-            prev = self.spark.read.parquet(self.path).where(F.col("bucket").isin(touched))
+            # mergeSchema: the NORMAL post-upgrade state is MIXED —
+            # touched buckets carry applied_batch_id, untouched
+            # pre-stamp buckets do not — and default schema inference
+            # picks one arbitrary footer, which could silently drop
+            # the stamp column and let a replayed batch double-count
+            prev = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self.path)
+                .where(F.col("bucket").isin(touched))
+            )
             if "applied_batch_id" not in prev.columns:
-                # state written by a pre-stamp version of this sink has
-                # no applied_batch_id column; treat it as "applied by
-                # batch -1" so the replay guard filter stays valid
+                # all-pre-stamp state: treat as applied by batch -1
                 prev = prev.withColumn("applied_batch_id", F.lit(-1).cast("bigint"))
+            else:
+                # mixed state: pre-stamp rows surface as NULL stamps
+                prev = prev.withColumn(
+                    "applied_batch_id",
+                    F.coalesce(F.col("applied_batch_id"), F.lit(-1).cast("bigint")),
+                )
             # replay guard: a touched bucket already stamped with this
             # (or a later) batch_id has applied this delivery — skip it
             done = {

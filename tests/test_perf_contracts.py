@@ -23,12 +23,15 @@ def test_replay_restores_session_shuffle_partitions(spark, sf_dir):
     """The replay-scoped width override must never leak into the
     session: later batch queries would silently run at the replay
     width (wrong parallelism for corpus-scale shuffles)."""
+    original = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "23")
     try:
         run_replay(spark, sf_dir)
         assert spark.conf.get("spark.sql.shuffle.partitions") == "23"
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # restore what the SESSION had, not a hardcoded width — this
+        # test must not itself commit the conf-leak it polices
+        spark.conf.set("spark.sql.shuffle.partitions", original)
     assert _REPLAY_SHUFFLE_PARTITIONS < 23  # the override actually overrides
 
 

@@ -428,9 +428,10 @@ def test_rollup_sink_upgrades_pre_stamp_state(spark, tmp_path):
 
     t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
     path = str(tmp_path / "old_rollup")
-    # hand-write OLD-format state: bucket-partitioned, NO stamp column
+    # hand-write OLD-format state in TWO buckets: bucket-partitioned,
+    # NO stamp column
     old = spark.createDataFrame(
-        [(t0, "click", 2, 3_000_000)],
+        [(t0, "click", 2, 3_000_000), (t0, "view", 1, 500_000)],
         "window_start TIMESTAMP, event_type STRING, n_events BIGINT, sum_micros BIGINT",
     ).withColumn(
         "bucket", F.pmod(F.xxhash64("window_start", "event_type"), F.lit(8)).cast("int")
@@ -446,6 +447,7 @@ def test_rollup_sink_upgrades_pre_stamp_state(spark, tmp_path):
     )
     got = {(r.window_start, r.event_type): (r.n_events, r.sum_micros) for r in sink.current().collect()}
     assert got[(t0, "click")] == (3, 4_000_000)
+    assert got[(t0, "view")] == (1, 500_000)
     # the touched bucket is now stamped: replaying batch 5 no-ops
     sink.process_batch(
         spark.createDataFrame(
@@ -455,6 +457,21 @@ def test_rollup_sink_upgrades_pre_stamp_state(spark, tmp_path):
     )
     got2 = {(r.window_start, r.event_type): (r.n_events, r.sum_micros) for r in sink.current().collect()}
     assert got2 == got
+    # MIXED state is the NORMAL post-upgrade condition: the click
+    # bucket is stamped, the view bucket still pre-stamp. A batch
+    # touching BOTH must read the stamp through schema merge (a
+    # single-footer inference could drop the column and double-count
+    # the replayed click), merge the view additively, and replay-guard
+    # the click by its real stamp
+    b6 = spark.createDataFrame(
+        [(t0, "view", 2.0), (t0, "click", 7.0)],
+        "ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    sink.process_batch(b6, 6)
+    sink.process_batch(b6, 6)  # redelivery
+    got3 = {(r.window_start, r.event_type): (r.n_events, r.sum_micros) for r in sink.current().collect()}
+    assert got3[(t0, "view")] == (2, 2_500_000)
+    assert got3[(t0, "click")] == (4, 11_000_000)
 
 
 def test_status_upsert_keeps_latest_per_key(spark, tmp_path):
