@@ -823,3 +823,122 @@ QUERIES: dict[str, tuple] = {
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, _jaccard_sql("duckdb")),
     "simhash_near_pairs": (simhash_near_pairs, _simhash_pairs_sql("duckdb")),
 }
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup — disposition a NEW batch against the persisted
+# corpus indexes (the reason a 100 TB pipeline persists fingerprints:
+# ingest dedups against the index, never by rescanning the corpus)
+# ---------------------------------------------------------------------------
+
+
+def _exact_hash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(text_hash, corpus_keeper) for the whole corpus, materialized
+    once per (session, documents snapshot) — the exact-dedup index an
+    ingest pipeline maintains alongside the corpus."""
+    from monday_etl_automation_spark.sources.tables import (
+        session_artifact_cache,
+        snapshot_key,
+    )
+
+    cache = session_artifact_cache(spark, "exact_hashes")
+    key = snapshot_key(sf_dir, "documents")
+    hit = cache.get(key)
+    if hit is None:
+        register_views(spark, sf_dir)
+        hit = spark.sql(
+            """
+SELECT text_hash, min(doc_id) AS corpus_keeper
+FROM (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) AS text_hash
+      FROM documents)
+GROUP BY text_hash
+""".strip()
+        ).localCheckpoint(eager=True)
+        cache[key] = hit
+    return hit
+
+
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> DataFrame:
+    """Disposition an incoming batch against the EXISTING corpus using
+    only the persisted hash index — per-batch work is O(|batch|) plus
+    one equi-join against the index; the corpus is never rescanned.
+
+    Dispositions per batch doc:
+    - ``dup_of_corpus`` — hash already in the corpus; keeper is the
+      EXISTING canonical (stability: incremental ingest never reassigns
+      a canonical the corpus already serves — identical to a full
+      rebuild whenever batch ids are larger than corpus ids, which
+      monotone id assignment guarantees).
+    - ``dup_in_batch``  — hash is new to the corpus but duplicated
+      within the batch; keeper is the batch's min doc_id.
+    - ``new``           — first sight of the hash anywhere.
+    """
+    new_docs.createOrReplaceTempView("_inc_batch")
+    _exact_hash_index(spark, sf_dir).createOrReplaceTempView("_inc_corpus_hash")
+    return spark.sql(
+        """
+WITH batch AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) AS text_hash
+  FROM _inc_batch
+),
+batch_min AS (SELECT text_hash, min(doc_id) AS batch_keeper FROM batch GROUP BY text_hash)
+SELECT b.doc_id,
+       b.text_hash,
+       CASE WHEN c.corpus_keeper IS NOT NULL THEN 'dup_of_corpus'
+            WHEN b.doc_id <> m.batch_keeper THEN 'dup_in_batch'
+            ELSE 'new' END AS disposition,
+       CAST(coalesce(c.corpus_keeper, m.batch_keeper) AS BIGINT) AS keeper_doc_id
+FROM batch b
+JOIN batch_min m ON b.text_hash = m.text_hash
+LEFT JOIN _inc_corpus_hash c ON b.text_hash = c.text_hash
+ORDER BY b.doc_id
+""".strip()
+    )
+
+
+def near_dup_incremental(spark: SparkSession, sf_dir: str, new_docs: DataFrame) -> DataFrame:
+    """Near-dup screen for an incoming batch against the persisted
+    simhash signature index: batch signatures are computed row-local,
+    candidates come from the same 4x15-bit pigeonhole band join the
+    corpus pairs use (hamming <= 3 complete), and each batch doc
+    reports its nearest corpus match. Per-batch cost is O(|batch|)
+    signatures + a band equi-join against the index — no corpus scan,
+    no batch x corpus cross product."""
+    new_docs.createOrReplaceTempView("_inc_batch")
+    _simhash_sigs_index(spark, sf_dir).createOrReplaceTempView("_inc_corpus_sims")
+    sim_sql = _simhash_sql("spark").replace("FROM documents", "FROM _inc_batch")
+    n_bands = _N_BITS // _BAND_BITS
+    band_keys = ", ".join(
+        f"shiftright(simhash, {j * _BAND_BITS}) % {2**_BAND_BITS}" for j in range(n_bands)
+    )
+    return spark.sql(
+        f"""
+WITH bsims AS ({sim_sql.replace(chr(10) + 'ORDER BY doc_id', '')}),
+bkv AS (
+  SELECT doc_id, simhash, band_idx, band_key
+  FROM bsims LATERAL VIEW posexplode(array({band_keys})) AS band_idx, band_key
+),
+ckv AS (
+  SELECT doc_id, simhash, band_idx, band_key
+  FROM _inc_corpus_sims LATERAL VIEW posexplode(array({band_keys})) AS band_idx, band_key
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc_id, c.doc_id AS corpus_doc_id,
+         CAST(bit_count(b.simhash ^ c.simhash) AS INT) AS hamming
+  FROM bkv b JOIN ckv c ON b.band_idx = c.band_idx AND b.band_key = c.band_key
+),
+near AS (SELECT * FROM cand WHERE hamming <= {_HAMMING_MAX}),
+best AS (
+  SELECT batch_doc_id, corpus_doc_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY batch_doc_id ORDER BY hamming, corpus_doc_id) AS rn
+  FROM near
+)
+SELECT s.doc_id,
+       CAST(CASE WHEN b.corpus_doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS has_near_dup,
+       b.corpus_doc_id AS nearest_corpus_doc_id,
+       b.hamming
+FROM bsims s
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON s.doc_id = b.batch_doc_id
+ORDER BY s.doc_id
+""".strip()
+    )
