@@ -1091,3 +1091,113 @@ def run_status_upsert(spark: SparkSession, sf_dir: str, n_splits: int = 4) -> Da
     sink = StatusUpsertSink(spark)
     sink.run(stream)
     return sink.current()
+
+
+class DedupIngestSink:
+    """Continuous corpus ingestion with exact dedup (the composition
+    the persisted hash index exists for): each micro-batch is
+    dispositioned against everything ingested BEFORE it, and only
+    first-sight documents land in the corpus.
+
+    Exactly-once without a transaction log: both outputs are
+    PARTITIONED BY batch_id and written with dynamic partition
+    overwrite, so a replayed delivery (foreachBatch is at-least-once)
+    overwrites its own partition with identical bytes instead of
+    appending duplicates. The dedup decision reads the index
+    RESTRICTED to batch_id < current — a crash that committed this
+    batch's index partition but not its corpus partition (or vice
+    versa) therefore cannot change what the replay computes: the
+    replay sees exactly the pre-batch state, recomputes the same
+    keeper set, and overwrites both partitions deterministically.
+
+    Dedup semantics are ARRIVAL-ordered: a duplicate keeps the keeper
+    from the earliest batch that carried its hash (within a batch, the
+    min doc_id) — the only order an infinite stream has. With monotone
+    doc ids this equals the batch dedup_exact answer over everything
+    delivered (pinned in tests/test_dedup_ingest.py).
+
+    Scale shape: per batch O(|batch|) hashing + one anti-join against
+    the index (hash-partitioned equi-join; at 100 TB the index is
+    bucketed on text_hash so the join co-locates), plus writes sized
+    by the batch's NEW docs only. The corpus is never rescanned.
+    """
+
+    _HASH = "md5(regexp_replace(trim(lower(text)), '\\\\s+', ' '))"
+
+    def __init__(self, spark: SparkSession, base_path: str | None = None) -> None:
+        self.spark = spark
+        self.base_path = base_path or tempfile.mkdtemp(prefix="dedup_ingest_")
+        self.corpus_path = os.path.join(self.base_path, "corpus")
+        self.index_path = os.path.join(self.base_path, "index")
+
+    def _index_before(self, batch_id: int) -> DataFrame:
+        if not glob.glob(os.path.join(self.index_path, "batch_id=*")):
+            return self.spark.createDataFrame(
+                [], "text_hash STRING, keeper_doc_id BIGINT, batch_id BIGINT"
+            )
+        # crash-replay safety: never let this delivery's own (possibly
+        # half-committed) partition influence its dedup decision
+        return self.spark.read.parquet(self.index_path).where(F.col("batch_id") < batch_id)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        hashed = batch.withColumn("text_hash", F.expr(self._HASH))
+        # within-batch keepers: min doc_id per hash (one shuffle on the
+        # 128-bit hash — no text comparison anywhere)
+        keepers = (
+            hashed.groupBy("text_hash")
+            .agg(F.min("doc_id").alias("keeper_doc_id"))
+        )
+        fresh = keepers.join(
+            self._index_before(batch_id).select("text_hash"), "text_hash", "left_anti"
+        ).withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        new_docs = (
+            hashed.join(
+                fresh.select("text_hash", F.col("keeper_doc_id").alias("_k")), "text_hash"
+            )
+            .where(F.col("doc_id") == F.col("_k"))
+            .drop("_k", "text_hash")
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        )
+        for df, path in ((fresh, self.index_path), (new_docs, self.corpus_path)):
+            (
+                df.localCheckpoint(eager=True)  # decision must not re-read target paths mid-write
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+
+    def corpus(self) -> DataFrame:
+        if not glob.glob(os.path.join(self.corpus_path, "batch_id=*")):
+            return self.spark.createDataFrame([], "doc_id BIGINT, text STRING")
+        return self.spark.read.parquet(self.corpus_path).drop("batch_id")
+
+    def index(self) -> DataFrame:
+        return self._index_before(1 << 62)
+
+    def run(self, docs: DataFrame) -> None:
+        with _replay_partitions(docs.sparkSession):
+            q = (
+                docs.writeStream.foreachBatch(self.process_batch)
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ingest_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+
+def run_dedup_ingest(
+    spark: SparkSession, sf_dir: str, n_splits: int = 4, sink: DedupIngestSink | None = None
+) -> DataFrame:
+    """Drive DedupIngestSink over the documents table split into
+    ``n_splits`` real micro-batches (maxFilesPerTrigger=1); returns the
+    deduplicated corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="ingest_src_")
+    docs.repartition(n_splits).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    sink = sink or DedupIngestSink(spark)
+    sink.run(stream)
+    return sink.corpus()
