@@ -1,0 +1,131 @@
+"""BM25 ranked retrieval over the ``documents`` table (SURVEY.md §2.12).
+
+Full-text search is the retrieval half of a training-data pipeline
+(eval-set mining, targeted corpus slicing, nearest-document lookup by
+keyword): given a set of term queries, return the top-K documents per
+query under BM25 (k1 = 1.2, b = 0.75).
+
+Scale shape: ONE corpus scan builds the exploded term relation; the
+query set rides along as a per-row parameter table (broadcast literal
+— the CLAUDE.md one-scan-not-N-branches rule), so 1 query or 10 000
+queries cost the same corpus pass. tf is computed only for documents
+sharing >= 1 query term (an equi-join against the distinct query
+terms prunes the agg input before it shuffles); df/N/avgdl are
+corpus-global aggregates of the same scan. At 100 TB the term
+relation is the posting list you'd materialize once per corpus
+snapshot and the per-query work is a broadcast-join + hash agg.
+
+Cross-engine exactness (the tfidf lesson, `text_ops.py:234`): no
+``ln`` — libm last-ulp drift across engines would flake the strict
+hash compare. Instead:
+
+- idf is the RATIONAL Robertson–Spärck-Jones core
+  (N - df + 0.5) / (df + 0.5) = (2N - 2df + 1) / (2df + 1) — the
+  argument of Lucene's ``ln(1 + ...)``, monotone in it, so rankings
+  agree with log-BM25 whenever per-term scores aren't summed across
+  terms with wildly different idf magnitudes (documented variant).
+- the tf saturation term is cleared of floats by multiplying through
+  by 10·S (S = corpus token count):
+  tf·(k1+1) / (tf + k1·(1-b+b·dl·N/S))
+    = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)  — all BIGINT.
+- each per-term score is ONE double division of two exact BIGINTs,
+  scaled to micros and floored (floor semantics identical in both
+  engines), and the per-(query, doc) total is a BIGINT sum — exact
+  and order-insensitive, so the strict value compare holds.
+
+Bounds (sf0.1): numerator (2N+1)·22·tf·S < 1e12, denominator < 1e11 —
+far inside BIGINT; at petabyte scale the micros-quantized sum still
+fits (score_micro < ~1e13 per term pair).
+
+Pytest-only (driver registry capped at 50 per CLAUDE.md); the DuckDB
+twin runs under tests/oracle_compare.assert_matches_oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from monday_etl_automation_spark.plans.text_ops import _DUCK_TOKS, _SPARK_TOKS
+from monday_etl_automation_spark.sources.tables import register_views
+
+_TOPK = 10
+
+# per-row query parameters: (query_id, term). 'dup' is the one rare
+# term in the synthetic vocabulary (df 25/500) — q1 pins that BM25
+# actually discriminates by idf, not just tf.
+_QUERIES: tuple[tuple[str, str], ...] = (
+    ("q_dup_scan", "dup"),
+    ("q_dup_scan", "scan"),
+    ("q_vector_ops", "vector"),
+    ("q_vector_ops", "merge"),
+    ("q_vector_ops", "window"),
+    ("q_engine", "spark"),
+    ("q_engine", "fast"),
+)
+
+
+def _qterms_sql(dialect: str) -> str:
+    rows = ", ".join(f"('{q}', '{t}')" for q, t in _QUERIES)
+    if dialect == "spark":
+        return f"SELECT * FROM VALUES {rows} AS t(qid, term)"
+    return f"SELECT * FROM (VALUES {rows}) AS t(qid, term)"
+
+
+def _bm25_sql(dialect: str) -> str:
+    toks = _SPARK_TOKS if dialect == "spark" else _DUCK_TOKS
+    if dialect == "spark":
+        ex = f"SELECT doc_id, explode({toks}) AS term FROM documents"
+    else:
+        ex = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
+    return f"""
+WITH qterms AS ({_qterms_sql(dialect)}),
+ex AS (SELECT doc_id, lower(term) AS term FROM ({ex}) ex0),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ex GROUP BY doc_id),
+meta AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl
+),
+tf AS (
+  SELECT e.doc_id, e.term, CAST(count(*) AS BIGINT) AS tf
+  FROM ex e JOIN (SELECT DISTINCT term FROM qterms) qt ON e.term = qt.term
+  GROUP BY e.doc_id, e.term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored_terms AS (
+  SELECT q.qid, t.doc_id,
+         CAST(floor(
+           CAST((2 * m.n - 2 * f.df + 1) * 22 * t.tf * m.s AS DOUBLE)
+           / CAST((2 * f.df + 1) * (10 * t.tf * m.s + 3 * m.s + 9 * d.dl * m.n) AS DOUBLE)
+           * 1000000
+         ) AS BIGINT) AS st
+  FROM qterms q
+  JOIN tf t ON t.term = q.term
+  JOIN df f ON f.term = q.term
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN meta m
+),
+agg AS (
+  SELECT qid, doc_id, CAST(sum(st) AS BIGINT) AS score_micro
+  FROM scored_terms GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score_micro,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC
+         ) AS INT) AS rk
+  FROM agg
+)
+SELECT qid, doc_id, CAST(score_micro AS DOUBLE) / 1000000 AS bm25, rk
+FROM ranked WHERE rk <= {_TOPK}
+ORDER BY qid, rk
+""".strip()
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_bm25_sql("spark"))
+
+
+# pytest-only twins (registry capped at 50): consumed by tests/test_search.py
+PYTEST_QUERIES: dict[str, tuple] = {
+    "bm25_topk": (bm25_topk, _bm25_sql("duckdb")),
+}

@@ -1,0 +1,56 @@
+"""BM25 retrieval: DuckDB twin parity + relevance sanity pins."""
+
+from __future__ import annotations
+
+from monday_etl_automation_spark.plans.search_ops import _TOPK, _bm25_sql, bm25_topk
+from tests.oracle_compare import assert_matches_oracle
+
+_SF001 = "/root/testdata/sf0.01"
+
+
+def test_bm25_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(bm25_topk(spark, sf_dir), _bm25_sql("duckdb"), sf_dir)
+
+
+def test_bm25_matches_oracle_sf001(spark):
+    assert_matches_oracle(bm25_topk(spark, _SF001), _bm25_sql("duckdb"), _SF001)
+
+
+def test_bm25_idf_discriminates(spark):
+    """q_dup_scan pairs the rare term 'dup' (df ~25/500) with the
+    ubiquitous 'scan' (df ~398/500): if idf weighting works, every
+    top-ranked hit must actually contain 'dup' — a pure-tf ranking
+    would instead surface high-'scan' documents."""
+    import duckdb
+
+    rows = bm25_topk(spark, _SF001).collect()
+    top = [r.doc_id for r in rows if r.qid == "q_dup_scan" and r.rk <= 5]
+    assert len(top) == 5
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{_SF001}/documents.parquet'"
+    )
+    with_dup = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM documents WHERE text LIKE '%dup%'"
+        ).fetchall()
+    }
+    con.close()
+    assert set(top) <= with_dup, f"top docs {top} must all contain the rare term"
+
+
+def test_bm25_shape(spark, sf_dir):
+    rows = bm25_topk(spark, sf_dir).collect()
+    per_q: dict[str, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r.qid, []).append(r.rk)
+    assert set(per_q) == {"q_dup_scan", "q_vector_ops", "q_engine"}
+    for q, rks in per_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= _TOPK
+    # scores are non-increasing in rank within a query
+    by_rk = {(r.qid, r.rk): r.bm25 for r in rows}
+    for q, rks in per_q.items():
+        vals = [by_rk[(q, k)] for k in sorted(rks)]
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
