@@ -1,0 +1,169 @@
+"""Incremental embedding-index ingestion (SURVEY.md §2.12).
+
+Production ANN indexes are not retrained per batch: the quantizer
+(LSH planes / IVF centroids / PQ codebooks) is FROZEN at training
+time, and an incoming vector batch is ENCODED against it and appended
+to the index tables — O(|batch|) work, zero corpus rescans, exactly
+the posture of the incremental text-dedup path
+(`plans/dedup_ops.py:dedup_exact_incremental`). This module is that
+maintenance surface for all three approximate-search indexes:
+
+- ``ann_assign_batch``  — LSH: the batch's (s, bucket) rows, same
+  single-projection stack as the persisted bucket index.
+- ``ivf_assign_batch``  — IVF: owning centroid + probe set per batch
+  vector against the persisted coarse quantizer.
+- ``pq_encode_batch``   — PQ: the batch's (sub, code) rows against
+  the persisted codebooks.
+- ``pq_search_batch``   — search NEW queries against the EXISTING
+  corpus via ADC over the persisted codes + exact re-rank (the
+  "query vectors arrive later" path; corpus vectors are touched only
+  in the candidate re-rank join).
+
+Frozen-quantizer invariant (pinned in tests/test_embed_ingest.py): a
+batch vector identical to a corpus vector encodes to IDENTICAL index
+rows (buckets / centroid / codes) — encoding depends only on the
+persisted quantizer, never on the batch's company or a retrain.
+
+Batch DataFrames carry the ``embeddings`` schema
+(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from monday_etl_automation_spark.plans.embed_ops import (
+    _IVF_NPROBE,
+    _TOPK,
+    _ann_buckets_sql_spark,
+    _dot,
+    _ivf_ex_sql,
+    _ivf_ranked_sql,
+    _norm,
+    _train_ivf_ranked,
+)
+from monday_etl_automation_spark.plans.pq_ops import (
+    _CAND,
+    _pq_codes_sql,
+    _pq_ex_sql,
+    _train_pq,
+)
+from monday_etl_automation_spark.sources.tables import register_views
+
+
+def _batch_view(spark: SparkSession, new_vecs: DataFrame, name: str) -> None:
+    new_vecs.createOrReplaceTempView(name)
+
+
+def ann_assign_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> DataFrame:
+    """(vec_id, s, bucket) rows for the batch — the delta a bucket-index
+    maintenance job appends. One projection over the batch, no corpus
+    access at all (the planes are compile-time constants)."""
+    register_views(spark, sf_dir)
+    _batch_view(spark, new_vecs, "_ing_batch")
+    return spark.sql(
+        _ann_buckets_sql_spark().replace("FROM embeddings", "FROM _ing_batch")
+    )
+
+
+def ivf_assign_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> DataFrame:
+    """(vec_id, cid, rc) for the batch against the persisted coarse
+    quantizer: rc=1 is the owning inverted list (the append target),
+    rc<=nprobe the probe set a batch-side query would use."""
+    register_views(spark, sf_dir)
+    _train_ivf_ranked(spark, sf_dir)  # ensures _ivf_cent holds the trained centroids
+    _batch_view(spark, new_vecs, "_ing_batch")
+    bex = _ivf_ex_sql("spark").replace("FROM embeddings", "FROM _ing_batch")
+    return spark.sql(
+        f"""
+WITH bex AS ({bex}),
+{_ivf_ranked_sql('spark', 'bex', '_ivf_cent', 'b')}
+SELECT vec_id, cid, rc FROM rankedb WHERE rc <= {_IVF_NPROBE}
+ORDER BY vec_id, rc
+""".strip()
+    )
+
+
+def pq_encode_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> DataFrame:
+    """(vec_id, sub, code) for the batch against the persisted PQ
+    codebooks — the rows a codes-table maintenance job appends."""
+    register_views(spark, sf_dir)
+    _, cent = _train_pq(spark, sf_dir)
+    cent.createOrReplaceTempView("_ing_pq_cent")
+    _batch_view(spark, new_vecs, "_ing_batch")
+    bex = _pq_ex_sql("spark").replace("FROM embeddings", "FROM _ing_batch")
+    return spark.sql(
+        f"""
+WITH bex AS ({bex}),
+{_pq_codes_sql('spark', 'bex', '_ing_pq_cent', 'b')}
+SELECT vec_id, sub, code FROM codesb ORDER BY vec_id, sub
+""".strip()
+    )
+
+
+def pq_search_batch(spark: SparkSession, sf_dir: str, queries: DataFrame) -> DataFrame:
+    """Top-{_TOPK} corpus neighbors for NEW query vectors: ADC over the
+    persisted codes (corpus embeddings untouched) + exact cosine
+    re-rank of the top-{_CAND} candidates (the only stage reading full
+    corpus vectors, and only candidate rows)."""
+    register_views(spark, sf_dir)
+    codes, cent = _train_pq(spark, sf_dir)
+    codes.createOrReplaceTempView("_ing_pq_codes")
+    cent.createOrReplaceTempView("_ing_pq_cent")
+    _batch_view(spark, queries, "_ing_batch")
+    qex = _pq_ex_sql("spark").replace("FROM embeddings", "FROM _ing_batch")
+    dot = _dot("spark", "q.embedding", "v.embedding")
+    cos = f"({dot}) / (q.norm * v.norm)"
+    return spark.sql(
+        f"""
+WITH qex AS ({qex}),
+lut AS (
+  SELECT q.vec_id AS qid, c.sub, c.code,
+         CAST(sum(q.xd * c.md) AS BIGINT) AS pdot
+  FROM qex q JOIN _ing_pq_cent c ON q.sub = c.sub AND q.d = c.d
+  GROUP BY q.vec_id, c.sub, c.code
+),
+cn2 AS (
+  SELECT sub, code, CAST(sum(md * md) AS BIGINT) AS n2
+  FROM _ing_pq_cent GROUP BY sub, code
+),
+vn AS (
+  SELECT a.vec_id, sqrt(CAST(CAST(sum(n.n2) AS BIGINT) AS DOUBLE)) AS vnorm
+  FROM _ing_pq_codes a JOIN cn2 n ON a.sub = n.sub AND a.code = n.code
+  GROUP BY a.vec_id
+),
+adc AS (
+  SELECT l.qid, a.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adot
+  FROM _ing_pq_codes a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+  GROUP BY l.qid, a.vec_id
+),
+cand AS (
+  SELECT qid, vec_id, ra FROM (
+    SELECT d.qid, d.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY d.qid
+             ORDER BY CAST(d.adot AS DOUBLE) / v.vnorm DESC, d.vec_id ASC) AS ra
+    FROM adc d JOIN vn v ON d.vec_id = v.vec_id
+  ) s WHERE ra <= {_CAND}
+),
+qbase AS (
+  SELECT vec_id, embedding, {_norm('spark', 'embedding')} AS norm FROM _ing_batch
+),
+vbase AS (
+  SELECT vec_id, embedding, {_norm('spark', 'embedding')} AS norm FROM embeddings
+),
+scored AS (
+  SELECT c.qid AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_raw
+  FROM cand c
+  JOIN qbase q ON c.qid = q.vec_id
+  JOIN vbase v ON c.vec_id = v.vec_id
+),
+final_rank AS (
+  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rk
+FROM final_rank WHERE rk <= {_TOPK}
+ORDER BY query_id, rk
+""".strip()
+    )

@@ -1,0 +1,147 @@
+"""Incremental embedding-index ingestion: frozen-quantizer identity,
+batch search, zero-corpus-scan plans, and a DuckDB training twin."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from monday_etl_automation_spark.plans import pq_ops as P
+from monday_etl_automation_spark.plans.embed_ingest import (
+    ann_assign_batch,
+    ivf_assign_batch,
+    pq_encode_batch,
+    pq_search_batch,
+)
+from monday_etl_automation_spark.plans.embed_ops import (
+    _IVF_NPROBE,
+    _ann_bucket_index,
+    _train_ivf_ranked,
+)
+from monday_etl_automation_spark.plans.pq_ops import _train_pq
+from monday_etl_automation_spark.sources.tables import register_views
+
+_OFF = 100000  # batch ids = corpus id + _OFF (disjoint id spaces)
+_CLONE, _PERT, _FRESH = 7, 12, 21
+
+
+@pytest.fixture(scope="module")
+def batch(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+SELECT vec_id + {_OFF} AS vec_id, embedding, label
+FROM embeddings WHERE vec_id = {_CLONE}
+UNION ALL
+SELECT vec_id + {_OFF},
+       zip_with(embedding, sequence(0, 63),
+                (x, i) -> IF(i = 0, CAST(x + CAST(0.05 AS FLOAT) AS FLOAT), x)),
+       label
+FROM embeddings WHERE vec_id = {_PERT}
+UNION ALL
+SELECT vec_id + {_OFF}, reverse(embedding), label
+FROM embeddings WHERE vec_id = {_FRESH}
+""".strip()
+    ).localCheckpoint(eager=True)
+
+
+def test_frozen_quantizer_clone_identity(spark, sf_dir, batch):
+    """A batch vector identical to a corpus vector must produce
+    IDENTICAL index rows across all three indexes — encoding depends
+    only on the persisted quantizer, never on a retrain."""
+    want = sorted(
+        (r.s, r.bucket)
+        for r in _ann_bucket_index(spark, sf_dir).where(f"vec_id = {_CLONE}").collect()
+    )
+    got = sorted(
+        (r.s, r.bucket)
+        for r in ann_assign_batch(spark, sf_dir, batch)
+        .where(f"vec_id = {_CLONE + _OFF}")
+        .collect()
+    )
+    assert got == want and got
+
+    want = sorted(
+        (r.cid, r.rc)
+        for r in _train_ivf_ranked(spark, sf_dir)
+        .where(f"vec_id = {_CLONE} AND rc <= {_IVF_NPROBE}")
+        .collect()
+    )
+    got = sorted(
+        (r.cid, r.rc)
+        for r in ivf_assign_batch(spark, sf_dir, batch)
+        .where(f"vec_id = {_CLONE + _OFF}")
+        .collect()
+    )
+    assert got == want and got
+
+    codes, _ = _train_pq(spark, sf_dir)
+    want = sorted((r.sub, r.code) for r in codes.where(f"vec_id = {_CLONE}").collect())
+    got = sorted(
+        (r.sub, r.code)
+        for r in pq_encode_batch(spark, sf_dir, batch)
+        .where(f"vec_id = {_CLONE + _OFF}")
+        .collect()
+    )
+    assert got == want and len(got) == P._M
+
+
+def test_pq_search_batch_finds_sources(spark, sf_dir, batch):
+    rows = pq_search_batch(spark, sf_dir, batch).collect()
+    top1 = {r.query_id: (r.neighbor_id, r.cosine) for r in rows if r.rk == 1}
+    # the clone's nearest corpus vector is its original, cosine exactly 1
+    assert top1[_CLONE + _OFF] == (_CLONE, 1.0)
+    # a small single-component perturbation still resolves to its source
+    nb, cos = top1[_PERT + _OFF]
+    assert nb == _PERT and cos > 0.99
+    # every batch query gets a full top-k
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.query_id] = max(per_q.get(r.query_id, 0), r.rk)
+    assert set(per_q) == {_CLONE + _OFF, _PERT + _OFF, _FRESH + _OFF}
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_ingest_plans_never_scan_corpus(spark, sf_dir, batch):
+    """Encoding a batch must be O(|batch|) + the persisted quantizer:
+    no parquet scan may appear in the plan (the re-rank in
+    pq_search_batch is the one legitimate corpus access and is
+    excluded here)."""
+    for fn in (ann_assign_batch, ivf_assign_batch, pq_encode_batch):
+        plan = fn(spark, sf_dir, batch)._jdf.queryExecution().toString()
+        assert "Scan parquet" not in plan, f"{fn.__name__} rescans the corpus:\n{plan[:600]}"
+
+
+def test_pq_encode_batch_duckdb_twin(spark, sf_dir, batch):
+    """An independent DuckDB training run over the same corpus must
+    encode the batch identically — proves the persisted Spark codebook
+    equals the from-scratch trained one (no session-state drift)."""
+    got = sorted(
+        (r.vec_id, r.sub, r.code)
+        for r in pq_encode_batch(spark, sf_dir, batch).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    bdf = batch.toPandas()
+    con.register("ing_batch", bdf)
+    rounds = ",\n".join(
+        f"{P._pq_codes_sql('duckdb', 'ex', f'cent{k}', str(k))},\n"
+        f"cent{k + 1} AS ({P._pq_cent_next_sql('ex', f'codes{k}')})"
+        for k in range(P._PQ_ITERS)
+    )
+    bex = P._pq_ex_sql("duckdb").replace("FROM embeddings", "FROM ing_batch")
+    twin = f"""
+WITH meta AS (SELECT greatest(1, count(*) // {P._K}) AS step FROM embeddings),
+ex AS ({P._pq_ex_sql('duckdb')}),
+cent0 AS ({P._pq_cent0_sql('duckdb', '(SELECT step FROM meta)')}),
+{rounds},
+bex AS ({bex}),
+{P._pq_codes_sql('duckdb', 'bex', f'cent{P._PQ_ITERS}', 'b')}
+SELECT vec_id, sub, code FROM codesb ORDER BY vec_id, sub
+""".strip()
+    want = sorted(tuple(r) for r in con.execute(twin).fetchall())
+    con.close()
+    assert got == want
