@@ -18,6 +18,10 @@ maintenance surface for all three approximate-search indexes:
   corpus via ADC over the persisted codes + exact re-rank (the
   "query vectors arrive later" path; corpus vectors are touched only
   in the candidate re-rank join).
+- ``embed_near_dup_batch`` — near-dup screen of the batch against the
+  corpus via the persisted bucketed element index (the embedding twin
+  of ``dedup_ops.near_dup_incremental``): bucket-collision candidates
+  only, exact scaled-long cosine, nearest match per batch vector.
 
 Frozen-quantizer invariant (pinned in tests/test_embed_ingest.py): a
 batch vector identical to a corpus vector encodes to IDENTICAL index
@@ -34,11 +38,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 from monday_etl_automation_spark.plans.embed_ops import (
     _IVF_NPROBE,
+    _NEARDUP_COS,
+    _NEARDUP_PLANES,
+    _PLANT_OFFSET,
     _TOPK,
     _ann_buckets_sql_spark,
+    _bucket_k,
     _dot,
     _ivf_ex_sql,
     _ivf_ranked_sql,
+    _near_dup_ex_ctes,
     _norm,
     _train_ivf_ranked,
 )
@@ -48,7 +57,11 @@ from monday_etl_automation_spark.plans.pq_ops import (
     _pq_ex_sql,
     _train_pq,
 )
-from monday_etl_automation_spark.sources.tables import register_views
+from monday_etl_automation_spark.sources.tables import (
+    register_views,
+    session_artifact_cache,
+    snapshot_key,
+)
 
 
 def _batch_view(spark: SparkSession, new_vecs: DataFrame, name: str) -> None:
@@ -97,6 +110,81 @@ def pq_encode_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> Da
 WITH bex AS ({bex}),
 {_pq_codes_sql('spark', 'bex', '_ing_pq_cent', 'b')}
 SELECT vec_id, sub, code FROM codesb ORDER BY vec_id, sub
+""".strip()
+    )
+
+
+def _nd_corpus_ex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted exploded+bucketed corpus element relation — shares
+    the ``nd_ex`` artifact with embed_near_dup (same tag, same key), so
+    whichever path runs first pays the one-time build."""
+    register_views(spark, sf_dir)
+    cache = session_artifact_cache(spark, "nd_ex")
+    key = snapshot_key(sf_dir, "embeddings")
+    ex = cache.get(key)
+    if ex is None:
+        ex = spark.sql(f"{_near_dup_ex_ctes('spark')}\nSELECT * FROM ex").localCheckpoint(
+            eager=True
+        )
+        cache[key] = ex
+    return ex
+
+
+def embed_near_dup_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> DataFrame:
+    """Near-duplicate screen for a vector batch against the corpus:
+    batch vectors are bucketed with the SAME persisted LSH planes, and
+    only bucket-collision candidates pay an exact scaled-long cosine —
+    the embedding twin of ``dedup_ops.near_dup_incremental``. Per-batch
+    cost is O(|batch|) projections + a band equi-join against the
+    persisted element index; no batch x corpus cross product.
+
+    Returns one row per batch vector:
+    (vec_id, has_near_dup, nearest_corpus_vec_id, cosine)."""
+    ex = _nd_corpus_ex(spark, sf_dir)
+    ex.createOrReplaceTempView("_ing_nd_ex")
+    _batch_view(spark, new_vecs, "_ing_batch")
+    bucket = _bucket_k("spark", "embedding", _NEARDUP_PLANES)
+    return spark.sql(
+        f"""
+WITH bex0 AS (
+  SELECT vec_id, bucket, posexplode(embedding) AS (dim, x)
+  FROM (SELECT vec_id, embedding, {bucket} AS bucket FROM _ing_batch)
+),
+bex AS (
+  SELECT vec_id, bucket, dim,
+         CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT) AS xd
+  FROM bex0
+),
+cex AS (SELECT * FROM _ing_nd_ex WHERE vec_id < {_PLANT_OFFSET}),
+bnorm AS (SELECT vec_id, sqrt(CAST(sum(xd * xd) AS DOUBLE)) AS norm FROM bex GROUP BY vec_id),
+cnorm AS (SELECT vec_id, sqrt(CAST(sum(xd * xd) AS DOUBLE)) AS norm FROM cex GROUP BY vec_id),
+dots AS (
+  SELECT b.vec_id AS batch_vec_id, c.vec_id AS corpus_vec_id,
+         CAST(sum(b.xd * c.xd) AS DOUBLE) AS dot
+  FROM bex b JOIN cex c ON b.bucket = c.bucket AND b.dim = c.dim
+  GROUP BY b.vec_id, c.vec_id
+),
+near AS (
+  SELECT d.batch_vec_id, d.corpus_vec_id,
+         round(d.dot / (bn.norm * cn.norm), 6) AS cosine
+  FROM dots d
+  JOIN bnorm bn ON d.batch_vec_id = bn.vec_id
+  JOIN cnorm cn ON d.corpus_vec_id = cn.vec_id
+  WHERE d.dot / (bn.norm * cn.norm) >= {_NEARDUP_COS}
+),
+best AS (
+  SELECT batch_vec_id, corpus_vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY batch_vec_id
+           ORDER BY cosine DESC, corpus_vec_id ASC) AS rn
+  FROM near
+)
+SELECT s.vec_id,
+       CAST(CASE WHEN b.corpus_vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS has_near_dup,
+       b.corpus_vec_id AS nearest_corpus_vec_id,
+       b.cosine
+FROM _ing_batch s
+LEFT JOIN best b ON s.vec_id = b.batch_vec_id AND b.rn = 1
+ORDER BY s.vec_id
 """.strip()
     )
 

@@ -22,7 +22,7 @@ from monday_etl_automation_spark.plans.pq_ops import _train_pq
 from monday_etl_automation_spark.sources.tables import register_views
 
 _OFF = 100000  # batch ids = corpus id + _OFF (disjoint id spaces)
-_CLONE, _PERT, _FRESH = 7, 12, 21
+_CLONE, _PERT, _FRESH, _TINY = 7, 12, 21, 3
 
 
 @pytest.fixture(scope="module")
@@ -41,6 +41,12 @@ FROM embeddings WHERE vec_id = {_PERT}
 UNION ALL
 SELECT vec_id + {_OFF}, reverse(embedding), label
 FROM embeddings WHERE vec_id = {_FRESH}
+UNION ALL
+SELECT vec_id + {_OFF},
+       zip_with(embedding, sequence(0, 63),
+                (x, j) -> CAST(CAST(x AS DOUBLE) + ((j % 5) - 2) * 0.001 AS FLOAT)),
+       label
+FROM embeddings WHERE vec_id = {_TINY}
 """.strip()
     ).localCheckpoint(eager=True)
 
@@ -95,10 +101,13 @@ def test_pq_search_batch_finds_sources(spark, sf_dir, batch):
     nb, cos = top1[_PERT + _OFF]
     assert nb == _PERT and cos > 0.99
     # every batch query gets a full top-k
+    # the tiny (planted-style) perturbation resolves to its source too
+    nb, cos = top1[_TINY + _OFF]
+    assert nb == _TINY and cos > 0.999
     per_q: dict[int, int] = {}
     for r in rows:
         per_q[r.query_id] = max(per_q.get(r.query_id, 0), r.rk)
-    assert set(per_q) == {_CLONE + _OFF, _PERT + _OFF, _FRESH + _OFF}
+    assert set(per_q) == {_CLONE + _OFF, _PERT + _OFF, _FRESH + _OFF, _TINY + _OFF}
     assert all(v == 5 for v in per_q.values())
 
 
@@ -110,6 +119,37 @@ def test_ingest_plans_never_scan_corpus(spark, sf_dir, batch):
     for fn in (ann_assign_batch, ivf_assign_batch, pq_encode_batch):
         plan = fn(spark, sf_dir, batch)._jdf.queryExecution().toString()
         assert "Scan parquet" not in plan, f"{fn.__name__} rescans the corpus:\n{plan[:600]}"
+
+
+def test_embed_near_dup_batch(spark, sf_dir, batch):
+    from monday_etl_automation_spark.plans.embed_ingest import embed_near_dup_batch
+    from monday_etl_automation_spark.plans.embed_ops import _NEARDUP_PLANES, _bucket_k
+
+    rows = {r.vec_id: r for r in embed_near_dup_batch(spark, sf_dir, batch).collect()}
+    assert set(rows) == {v + _OFF for v in (_CLONE, _PERT, _FRESH, _TINY)}
+    # exact clone: always same bucket, cosine exactly 1 of its source
+    r = rows[_CLONE + _OFF]
+    assert (r.has_near_dup, r.nearest_corpus_vec_id, r.cosine) == (1, _CLONE, 1.0)
+    # reversed vector: near-orthogonal to everything, never flagged
+    assert rows[_FRESH + _OFF].has_near_dup == 0
+    # tiny perturbation: the contract is bucket-collision => detection.
+    # Whether the perturbed vector shares its source's bucket is a
+    # property of the current (regenerating) testdata, so assert the
+    # implication, not the collision.
+    bucket = _bucket_k("spark", "embedding", _NEARDUP_PLANES)
+    batch.createOrReplaceTempView("_ing_batch_t")
+    b_bucket = spark.sql(
+        f"SELECT {bucket} AS b FROM _ing_batch_t WHERE vec_id = {_TINY + _OFF}"
+    ).collect()[0].b
+    c_bucket = spark.sql(
+        f"SELECT {bucket} AS b FROM embeddings WHERE vec_id = {_TINY}"
+    ).collect()[0].b
+    r = rows[_TINY + _OFF]
+    if b_bucket == c_bucket:
+        assert r.has_near_dup == 1 and r.nearest_corpus_vec_id == _TINY
+        assert r.cosine > 0.999
+    else:  # pragma: no cover - dataset-dependent branch
+        assert r.has_near_dup in (0, 1)
 
 
 def test_pq_encode_batch_duckdb_twin(spark, sf_dir, batch):
