@@ -142,6 +142,64 @@ def mixture_sample_oracle(weights: dict[str, float], total_tokens: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# temperature_rates — weights FROM the corpus: w_s = n_s^alpha
+# ---------------------------------------------------------------------------
+
+
+def _temperature_rates_sql(dialect: str, alpha_pow2: int, total_tokens: int) -> str:
+    """Temperature-scaled mixture rates (UniMax/mT5-style): instead of
+    hand-set weights, w_s = n_s^alpha derived from the corpus itself —
+    alpha = 1 reproduces natural token shares, alpha -> 0 approaches
+    uniform-per-source, intermediate alphas damp the head sources
+    without starving the tail (Xue et al., mT5, 2021 §3.1).
+
+    Parity constraint: ``pow(x, alpha)`` goes through libm and drifts
+    by last-ulp across engines (the `ln` lesson, text_ops.py:234).
+    alpha is therefore restricted to 2^-k and computed as a k-deep
+    ``sqrt`` chain — IEEE sqrt is CORRECTLY ROUNDED in every
+    conforming implementation, so both engines produce bit-identical
+    weights. k=0 -> alpha 1, k=1 -> 0.5, k=2 -> 0.25 (the common
+    practical range).
+
+    Same single-scan shape as ``rates_ctes``: one aggregation over the
+    corpus, a |sources|-row window for the normalizer z.
+    """
+    if alpha_pow2 < 0:
+        raise ValueError("alpha_pow2 must be >= 0 (alpha = 2^-alpha_pow2)")
+    toks = _TOKS[dialect]
+    w = "CAST(n_tokens AS DOUBLE)"
+    for _ in range(alpha_pow2):
+        w = f"sqrt({w})"
+    return f"""
+WITH per_source AS (
+  SELECT source, CAST(sum({toks}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+eff AS (
+  SELECT source, n_tokens, {w} AS w,
+         CAST(sum({w}) OVER () AS DOUBLE) AS z
+  FROM per_source WHERE n_tokens > 0
+)
+SELECT source, n_tokens,
+       CAST(round(w / z * {total_tokens}, 0) AS BIGINT) AS target_tokens,
+       least(CAST(1.0 AS DOUBLE), (w / z * {total_tokens}) / n_tokens) AS keep_rate
+FROM eff
+ORDER BY source
+""".strip()
+
+
+def temperature_rates(
+    spark: SparkSession, sf_dir: str, alpha_pow2: int, total_tokens: int
+) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_temperature_rates_sql("spark", alpha_pow2, total_tokens))
+
+
+def temperature_rates_oracle(alpha_pow2: int, total_tokens: int) -> str:
+    return _temperature_rates_sql("duckdb", alpha_pow2, total_tokens)
+
+
+# ---------------------------------------------------------------------------
 # corpus_splits — deterministic train/val/test assignment + shuffle key
 # ---------------------------------------------------------------------------
 

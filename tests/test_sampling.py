@@ -140,3 +140,48 @@ def test_corpus_splits_properties(spark, sf_dir):
         from monday_etl_automation_spark.sources.tables import register_views
 
         register_views(spark, sf_dir)
+
+
+def test_temperature_rates_match_oracle(spark, sf_dir):
+    from monday_etl_automation_spark.plans.sampling_ops import (
+        temperature_rates,
+        temperature_rates_oracle,
+    )
+
+    for k in (0, 1, 2):  # alpha = 1, 0.5, 0.25 — the sqrt-chain range
+        assert_matches_oracle(
+            temperature_rates(spark, sf_dir, k, 10_000),
+            temperature_rates_oracle(k, 10_000),
+            sf_dir,
+        )
+
+
+def test_temperature_alpha_one_is_natural_sharing(spark, sf_dir):
+    """alpha=1: w_s = n_s, so rate = min(1, T/sum(n)) — identical for
+    every source (natural sampling just scales the whole corpus)."""
+    from monday_etl_automation_spark.plans.sampling_ops import temperature_rates
+
+    rows = temperature_rates(spark, sf_dir, 0, 10_000).collect()
+    assert len(rows) >= 2
+    total = sum(r.n_tokens for r in rows)
+    want = min(1.0, 10_000 / total)
+    # (n/z*T)/n vs T/z differ by last-ulp per source — tolerance, not
+    # set-equality (cross-ENGINE parity is exact; cross-SOURCE is not)
+    for r in rows:
+        assert abs(r.keep_rate - want) < 1e-12
+
+
+def test_temperature_flattens_toward_uniform(spark, sf_dir):
+    """Lower alpha damps the head: the spread of per-source token
+    TARGETS (max/min) must shrink monotonically as alpha drops, and
+    targets still sum to ~T."""
+    from monday_etl_automation_spark.plans.sampling_ops import temperature_rates
+
+    spreads = []
+    for k in (0, 1, 2):
+        rows = temperature_rates(spark, sf_dir, k, 10_000).collect()
+        tgts = [r.target_tokens for r in rows]
+        assert abs(sum(tgts) - 10_000) <= len(tgts)  # rounding only
+        spreads.append(max(tgts) / max(1, min(tgts)))
+    assert spreads[0] >= spreads[1] >= spreads[2]
+    assert spreads[2] < spreads[0] or spreads[0] == 1.0
