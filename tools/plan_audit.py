@@ -77,12 +77,23 @@ def audit_plan(plan: str) -> dict:
     }
 
 
+def _pytest_only_queries() -> dict:
+    """Non-registered operators worth auditing (registry is capped at
+    50; these are verified by pytest twins but their plan shapes are
+    as scale-relevant as the registered ones)."""
+    from monday_etl_automation_spark.plans.pq_ops import pq_topk
+    from monday_etl_automation_spark.plans.search_ops import bm25_topk
+
+    return {"pq_topk": pq_topk, "bm25_topk": bm25_topk}
+
+
 def main() -> int:
     from monday_etl_automation_spark.plans import registry
     from monday_etl_automation_spark.session import get_spark
 
     spark = get_spark("plan_audit")
-    qs = registry.queries()
+    qs = dict(registry.queries())
+    qs.update(_pytest_only_queries())
     rows = []
     flagship_plan = ""
     for name in sorted(qs):
