@@ -75,3 +75,50 @@ def write_training_shards(
 def read_training_shards(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read a shard directory back; partition columns come from paths."""
     return spark.read.parquet(out_dir)
+
+
+# per-epoch salted shuffle hash: deterministic for (epoch, doc_id),
+# decorrelated across epochs — every epoch is a fresh reproducible
+# global permutation (same md5-derived construction as the sampling
+# gate / split hashes in plans/sampling_ops.py)
+_EPOCH_SHUF = (
+    "CAST(conv(substr(md5(concat('order:', CAST({e} AS STRING), ':',"
+    " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+)
+
+
+def write_shuffled_split(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    split: str = "train",
+    epoch: int = 0,
+    n_files: int = 8,
+    fracs: dict[str, float] | None = None,
+) -> DataFrame:
+    """Write one corpus split in reproducible globally-shuffled order —
+    the materialization of SCALE.md's claim that "training order =
+    ORDER BY shuffle_key is a repartitionByRange write, not a sort on
+    one machine": range-partition on the epoch-salted shuffle key
+    (parallel, no single-task global sort, no driver state) and sort
+    within each file, so concatenating the files in range order IS the
+    epoch's global permutation. Epoch k and epoch k+1 are independent
+    permutations; the same epoch re-writes byte-identical order (hash
+    order, never rand()).
+
+    Returns the written frame read back (with its file lineage)."""
+    from monday_etl_automation_spark.plans.sampling_ops import corpus_splits
+
+    df = (
+        corpus_splits(spark, sf_dir, fracs)
+        .where(F.col("split") == F.lit(split))
+        .drop("shuffle_key")
+        .withColumn("shuffle_key", F.expr(_EPOCH_SHUF.format(e=epoch)))
+    )
+    (
+        df.repartitionByRange(n_files, "shuffle_key")
+        .sortWithinPartitions("shuffle_key", "doc_id")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir)

@@ -64,3 +64,58 @@ def test_shard_manifest_deterministic(spark, sf_dir, tmp_path):
     m1 = write_training_shards(packed, str(tmp_path / "a"), tokens_per_file=_FILE_BUDGET)
     m2 = write_training_shards(packed, str(tmp_path / "b"), tokens_per_file=_FILE_BUDGET)
     assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+
+
+def _file_sequences(spark, out):
+    """{range-rank -> [(shuffle_key, doc_id), ...]} per output file,
+    asserting in-file sort and cross-file range disjointness — together
+    these make 'concatenate files in range order' the global order."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(out)
+        .select(F.input_file_name().alias("f"), "shuffle_key", "doc_id")
+        .collect()
+    )
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r.f, []).append((r.shuffle_key, r.doc_id))
+    seqs = sorted(by_file.values(), key=lambda s: min(s))
+    prev_max = None
+    for s in seqs:
+        assert s == sorted(s)  # in-file order
+        if prev_max is not None:
+            assert min(s) > prev_max  # disjoint, increasing ranges
+        prev_max = max(s)
+    return seqs
+
+
+def test_shuffled_split_is_global_permutation(spark, sf_dir, tmp_path):
+    from monday_etl_automation_spark.plans.sampling_ops import corpus_splits
+    from monday_etl_automation_spark.sources.shard_writer import write_shuffled_split
+
+    out = str(tmp_path / "ep0")
+    write_shuffled_split(spark, sf_dir, out, epoch=0, n_files=4)
+    seqs = _file_sequences(spark, out)
+    got_docs = sorted(d for s in seqs for (_, d) in s)
+    want_docs = sorted(
+        r.doc_id for r in corpus_splits(spark, sf_dir).where("split = 'train'").collect()
+    )
+    assert got_docs == want_docs  # lossless: exactly the split, once each
+
+
+def test_shuffled_split_epochs_reproducible_and_independent(spark, sf_dir, tmp_path):
+    from monday_etl_automation_spark.sources.shard_writer import write_shuffled_split
+
+    a1 = str(tmp_path / "a1")
+    a2 = str(tmp_path / "a2")
+    b = str(tmp_path / "b")
+    write_shuffled_split(spark, sf_dir, a1, epoch=0, n_files=4)
+    write_shuffled_split(spark, sf_dir, a2, epoch=0, n_files=4)
+    write_shuffled_split(spark, sf_dir, b, epoch=1, n_files=4)
+    order_a1 = [d for s in _file_sequences(spark, a1) for (_, d) in s]
+    order_a2 = [d for s in _file_sequences(spark, a2) for (_, d) in s]
+    order_b = [d for s in _file_sequences(spark, b) for (_, d) in s]
+    assert order_a1 == order_a2  # same epoch: byte-identical order
+    assert sorted(order_a1) == sorted(order_b)  # same membership
+    assert order_a1 != order_b  # different epoch: different permutation
