@@ -57,12 +57,17 @@ def pack_sequences(
     n_shards: int = 8,
     chunk_size: int = 64,
     overlap: int = 16,
+    doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every chunk to a (shard, seq_idx) training sequence whose
-    token total never exceeds ``budget``."""
+    token total never exceeds ``budget``. ``doc_ids`` (a one-column
+    doc_id frame) restricts packing to those documents — the release
+    pipeline packs only the released train split."""
     chunks = chunk_documents(spark, sf_dir, chunk_size, overlap).select(
         "doc_id", "chunk_idx", "n_chunk_tokens"
     )
+    if doc_ids is not None:
+        chunks = chunks.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
     sharded = chunks.withColumn("shard", F.expr(_SHARD.format(n=n_shards)).cast("int"))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

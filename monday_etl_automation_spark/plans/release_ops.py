@@ -1,0 +1,159 @@
+"""The composed RELEASE pipeline: corpus in, training shards out
+(SURVEY.md §2.12 — the end-to-end run a data team ships).
+
+Chains every individually-verified stage into one callable:
+
+  1. corpus_prep        — quality gate, lang gate, exact dedup,
+                          near-dup dedup (dispositions)
+  2. eval-set exclusion — the benchmark slice (doc_id % BENCH_MOD = 0,
+                          the same convention decontam_ops tests
+                          against) never ships in training data
+  3. decontamination    — remaining docs with >= HIT_MIN distinct
+                          5-gram collisions against the eval set drop
+  4. PII scrub          — released text passes through the shared
+                          redaction patterns; the released corpus
+                          carries ZERO residual PII by construction
+  5. splits             — leakage-safe hash train/val/test assignment
+  6. pack + shard       — the train split packs into fixed-token
+                          sequences and lands as size-targeted parquet
+                          shard files with a manifest
+
+Output layout under ``out_dir``:
+  released/split=train|val|test/  (doc_id, source, text [scrubbed],
+                                   n_tokens)
+  shards/shard=S/file_seq=F/      packed train sequences
+and the returned summary frame is the run report (one row per stage
+counter), cross-checked in tests/test_release.py against independent
+recomputation of every stage.
+
+Scale: pure composition — every stage keeps its own documented 100 TB
+posture (row-local gates, hash/band dedup joins, broadcast n-gram
+table, hash splits, shard-local packing); the pipeline adds joins on
+doc_id only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monday_etl_automation_spark.plans.corpus_ops import corpus_prep
+from monday_etl_automation_spark.plans.decontam_ops import (
+    _BENCH_MOD,
+    _HIT_MIN,
+    _NGRAM,
+    _PII_PATTERNS,
+    _ngram_hash_cte,
+    _rx,
+)
+from monday_etl_automation_spark.plans.packing_ops import pack_sequences
+from monday_etl_automation_spark.plans.sampling_ops import corpus_splits
+from monday_etl_automation_spark.sources.shard_writer import write_training_shards
+from monday_etl_automation_spark.sources.tables import register_views
+
+
+def _scrub_expr(col: str) -> str:
+    out = f"coalesce({col}, '')"
+    for tag, pat in _PII_PATTERNS.items():
+        out = f"regexp_replace({out}, '{_rx('spark', pat)}', '<{tag.upper()}>')"
+    return out
+
+
+def _contaminated_ids(spark: SparkSession) -> DataFrame:
+    """Corpus docs sharing >= {_HIT_MIN} distinct word-{_NGRAM}-grams
+    with the eval slice — the real-text form of decontam_ops'
+    benchmark_overlap (same hash CTE, no planted sentinels)."""
+    return spark.sql(
+        f"""
+WITH corpus AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  WHERE doc_id % {_BENCH_MOD} <> 0
+),
+bench AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  WHERE doc_id % {_BENCH_MOD} = 0
+),
+{_ngram_hash_cte('spark', 'corpus', 'cg')},
+{_ngram_hash_cte('spark', 'bench', 'bg')},
+hits AS (
+  SELECT cg.doc_id, count(DISTINCT cg.h) AS n_hits
+  FROM cg JOIN (SELECT DISTINCT h FROM bg) b ON cg.h = b.h
+  GROUP BY cg.doc_id
+)
+SELECT doc_id FROM hits WHERE n_hits >= {_HIT_MIN}
+""".strip()
+    )
+
+
+def release_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    fracs: dict[str, float] | None = None,
+    pack_budget: int = 128,
+    tokens_per_file: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    register_views(spark, sf_dir)
+    prep = corpus_prep(spark, sf_dir).localCheckpoint(eager=True)
+    kept = prep.where("disposition = 'kept'").select("doc_id")
+    bench = spark.sql(f"SELECT doc_id FROM documents WHERE doc_id % {_BENCH_MOD} = 0")
+    contam = _contaminated_ids(spark).localCheckpoint(eager=True)
+
+    released_ids = (
+        kept.join(bench, "doc_id", "left_anti")
+        .join(contam, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+
+    splits = corpus_splits(spark, sf_dir, fracs).select("doc_id", "split")
+    released = (
+        spark.table("documents")
+        .join(released_ids, "doc_id", "left_semi")
+        .join(splits, "doc_id")
+        .withColumn("text", F.expr(_scrub_expr("text")))  # ship scrubbed text only
+        .selectExpr(
+            "doc_id",
+            "source",
+            "text",
+            # token count of the RELEASED (scrubbed) text
+            "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens",
+            "split",
+        )
+    )
+    (
+        released.repartition("split")
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(f"{out_dir}/released")
+    )
+
+    train_ids = released.where("split = 'train'").select("doc_id")
+    packed = pack_sequences(
+        spark, sf_dir, budget=pack_budget, n_shards=n_shards, doc_ids=train_ids
+    ).localCheckpoint(eager=True)
+    manifest = write_training_shards(
+        packed, f"{out_dir}/shards", tokens_per_file=tokens_per_file
+    ).localCheckpoint(eager=True)
+
+    # the run report — every counter independently recomputable
+    back = spark.read.parquet(f"{out_dir}/released")
+    stage_rows = [
+        ("total_docs", spark.table("documents").count()),
+        ("kept_after_prep", kept.count()),
+        ("excluded_benchmark", kept.join(bench, "doc_id", "left_semi").count()),
+        (
+            "dropped_contaminated",
+            kept.join(bench, "doc_id", "left_anti")
+            .join(contam, "doc_id", "left_semi")
+            .count(),
+        ),
+        ("released_total", back.count()),
+        ("shard_files", manifest.count()),
+        ("shard_tokens", manifest.agg(F.sum("n_tokens")).collect()[0][0] or 0),
+    ]
+    for split_name in sorted(r.split for r in back.select("split").distinct().collect()):
+        stage_rows.append(
+            (f"released_{split_name}", back.where(F.col("split") == split_name).count())
+        )
+    return spark.createDataFrame(stage_rows, "stage STRING, n BIGINT")

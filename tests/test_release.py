@@ -1,0 +1,99 @@
+"""Release pipeline: end-to-end invariants over the shipped artifact —
+no PII, no eval-set docs, no contaminated docs, only prep-kept docs,
+split-partitioned layout, bounded shards, consistent report."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from monday_etl_automation_spark.plans.corpus_ops import corpus_prep
+from monday_etl_automation_spark.plans.decontam_ops import _BENCH_MOD, _PII_PATTERNS, _rx
+from monday_etl_automation_spark.plans.release_ops import (
+    _contaminated_ids,
+    release_training_corpus,
+)
+from monday_etl_automation_spark.sources.tables import register_views
+
+_PACK_BUDGET = 128
+_FILE_BUDGET = 2048
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("release"))
+    summary = release_training_corpus(
+        spark,
+        sf_dir,
+        out,
+        pack_budget=_PACK_BUDGET,
+        tokens_per_file=_FILE_BUDGET,
+    )
+    return out, {r.stage: r.n for r in summary.collect()}
+
+
+def test_released_docs_are_exactly_the_survivors(spark, sf_dir, run):
+    out, report = run
+    released = spark.read.parquet(f"{out}/released")
+    got = {r.doc_id for r in released.select("doc_id").collect()}
+
+    kept = {
+        r.doc_id
+        for r in corpus_prep(spark, sf_dir).where("disposition = 'kept'").collect()
+    }
+    register_views(spark, sf_dir)
+    contam = {r.doc_id for r in _contaminated_ids(spark).collect()}
+    want = {d for d in kept if d % _BENCH_MOD != 0 and d not in contam}
+    assert got == want
+    # report counters reconcile
+    assert report["released_total"] == len(want)
+    assert report["kept_after_prep"] == len(kept)
+    assert report["excluded_benchmark"] == sum(1 for d in kept if d % _BENCH_MOD == 0)
+    assert (
+        report["released_total"]
+        + report["excluded_benchmark"]
+        + report["dropped_contaminated"]
+        == report["kept_after_prep"]
+    )
+    splits_sum = sum(v for k, v in report.items() if k.startswith("released_") and k != "released_total")
+    assert splits_sum == report["released_total"]
+
+
+def test_released_text_carries_zero_pii(spark, run):
+    out, _ = run
+    released = spark.read.parquet(f"{out}/released")
+    checks = [
+        F.sum(F.size(F.expr(f"regexp_extract_all(text, '{_rx('spark', p)}', 0)")))
+        for p in _PII_PATTERNS.values()
+    ]
+    totals = released.agg(*checks).collect()[0]
+    assert all((t or 0) == 0 for t in totals)
+
+
+def test_release_layout_and_shards(spark, run):
+    out, report = run
+    # split-partitioned released corpus
+    split_dirs = sorted(glob.glob(f"{out}/released/split=*"))
+    assert [d.rsplit("=", 1)[1] for d in split_dirs] == ["test", "train", "val"]
+    # shard files exist, one parquet per dir, token payload bounded
+    shard_dirs = glob.glob(f"{out}/shards/shard=*/file_seq=*")
+    assert len(shard_dirs) == report["shard_files"] > 0
+    for d in shard_dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    shards = spark.read.parquet(f"{out}/shards")
+    per_file = (
+        shards.groupBy("shard", "file_seq").agg(F.sum("n_chunk_tokens").alias("t")).collect()
+    )
+    assert all(r.t < _FILE_BUDGET + _PACK_BUDGET for r in per_file)
+    assert report["shard_tokens"] == sum(r.t for r in per_file)
+    # shards carry ONLY released-train documents
+    train_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/released")
+        .where("split = 'train'")
+        .collect()
+    }
+    shard_ids = {r.doc_id for r in shards.select("doc_id").distinct().collect()}
+    assert shard_ids <= train_ids
