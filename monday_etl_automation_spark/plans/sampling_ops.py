@@ -200,6 +200,52 @@ def temperature_rates_oracle(alpha_pow2: int, total_tokens: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# quality_floor_sample — keep the top q% of each source by quality
+# ---------------------------------------------------------------------------
+
+
+def _quality_floor_sql(dialect: str, keep_ppm: int) -> str:
+    """Per-source quality curation: keep the best ceil(q * n) documents
+    of EVERY source (quality_score desc, doc_id tiebreak) — a global
+    quality floor would silently delete entire weak sources, while the
+    per-source floor preserves the mixture and trims each source's
+    tail (the practical form of quality filtering when the mixture is
+    chosen separately, cf. mixture_rates).
+
+    Exactness: the keep decision is rn * 1e6 <= keep_ppm * n — pure
+    BIGINT, no float thresholds. One window over (source) — the same
+    single keyed shuffle a groupBy would cost."""
+    from monday_etl_automation_spark.plans.corpus_ops import _quality_cte
+
+    return f"""
+WITH {_quality_cte(dialect)},
+ranked AS (
+  SELECT d.doc_id, d.source, q.quality_score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY d.source ORDER BY q.quality_score DESC, d.doc_id ASC
+         ) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS n
+  FROM quality q JOIN documents d ON q.doc_id = d.doc_id
+)
+SELECT doc_id, source, quality_score, CAST(rn AS BIGINT) AS quality_rank
+FROM ranked
+WHERE rn * 1000000 <= {keep_ppm} * n
+ORDER BY doc_id
+""".strip()
+
+
+def quality_floor_sample(
+    spark: SparkSession, sf_dir: str, keep_frac: float = 0.5
+) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_quality_floor_sql("spark", int(round(keep_frac * 1_000_000))))
+
+
+def quality_floor_sample_oracle(keep_frac: float = 0.5) -> str:
+    return _quality_floor_sql("duckdb", int(round(keep_frac * 1_000_000)))
+
+
+# ---------------------------------------------------------------------------
 # corpus_splits — deterministic train/val/test assignment + shuffle key
 # ---------------------------------------------------------------------------
 

@@ -185,3 +185,64 @@ def test_temperature_flattens_toward_uniform(spark, sf_dir):
         spreads.append(max(tgts) / max(1, min(tgts)))
     assert spreads[0] >= spreads[1] >= spreads[2]
     assert spreads[2] < spreads[0] or spreads[0] == 1.0
+
+
+def test_quality_floor_matches_oracle_and_counts(spark, sf_dir):
+    from monday_etl_automation_spark.plans.sampling_ops import (
+        quality_floor_sample,
+        quality_floor_sample_oracle,
+    )
+
+    for frac in (0.25, 0.5, 1.0):
+        assert_matches_oracle(
+            quality_floor_sample(spark, sf_dir, frac),
+            quality_floor_sample_oracle(frac),
+            sf_dir,
+        )
+    kept = quality_floor_sample(spark, sf_dir, 0.5).collect()
+    per_src: dict[str, int] = {}
+    for r in kept:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    totals = {
+        r.source: r["count"]
+        for r in spark.table("documents").groupBy("source").count().collect()
+    }
+    # every source survives with floor(n/2) docs (rn*1e6 <= 5e5*n) —
+    # the floor is per-source, never a global cut deleting weak sources
+    assert set(per_src) == set(totals)
+    for s, n in totals.items():
+        assert per_src[s] == n // 2
+    # the kept set is the TOP of each source: min kept score per source
+    # >= max dropped score is not guaranteed under ties, but ranks are
+    # contiguous from 1
+    ranks: dict[str, list[int]] = {}
+    for r in kept:
+        ranks.setdefault(r.source, []).append(r.quality_rank)
+    for s, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_mixture_rates_randomized_weight_parity(spark, sf_dir):
+    """Seeded random weight configs through the full twin — catches
+    parity edge cases (tiny weights, >1 rates clamped, many sources)
+    that the hand-picked configs miss."""
+    import random
+
+    from monday_etl_automation_spark.plans.sampling_ops import (
+        mixture_rates,
+        mixture_rates_oracle,
+    )
+
+    rng = random.Random(8)
+    sources = [f"src{i}" for i in range(20)] + ["ghost_a", "ghost_b"]
+    for _ in range(3):
+        weights = {
+            s: round(rng.uniform(0.01, 5.0), 3)
+            for s in rng.sample(sources, rng.randint(3, 12))
+        }
+        total = rng.choice([100, 5_000, 1_000_000])
+        assert_matches_oracle(
+            mixture_rates(spark, sf_dir, weights, total),
+            mixture_rates_oracle(weights, total),
+            sf_dir,
+        )

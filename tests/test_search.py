@@ -54,3 +54,14 @@ def test_bm25_shape(spark, sf_dir):
     for q, rks in per_q.items():
         vals = [by_rk[(q, k)] for k in sorted(rks)]
         assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_bm25_search_reads_postings_not_corpus(spark, sf_dir):
+    """After the one-time postings build, a BM25 query plan must read
+    the materialized posting list only — never re-tokenize the corpus
+    (Spark inlines CTEs; the one-shot form paid 4+ corpus scans)."""
+    from monday_etl_automation_spark.plans.search_ops import _postings_index
+
+    _postings_index(spark, sf_dir)  # ensure the index exists
+    plan = bm25_topk(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "Scan parquet" not in plan, f"bm25 rescans the corpus:\n{plan[:600]}"
