@@ -140,6 +140,24 @@ def _rx(dialect: str, pat: str) -> str:
     return pat.replace("\\", "\\\\") if dialect == "spark" else pat
 
 
+def _scrub_one(dialect: str, col: str, pat: str, tag: str) -> str:
+    p = _rx(dialect, pat)
+    if dialect == "spark":  # Spark regexp_replace is global by default
+        return f"regexp_replace({col}, '{p}', '<{tag}>')"
+    return f"regexp_replace({col}, '{p}', '<{tag}>', 'g')"
+
+
+def scrub_expr(dialect: str, col: str) -> str:
+    """The canonical PII-redaction chain over every pattern — the ONE
+    definition both the audited pii_scrub operator and the release
+    pipeline (plans/release_ops.py) apply, so the shipped corpus can
+    never scrub differently from what the audit checked."""
+    out = f"coalesce({col}, '')"
+    for tag, pat in _PII_PATTERNS.items():
+        out = _scrub_one(dialect, out, pat, tag.upper())
+    return out
+
+
 def _pii_sql(dialect: str) -> str:
     spark = dialect == "spark"
 
@@ -149,15 +167,7 @@ def _pii_sql(dialect: str) -> str:
             return f"size(regexp_extract_all({col}, '{p}', 0))"
         return f"CAST(len(regexp_extract_all({col}, '{p}')) AS INT)"
 
-    def scrub(col: str, pat: str, tag: str) -> str:
-        p = _rx(dialect, pat)
-        if spark:  # Spark regexp_replace is global by default
-            return f"regexp_replace({col}, '{p}', '<{tag}>')"
-        return f"regexp_replace({col}, '{p}', '<{tag}>', 'g')"
-
-    scrubbed = "coalesce(text, '')"
-    for tag, pat in _PII_PATTERNS.items():
-        scrubbed = scrub(scrubbed, pat, tag.upper())
+    scrubbed = scrub_expr(dialect, "text")
     planted = (
         "coalesce(text, '') || ' reach user' || CAST(doc_id AS STRING)"
         " || '@example.com or 555-867-5309 from 10.0.'"

@@ -50,9 +50,14 @@ def _drift_sql(dialect: str, rel_a: str, rel_b: str) -> str:
 WITH a AS ({agg(rel_a)}),
 b AS ({agg(rel_b)}),
 -- snapshot totals as single-row relations: a FULL OUTER JOIN row may
--- miss one side entirely, so totals cannot ride the per-source rows
-ta AS (SELECT max(total_tokens) AS v FROM a),
-tb AS (SELECT max(total_tokens) AS v FROM b)
+-- miss one side entirely, so totals cannot ride the per-source rows.
+-- greatest(1, coalesce(..)): an EMPTY snapshot (failed crawl — the
+-- loudest drift there is) must yield share 0 and delta = full share,
+-- not NULL columns that silence a TVD alarm; Spark's x/NULL and
+-- x/0.0 behaviors also differ from DuckDB's, so the denominator is
+-- pinned to a positive BIGINT in both engines
+ta AS (SELECT greatest(CAST(1 AS BIGINT), coalesce(max(total_tokens), 0)) AS v FROM a),
+tb AS (SELECT greatest(CAST(1 AS BIGINT), coalesce(max(total_tokens), 0)) AS v FROM b)
 SELECT coalesce(a.source, b.source) AS source,
        CAST(coalesce(a.n_docs, 0) AS BIGINT) AS docs_a,
        CAST(coalesce(b.n_docs, 0) AS BIGINT) AS docs_b,

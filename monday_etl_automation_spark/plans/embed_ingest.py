@@ -41,27 +41,20 @@ from monday_etl_automation_spark.plans.embed_ops import (
     _NEARDUP_COS,
     _NEARDUP_PLANES,
     _PLANT_OFFSET,
-    _TOPK,
     _ann_buckets_sql_spark,
     _bucket_k,
-    _dot,
     _ivf_ex_sql,
     _ivf_ranked_sql,
-    _near_dup_ex_ctes,
-    _norm,
-    _train_ivf_ranked,
+    _nd_ex_index,
+    _train_ivf,
 )
 from monday_etl_automation_spark.plans.pq_ops import (
-    _CAND,
     _pq_codes_sql,
     _pq_ex_sql,
+    _pq_search_sql,
     _train_pq,
 )
-from monday_etl_automation_spark.sources.tables import (
-    register_views,
-    session_artifact_cache,
-    snapshot_key,
-)
+from monday_etl_automation_spark.sources.tables import register_views
 
 
 def _batch_view(spark: SparkSession, new_vecs: DataFrame, name: str) -> None:
@@ -82,15 +75,21 @@ def ann_assign_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> D
 def ivf_assign_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> DataFrame:
     """(vec_id, cid, rc) for the batch against the persisted coarse
     quantizer: rc=1 is the owning inverted list (the append target),
-    rc<=nprobe the probe set a batch-side query would use."""
+    rc<=nprobe the probe set a batch-side query would use.
+
+    The centroids come from the CACHED FRAME, not the `_ivf_cent` temp
+    view — the view is rebound whenever another snapshot trains in
+    this session, and resolving it here would silently encode the
+    batch against the wrong quantizer."""
     register_views(spark, sf_dir)
-    _train_ivf_ranked(spark, sf_dir)  # ensures _ivf_cent holds the trained centroids
+    _, cent = _train_ivf(spark, sf_dir)
+    cent.createOrReplaceTempView("_ing_ivf_cent")
     _batch_view(spark, new_vecs, "_ing_batch")
     bex = _ivf_ex_sql("spark").replace("FROM embeddings", "FROM _ing_batch")
     return spark.sql(
         f"""
 WITH bex AS ({bex}),
-{_ivf_ranked_sql('spark', 'bex', '_ivf_cent', 'b')}
+{_ivf_ranked_sql('spark', 'bex', '_ing_ivf_cent', 'b')}
 SELECT vec_id, cid, rc FROM rankedb WHERE rc <= {_IVF_NPROBE}
 ORDER BY vec_id, rc
 """.strip()
@@ -114,22 +113,6 @@ SELECT vec_id, sub, code FROM codesb ORDER BY vec_id, sub
     )
 
 
-def _nd_corpus_ex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted exploded+bucketed corpus element relation — shares
-    the ``nd_ex`` artifact with embed_near_dup (same tag, same key), so
-    whichever path runs first pays the one-time build."""
-    register_views(spark, sf_dir)
-    cache = session_artifact_cache(spark, "nd_ex")
-    key = snapshot_key(sf_dir, "embeddings")
-    ex = cache.get(key)
-    if ex is None:
-        ex = spark.sql(f"{_near_dup_ex_ctes('spark')}\nSELECT * FROM ex").localCheckpoint(
-            eager=True
-        )
-        cache[key] = ex
-    return ex
-
-
 def embed_near_dup_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> DataFrame:
     """Near-duplicate screen for a vector batch against the corpus:
     batch vectors are bucketed with the SAME persisted LSH planes, and
@@ -140,8 +123,8 @@ def embed_near_dup_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) 
 
     Returns one row per batch vector:
     (vec_id, has_near_dup, nearest_corpus_vec_id, cosine)."""
-    ex = _nd_corpus_ex(spark, sf_dir)
-    ex.createOrReplaceTempView("_ing_nd_ex")
+    register_views(spark, sf_dir)
+    _nd_ex_index(spark, sf_dir).createOrReplaceTempView("_ing_nd_ex")
     _batch_view(spark, new_vecs, "_ing_batch")
     bucket = _bucket_k("spark", "embedding", _NEARDUP_PLANES)
     return spark.sql(
@@ -200,58 +183,19 @@ def pq_search_batch(spark: SparkSession, sf_dir: str, queries: DataFrame) -> Dat
     cent.createOrReplaceTempView("_ing_pq_cent")
     _batch_view(spark, queries, "_ing_batch")
     qex = _pq_ex_sql("spark").replace("FROM embeddings", "FROM _ing_batch")
-    dot = _dot("spark", "q.embedding", "v.embedding")
-    cos = f"({dot}) / (q.norm * v.norm)"
+    # ONE shared scoring body (pq_ops._pq_search_sql): only the query
+    # relation, re-rank sources, and self-exclusion differ from the
+    # corpus search — a scoring fix lands in both paths at once
     return spark.sql(
-        f"""
-WITH qex AS ({qex}),
-lut AS (
-  SELECT q.vec_id AS qid, c.sub, c.code,
-         CAST(sum(q.xd * c.md) AS BIGINT) AS pdot
-  FROM qex q JOIN _ing_pq_cent c ON q.sub = c.sub AND q.d = c.d
-  GROUP BY q.vec_id, c.sub, c.code
-),
-cn2 AS (
-  SELECT sub, code, CAST(sum(md * md) AS BIGINT) AS n2
-  FROM _ing_pq_cent GROUP BY sub, code
-),
-vn AS (
-  SELECT a.vec_id, sqrt(CAST(CAST(sum(n.n2) AS BIGINT) AS DOUBLE)) AS vnorm
-  FROM _ing_pq_codes a JOIN cn2 n ON a.sub = n.sub AND a.code = n.code
-  GROUP BY a.vec_id
-),
-adc AS (
-  SELECT l.qid, a.vec_id, CAST(sum(l.pdot) AS BIGINT) AS adot
-  FROM _ing_pq_codes a JOIN lut l ON l.sub = a.sub AND l.code = a.code
-  GROUP BY l.qid, a.vec_id
-),
-cand AS (
-  SELECT qid, vec_id, ra FROM (
-    SELECT d.qid, d.vec_id,
-           ROW_NUMBER() OVER (PARTITION BY d.qid
-             ORDER BY CAST(d.adot AS DOUBLE) / v.vnorm DESC, d.vec_id ASC) AS ra
-    FROM adc d JOIN vn v ON d.vec_id = v.vec_id
-  ) s WHERE ra <= {_CAND}
-),
-qbase AS (
-  SELECT vec_id, embedding, {_norm('spark', 'embedding')} AS norm FROM _ing_batch
-),
-vbase AS (
-  SELECT vec_id, embedding, {_norm('spark', 'embedding')} AS norm FROM embeddings
-),
-scored AS (
-  SELECT c.qid AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_raw
-  FROM cand c
-  JOIN qbase q ON c.qid = q.vec_id
-  JOIN vbase v ON c.vec_id = v.vec_id
-),
-final_rank AS (
-  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
-         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rk
-  FROM scored
-)
-SELECT query_id, neighbor_id, cosine, rk
-FROM final_rank WHERE rk <= {_TOPK}
-ORDER BY query_id, rk
-""".strip()
+        "WITH "
+        + _pq_search_sql(
+            "spark",
+            ex="",  # unused: qex overrides the query relation
+            codes="_ing_pq_codes",
+            cent="_ing_pq_cent",
+            qex=qex,
+            qsrc="_ing_batch",
+            vsrc="embeddings",
+            exclude_self=False,
+        )
     )

@@ -443,6 +443,16 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the {_NEARDUP_PLANES} plane projections per vector three times.
     Materialize ``ex`` once (simhash/minhash barrier pattern); it is
     |aug| x {_DIM} scaled longs — linear in corpus size, spillable."""
+    _nd_ex_index(spark, sf_dir).createOrReplaceTempView("_nd_ex")
+    return spark.sql(f"WITH {_near_dup_tail_sql('spark', '_nd_ex')}")
+
+
+def _nd_ex_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded+bucketed element relation — the ONE builder of the
+    ``nd_ex`` session artifact (shared by embed_near_dup and the batch
+    near-dup screen in plans/embed_ingest.py; a second independent
+    builder would let a format change in one silently poison the
+    other through the shared cache)."""
     register_views(spark, sf_dir)
     cache = session_artifact_cache(spark, "nd_ex")
     key = snapshot_key(sf_dir, "embeddings")
@@ -452,8 +462,7 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=True
         )
         cache[key] = ex
-    ex.createOrReplaceTempView("_nd_ex")
-    return spark.sql(f"WITH {_near_dup_tail_sql('spark', '_nd_ex')}")
+    return ex
 
 
 # ---------------------------------------------------------------------------
@@ -625,6 +634,17 @@ def _train_ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent: 20×64 — all tiny relative to the corpus) and later stages
     read the pinned result, exactly the simhash/minhash barrier
     pattern (k-means in MLlib does the same per iteration)."""
+    ranked, _ = _train_ivf(spark, sf_dir)
+    return ranked
+
+
+def _train_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(ranked, centroids) — both checkpointed and cached under the
+    same snapshot key. Centroids are returned as a FRAME handle, not a
+    view name: the `_ivf_cent` temp view is rebound whenever another
+    snapshot trains in this session, so any consumer that resolves the
+    view later (instead of holding the frame) would silently encode
+    against the wrong quantizer."""
     cache = session_artifact_cache(spark, "ivf_ranked")
     key = snapshot_key(sf_dir, "embeddings")
     hit = cache.get(key)
@@ -637,16 +657,18 @@ def _train_ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         1, spark.sql(f"SELECT count(*) DIV {_IVF_NCENT} FROM embeddings").collect()[0][0]
     )
 
-    def view(df: DataFrame, name: str) -> None:
-        df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+    def view(df: DataFrame, name: str) -> DataFrame:
+        out = df.localCheckpoint(eager=True)
+        out.createOrReplaceTempView(name)
+        return out
 
     view(spark.sql(_ivf_ex_sql("spark")), "_ivf_ex")
-    view(spark.sql(_ivf_cent0_sql("spark", str(step), "_ivf_ex")), "_ivf_cent")
+    cent = view(spark.sql(_ivf_cent0_sql("spark", str(step), "_ivf_ex")), "_ivf_cent")
     for _ in range(_IVF_ITERS):
         # one materialization per Lloyd round: assignment and centroid
         # recompute in a single statement (the asg relation is only
         # ever consumed by the recompute)
-        view(
+        cent = view(
             spark.sql(
                 f"WITH {_ivf_ranked_sql('spark', '_ivf_ex', '_ivf_cent', 'i')},\n"
                 "asgi AS (SELECT vec_id, cid FROM rankedi WHERE rc = 1)\n"
@@ -658,8 +680,8 @@ def _train_ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH {_ivf_ranked_sql('spark', '_ivf_ex', '_ivf_cent', 'f')} "
         "SELECT vec_id, cid, rc FROM rankedf"
     ).localCheckpoint(eager=True)
-    cache[key] = ranked
-    return ranked
+    cache[key] = (ranked, cent)
+    return ranked, cent
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,12 +113,29 @@ def _pq_cent_next_sql(ex: str, codes: str) -> str:
   GROUP BY a.sub, a.code, e.d"""
 
 
-def _pq_search_sql(dialect: str, ex: str, codes: str, cent: str) -> str:
+def _pq_search_sql(
+    dialect: str,
+    ex: str,
+    codes: str,
+    cent: str,
+    qex: str | None = None,
+    qsrc: str = "embeddings",
+    vsrc: str = "embeddings",
+    exclude_self: bool = True,
+) -> str:
     """ADC candidate generation + exact re-rank, given the trained
-    codebook ``cent`` and the encoded corpus ``codes``."""
+    codebook ``cent`` and the encoded corpus ``codes``. ``qex``
+    overrides the query-side exploded relation (default: the
+    %{_QUERY_MOD} slice of ``ex``); ``qsrc``/``vsrc`` name the raw
+    vector relations for the exact re-rank; ``exclude_self`` guards
+    the corpus-internal case where queries are corpus rows. ONE body
+    serves the corpus search, the DuckDB twin, and the batch search
+    (plans/embed_ingest.py) — the scoring math exists exactly once."""
     dot = _dot(dialect, "q.embedding", "v.embedding")
     cos = f"({dot}) / (q.norm * v.norm)"
-    return f"""qex AS (SELECT * FROM {ex} exq WHERE vec_id % {_QUERY_MOD} = 0),
+    qex_sql = qex or f"SELECT * FROM {ex} exq WHERE vec_id % {_QUERY_MOD} = 0"
+    self_guard = "WHERE d.qid <> d.vec_id" if exclude_self else ""
+    return f"""qex AS ({qex_sql}),
 lut AS (
   SELECT q.vec_id AS qid, c.sub, c.code,
          CAST(sum(q.xd * c.md) AS BIGINT) AS pdot
@@ -144,17 +161,20 @@ cand AS (
            ROW_NUMBER() OVER (PARTITION BY d.qid
              ORDER BY CAST(d.adot AS DOUBLE) / v.vnorm DESC, d.vec_id ASC) AS ra
     FROM adc d JOIN vn v ON d.vec_id = v.vec_id
-    WHERE d.qid <> d.vec_id
+    {self_guard}
   ) s WHERE ra <= {_CAND}
 ),
-base AS (
-  SELECT vec_id, embedding, {_norm(dialect, 'embedding')} AS norm FROM embeddings
+qbase AS (
+  SELECT vec_id, embedding, {_norm(dialect, 'embedding')} AS norm FROM {qsrc}
+),
+vbase AS (
+  SELECT vec_id, embedding, {_norm(dialect, 'embedding')} AS norm FROM {vsrc}
 ),
 scored AS (
   SELECT c.qid AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_raw
   FROM cand c
-  JOIN base q ON c.qid = q.vec_id
-  JOIN base v ON c.vec_id = v.vec_id
+  JOIN qbase q ON c.qid = q.vec_id
+  JOIN vbase v ON c.vec_id = v.vec_id
 ),
 final_rank AS (
   SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,

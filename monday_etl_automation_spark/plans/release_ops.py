@@ -42,21 +42,13 @@ from monday_etl_automation_spark.plans.decontam_ops import (
     _BENCH_MOD,
     _HIT_MIN,
     _NGRAM,
-    _PII_PATTERNS,
     _ngram_hash_cte,
-    _rx,
+    scrub_expr,
 )
 from monday_etl_automation_spark.plans.packing_ops import pack_sequences
 from monday_etl_automation_spark.plans.sampling_ops import corpus_splits
 from monday_etl_automation_spark.sources.shard_writer import write_training_shards
 from monday_etl_automation_spark.sources.tables import register_views
-
-
-def _scrub_expr(col: str) -> str:
-    out = f"coalesce({col}, '')"
-    for tag, pat in _PII_PATTERNS.items():
-        out = f"regexp_replace({out}, '{_rx('spark', pat)}', '<{tag.upper()}>')"
-    return out
 
 
 def _contaminated_ids(spark: SparkSession) -> DataFrame:
@@ -111,7 +103,7 @@ def release_training_corpus(
         spark.table("documents")
         .join(released_ids, "doc_id", "left_semi")
         .join(splits, "doc_id")
-        .withColumn("text", F.expr(_scrub_expr("text")))  # ship scrubbed text only
+        .withColumn("text", F.expr(scrub_expr("spark", "text")))  # ship scrubbed text only
         .selectExpr(
             "doc_id",
             "source",
@@ -128,16 +120,17 @@ def release_training_corpus(
         .parquet(f"{out_dir}/released")
     )
 
-    train_ids = released.where("split = 'train'").select("doc_id")
+    # read the just-written parquet back: filtering the lazy `released`
+    # frame would re-execute the scrub/split/join plan over every
+    # document a second time — the written artifact IS the cheap source
+    back = spark.read.parquet(f"{out_dir}/released")
+    train_ids = back.where("split = 'train'").select("doc_id")
     packed = pack_sequences(
         spark, sf_dir, budget=pack_budget, n_shards=n_shards, doc_ids=train_ids
     ).localCheckpoint(eager=True)
     manifest = write_training_shards(
         packed, f"{out_dir}/shards", tokens_per_file=tokens_per_file
     ).localCheckpoint(eager=True)
-
-    # the run report — every counter independently recomputable
-    back = spark.read.parquet(f"{out_dir}/released")
     stage_rows = [
         ("total_docs", spark.table("documents").count()),
         ("kept_after_prep", kept.count()),

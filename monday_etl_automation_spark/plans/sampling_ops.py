@@ -212,9 +212,13 @@ def _quality_floor_sql(dialect: str, keep_ppm: int) -> str:
     tail (the practical form of quality filtering when the mixture is
     chosen separately, cf. mixture_rates).
 
-    Exactness: the keep decision is rn * 1e6 <= keep_ppm * n — pure
-    BIGINT, no float thresholds. One window over (source) — the same
-    single keyed shuffle a groupBy would cost."""
+    Exactness: the keep decision is (rn - 1) * 1e6 < keep_ppm * n —
+    pure BIGINT, no float thresholds, and CEIL semantics: rank 1
+    always passes for any keep_ppm > 0, so a 1-doc source keeps its
+    doc instead of vanishing (the `<=` floor form would delete every
+    source with n < 1/q docs — exactly the failure this operator
+    exists to prevent). One window over (source) — the same single
+    keyed shuffle a groupBy would cost."""
     from monday_etl_automation_spark.plans.corpus_ops import _quality_cte
 
     return f"""
@@ -229,7 +233,7 @@ ranked AS (
 )
 SELECT doc_id, source, quality_score, CAST(rn AS BIGINT) AS quality_rank
 FROM ranked
-WHERE rn * 1000000 <= {keep_ppm} * n
+WHERE (rn - 1) * 1000000 < {keep_ppm} * n
 ORDER BY doc_id
 """.strip()
 

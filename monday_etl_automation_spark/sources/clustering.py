@@ -61,15 +61,23 @@ def zorder_write(
     for c in cols:
         lo, hi = stats[f"_lo_{c}"], stats[f"_hi_{c}"]
         b = f"_zb_{c}"
-        # width_bucket is 1-based and gives max -> 2^bits + 1; clamp
-        # into [0, 2^bits) so every value has exactly {_BITS} bits
-        with_buckets = with_buckets.withColumn(
-            b,
-            F.expr(
-                f"least(CAST({2**_BITS - 1} AS BIGINT),"
-                f" width_bucket(CAST({c} AS DOUBLE), {lo}, {hi}, {2**_BITS}) - 1)"
-            ),
-        )
+        if lo is None or hi is None or lo == hi:
+            # degenerate column (all-NULL or constant): width_bucket
+            # would yield NULL for every row — NULL z-values collapse
+            # the clustering silently (or, for all-NULL stats, break
+            # the SQL). A constant dimension carries no information;
+            # pin its bucket to 0 and let the other columns cluster.
+            with_buckets = with_buckets.withColumn(b, F.lit(0).cast("bigint"))
+        else:
+            # width_bucket is 1-based and gives max -> 2^bits + 1;
+            # clamp into [0, 2^bits) so every value has {_BITS} bits
+            with_buckets = with_buckets.withColumn(
+                b,
+                F.expr(
+                    f"least(CAST({2**_BITS - 1} AS BIGINT),"
+                    f" width_bucket(CAST({c} AS DOUBLE), {lo}, {hi}, {2**_BITS}) - 1)"
+                ),
+            )
         bcols.append(b)
     zed = with_buckets.withColumn("_zval", F.expr(_zvalue_expr(bcols)))
     (

@@ -52,6 +52,11 @@ def write_training_shards(
 ) -> DataFrame:
     """Write ``packed`` (pack_sequences output) as size-targeted
     parquet shard files; returns the manifest DataFrame."""
+    # CLAUDE.md: materialize before self-joins — `assign` is an
+    # aggregate of `packed`, and joining them unmaterialized would
+    # execute the caller's plan twice (for pack_sequences output, that
+    # is the full Python packing UDF, once per join side)
+    packed = packed.localCheckpoint(eager=True)
     assign = plan_shard_files(packed, tokens_per_file)
     rows = packed.join(assign.select("shard", "seq_idx", "file_seq"), ["shard", "seq_idx"])
     # one task per (shard, file_seq) group -> exactly one file per dir

@@ -67,3 +67,19 @@ def test_drift_matches_duckdb_twin(spark, sf_dir, drifted_dir):
     want = sorted(tuple(r) for r in con.execute(source_drift_oracle()).fetchall())
     con.close()
     assert got == want
+
+
+def test_empty_snapshot_alarms_not_nulls(spark, sf_dir, tmp_path):
+    """A snapshot that produced ZERO rows (failed crawl) is the
+    loudest drift there is: every source must surface share_b=0 and
+    delta=share_a — never NULL columns that silence a TVD alarm."""
+    out = str(tmp_path / "empty")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").where("1 = 0").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/documents.parquet")
+    rows = source_drift(spark, sf_dir, out).collect()
+    assert rows
+    for r in rows:
+        assert r.docs_b == 0 and r.tokens_b == 0
+        assert r.share_ppm_b == 0
+        assert r.abs_delta_ppm == r.share_ppm_a is not None

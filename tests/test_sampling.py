@@ -207,11 +207,11 @@ def test_quality_floor_matches_oracle_and_counts(spark, sf_dir):
         r.source: r["count"]
         for r in spark.table("documents").groupBy("source").count().collect()
     }
-    # every source survives with floor(n/2) docs (rn*1e6 <= 5e5*n) —
-    # the floor is per-source, never a global cut deleting weak sources
+    # every source survives with ceil(n/2) docs ((rn-1)*1e6 < 5e5*n) —
+    # ceil, so even a 1-doc source keeps its doc instead of vanishing
     assert set(per_src) == set(totals)
     for s, n in totals.items():
-        assert per_src[s] == n // 2
+        assert per_src[s] == (n + 1) // 2
     # the kept set is the TOP of each source: min kept score per source
     # >= max dropped score is not guaranteed under ties, but ranks are
     # contiguous from 1
