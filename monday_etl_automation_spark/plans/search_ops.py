@@ -64,8 +64,8 @@ _QUERIES: tuple[tuple[str, str], ...] = (
 )
 
 
-def _qterms_sql(dialect: str) -> str:
-    rows = ", ".join(f"('{q}', '{t}')" for q, t in _QUERIES)
+def _qterms_sql(dialect: str, queries: tuple[tuple[str, str], ...] = _QUERIES) -> str:
+    rows = ", ".join(f"('{q}', '{t}')" for q, t in queries)
     if dialect == "spark":
         return f"SELECT * FROM VALUES {rows} AS t(qid, term)"
     return f"SELECT * FROM (VALUES {rows}) AS t(qid, term)"
@@ -91,9 +91,11 @@ def _postings_sql(dialect: str) -> str:
     )
 
 
-def _bm25_tail_sql(dialect: str, rel: str) -> str:
-    """Scoring over a posting-list relation ``rel(doc_id, term, c)``."""
-    return f"""qterms AS ({_qterms_sql(dialect)}),
+def _bm25_tail_sql(dialect: str, rel: str, qterms: str | None = None) -> str:
+    """Scoring over a posting-list relation ``rel(doc_id, term, c)``;
+    ``qterms`` overrides the query-term relation SQL (default: the
+    module's fixed parameter table)."""
+    return f"""qterms AS ({qterms or _qterms_sql(dialect)}),
 dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM {rel} GROUP BY doc_id),
 meta AS (
   SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl
@@ -163,6 +165,33 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     _postings_index(spark, sf_dir).createOrReplaceTempView("_bm25_po")
     return spark.sql(f"WITH {_bm25_tail_sql('spark', '_bm25_po')}")
+
+
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: dict[str, list[str]] | DataFrame,
+) -> DataFrame:
+    """BM25 over CALLER-supplied queries — ``{query_id: [terms]}`` or a
+    (qid, term) DataFrame. The per-row parameter-table shape means any
+    number of queries rides ONE pass over the persisted posting list;
+    terms are lowercased to match the postings' normalization."""
+    register_views(spark, sf_dir)
+    _postings_index(spark, sf_dir).createOrReplaceTempView("_bm25_po")
+    if isinstance(queries, DataFrame):
+        queries.selectExpr("qid", "lower(term) AS term").createOrReplaceTempView(
+            "_bm25_q"
+        )
+    else:
+        pairs = [(q, t.lower()) for q, terms in queries.items() for t in terms]
+        if not pairs:
+            raise ValueError("bm25_search needs at least one (query, term) pair")
+        spark.createDataFrame(pairs, "qid STRING, term STRING").createOrReplaceTempView(
+            "_bm25_q"
+        )
+    return spark.sql(
+        f"WITH {_bm25_tail_sql('spark', '_bm25_po', qterms='SELECT qid, term FROM _bm25_q')}"
+    )
 
 
 # pytest-only twins (registry capped at 50): consumed by tests/test_search.py

@@ -65,3 +65,24 @@ def test_bm25_search_reads_postings_not_corpus(spark, sf_dir):
     _postings_index(spark, sf_dir)  # ensure the index exists
     plan = bm25_topk(spark, sf_dir)._jdf.queryExecution().toString()
     assert "Scan parquet" not in plan, f"bm25 rescans the corpus:\n{plan[:600]}"
+
+
+def test_bm25_search_arbitrary_queries(spark, sf_dir):
+    """Caller-supplied queries must agree exactly with the fixed
+    parameter-table path for the same (qid, term) pairs, and scale to
+    extra queries in the same single pass."""
+    from monday_etl_automation_spark.plans.search_ops import _QUERIES, bm25_search
+
+    fixed: dict[str, list[str]] = {}
+    for q, t in _QUERIES:
+        fixed.setdefault(q, []).append(t)
+    got = sorted(map(tuple, bm25_search(spark, sf_dir, fixed).collect()))
+    want = sorted(map(tuple, bm25_topk(spark, sf_dir).collect()))
+    assert got == want
+    # extra queries ride the same pass; casing is normalized
+    more = dict(fixed, q_extra=["DUP", "Merge"])
+    rows = bm25_search(spark, sf_dir, more).collect()
+    per_q = {r.qid for r in rows}
+    assert per_q == set(more)
+    extra_top = [r for r in rows if r.qid == "q_extra" and r.rk == 1]
+    assert extra_top and extra_top[0].bm25 > 0
