@@ -1,0 +1,284 @@
+"""IVF-PQ: coarse quantizer + product-quantized RESIDUALS
+(SURVEY.md §2.12 — the production ANN composition, cf. FAISS IVFPQ /
+Jégou et al. 2011 §IV).
+
+Flat PQ ranks every vector per query; IVF alone re-ranks whole
+inverted lists with full vectors. IVF-PQ composes them the way a real
+100 TB index does:
+
+- the coarse quantizer (the persisted IVF k-means centroids) routes
+  each vector to an inverted list;
+- the RESIDUAL x - c(x) — much lower variance than x — is
+  product-quantized (16 x 4-dim codebooks, trained once, persisted);
+- a search probes nprobe lists and scores ONLY their members by
+  composite ADC:  approx_dot(q, v) = q·c(v) + q·r̂(v), where q·c is
+  one 20-row lookup and q·r̂ is 16 code lookups — no float math and
+  no full vectors until the exact re-rank of the top-{_CAND};
+- the approximate norm uses the exact expansion
+  ||c + r̂||² = ||c||² + 2 c·r̂ + ||r̂||², all precomputed BIGINT
+  tables (cc2 / cr / rr2), so ranking is deterministic and
+  cross-engine exact.
+
+All arithmetic is 1e6-scaled longs derived from the SAME element
+relation the IVF trainer uses (round(xd_1e8 / 100) — bit-identical in
+both engines), so the DuckDB twin walks the identical centroid AND
+codebook trajectories. Residual bounds: |rd| < 2.4e6, d2 terms
+< 2.4e13, norm sums < 1e15 — inside BIGINT everywhere.
+
+Measured recall@5 vs exact cosine: 0.94 (sf0.01) / 0.83 (sf0.1) at
+nprobe=8, cand=100 — the probed lists cap recall exactly as plain IVF
+(quantization only reorders candidates before the exact re-rank), so
+the recall floor is shared with the IVF path's posture.
+
+Pytest-only (registry capped at 50); twin under tests/test_ivfpq.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from monday_etl_automation_spark.plans.embed_ops import (
+    _IVF_ITERS,
+    _IVF_NCENT,
+    _QUERY_MOD,
+    _TOPK,
+    _dot,
+    _ivf_cent0_sql,
+    _ivf_cent_next_sql,
+    _ivf_ex_sql,
+    _ivf_ranked_sql,
+    _norm,
+    _train_ivf,
+)
+from monday_etl_automation_spark.plans.pq_ops import (
+    _K,
+    _PQ_ITERS,
+    _SUBDIM,
+    _pq_cent0_sql,
+    _pq_cent_next_sql,
+    _pq_codes_sql,
+)
+from monday_etl_automation_spark.sources.tables import (
+    register_views,
+    session_artifact_cache,
+    snapshot_key,
+)
+
+_NPROBE = 8
+_CAND = 100
+
+
+def _e6_sql(dialect: str) -> str:
+    """1e6-grain element relation (vec_id, dim, xd6), derived from the
+    SAME 1e8 floor the IVF trainer uses — round(floor(x*1e8)/100) is
+    NOT always floor(x*1e6), so this must go through the identical
+    expression in both the twin and the executor."""
+    return (
+        f"SELECT vec_id, dim, CAST(round(CAST(xd AS DOUBLE) / 100, 0) AS BIGINT) AS xd6"
+        f" FROM ({_ivf_ex_sql(dialect)}) ivx"
+    )
+
+
+def _rex_sql(dialect: str, e6: str, asg: str, cent: str) -> str:
+    """Residual exploded relation (vec_id, sub, d, xd): element minus
+    the owning centroid's component, reshaped into PQ subspaces."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    return f"""SELECT e.vec_id, CAST(e.dim {idiv} {_SUBDIM} AS INT) AS sub,
+         CAST(e.dim % {_SUBDIM} AS INT) AS d,
+         e.xd6 - c.md AS xd
+  FROM {e6} e JOIN {asg} a ON e.vec_id = a.vec_id
+  JOIN {cent} c ON a.cid = c.cid AND e.dim = c.dim"""
+
+
+def _ivfpq_tail_sql(
+    dialect: str, ranked: str, cent: str, rcb: str, vparts: str, e6: str
+) -> str:
+    """Search CTEs over trained relations: ``ranked(vec_id, cid, rc)``,
+    ``cent(cid, dim, md)``, ``rcb(sub, code, d, md)`` (residual
+    codebooks), ``vparts(vec_id, cid, sub, code)`` (the 8-byte codes +
+    list id per vector), ``e6`` (1e6 elements, for the query side)."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    dot = _dot(dialect, "q.embedding", "v.embedding")
+    cos = f"({dot}) / (q.norm * v.norm)"
+    return f"""qpick AS (
+  SELECT vec_id, cid FROM {ranked}
+  WHERE vec_id % {_QUERY_MOD} = 0 AND rc <= {_NPROBE}
+),
+q6 AS (SELECT vec_id, dim, xd6 FROM {e6} e WHERE vec_id % {_QUERY_MOD} = 0),
+qc AS (
+  SELECT q.vec_id AS qid, c.cid, CAST(sum(q.xd6 * c.md) AS BIGINT) AS dot_qc
+  FROM q6 q JOIN {cent} c ON q.dim = c.dim GROUP BY q.vec_id, c.cid
+),
+lut AS (
+  SELECT q.vec_id AS qid, r.sub, r.code, CAST(sum(q.xd6 * r.md) AS BIGINT) AS pdot
+  FROM q6 q JOIN {rcb} r ON CAST(q.dim {idiv} {_SUBDIM} AS INT) = r.sub
+                         AND CAST(q.dim % {_SUBDIM} AS INT) = r.d
+  GROUP BY q.vec_id, r.sub, r.code
+),
+cc2 AS (SELECT cid, CAST(sum(md * md) AS BIGINT) AS n2 FROM {cent} GROUP BY cid),
+rr2 AS (SELECT sub, code, CAST(sum(md * md) AS BIGINT) AS n2 FROM {rcb} GROUP BY sub, code),
+cr AS (
+  SELECT c.cid, r.sub, r.code, CAST(sum(c.md * r.md) AS BIGINT) AS x
+  FROM {cent} c JOIN {rcb} r ON CAST(c.dim {idiv} {_SUBDIM} AS INT) = r.sub
+                             AND CAST(c.dim % {_SUBDIM} AS INT) = r.d
+  GROUP BY c.cid, r.sub, r.code
+),
+vstats AS (
+  SELECT v.vec_id, v.cid,
+         CAST(sum(rr2.n2) AS BIGINT) AS rr_sum,
+         CAST(sum(cr.x) AS BIGINT) AS cr_sum
+  FROM {vparts} v
+  JOIN rr2 ON v.sub = rr2.sub AND v.code = rr2.code
+  JOIN cr ON v.cid = cr.cid AND v.sub = cr.sub AND v.code = cr.code
+  GROUP BY v.vec_id, v.cid
+),
+vadc AS (
+  SELECT l.qid, v.vec_id, CAST(sum(l.pdot) AS BIGINT) AS radot
+  FROM {vparts} v JOIN lut l ON v.sub = l.sub AND v.code = l.code
+  JOIN qpick p ON l.qid = p.vec_id AND v.cid = p.cid
+  GROUP BY l.qid, v.vec_id
+),
+cand AS (
+  SELECT qid, vec_id, ra FROM (
+    SELECT d2.qid, d2.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY d2.qid ORDER BY
+             CAST(d2.radot + qc.dot_qc AS DOUBLE)
+             / sqrt(CAST(cc2.n2 + 2 * vs.cr_sum + vs.rr_sum AS DOUBLE)) DESC,
+             d2.vec_id ASC) AS ra
+    FROM vadc d2
+    JOIN vstats vs ON d2.vec_id = vs.vec_id
+    JOIN cc2 ON vs.cid = cc2.cid
+    JOIN qc ON d2.qid = qc.qid AND vs.cid = qc.cid
+    WHERE d2.qid <> d2.vec_id
+  ) s WHERE ra <= {_CAND}
+),
+base AS (
+  SELECT vec_id, embedding, {_norm(dialect, 'embedding')} AS norm FROM embeddings
+),
+scored AS (
+  SELECT c.qid AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_raw
+  FROM cand c JOIN base q ON c.qid = q.vec_id JOIN base v ON c.vec_id = v.vec_id
+),
+final_rank AS (
+  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rk
+FROM final_rank WHERE rk <= {_TOPK}
+ORDER BY query_id, rk"""
+
+
+def _ivfpq_sql(dialect: str) -> str:
+    """One-shot twin: IVF training + residual-PQ training + search —
+    the DuckDB oracle (DuckDB materializes repeated CTEs, so the long
+    chain costs nothing extra there)."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    fin = _IVF_ITERS
+    ivf_rounds = ",\n".join(
+        f"""{_ivf_ranked_sql(dialect, 'ex', f'cent{k}', str(k))},
+asg{k} AS (SELECT vec_id, cid FROM ranked{k} WHERE rc = 1),
+cent{k + 1} AS ({_ivf_cent_next_sql('ex', f'asg{k}')})"""
+        for k in range(_IVF_ITERS)
+    )
+    pq_rounds = ",\n".join(
+        f"""{_pq_codes_sql(dialect, 'rex', f'rcent{k}', f'r{k}')},
+rcent{k + 1} AS ({_pq_cent_next_sql('rex', f'codesr{k}')})"""
+        for k in range(_PQ_ITERS)
+    )
+    return f"""
+WITH meta AS (SELECT greatest(1, count(*) {idiv} {_IVF_NCENT}) AS step FROM embeddings),
+ex AS ({_ivf_ex_sql(dialect)}),
+cent0 AS ({_ivf_cent0_sql(dialect, "(SELECT step FROM meta)")}),
+{ivf_rounds},
+{_ivf_ranked_sql(dialect, 'ex', f'cent{fin}', str(fin))},
+asgf AS (SELECT vec_id, cid FROM ranked{fin} WHERE rc = 1),
+e6 AS (SELECT vec_id, dim, CAST(round(CAST(xd AS DOUBLE) / 100, 0) AS BIGINT) AS xd6 FROM ex),
+rex AS ({_rex_sql(dialect, 'e6', 'asgf', f'cent{fin}')}),
+pqmeta AS (SELECT greatest(1, count(*) {idiv} {_K}) AS step FROM embeddings),
+rcent0 AS ({_pq_cent0_sql(dialect, "(SELECT step FROM pqmeta)", "rex")}),
+{pq_rounds},
+{_pq_codes_sql(dialect, 'rex', f'rcent{_PQ_ITERS}', 'rf')},
+rcb AS (SELECT * FROM rcent{_PQ_ITERS}),
+vparts AS (
+  SELECT a.vec_id, a.cid, k.sub, k.code FROM asgf a JOIN codesrf k ON a.vec_id = k.vec_id
+),
+{_ivfpq_tail_sql(dialect, f'ranked{fin}', f'cent{fin}', 'rcb', 'vparts', 'e6')}
+""".strip()
+
+
+def _train_ivfpq(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(ranked, rcb, vparts) — residual codebooks and per-vector codes
+    against the persisted IVF quantizer, memoized per (session, data
+    snapshot). Stepwise localCheckpoints for the usual CTE-inlining
+    reason; all handles are cached FRAMES (never re-resolved temp
+    views — CLAUDE.md view-rebinding rule)."""
+    cache = session_artifact_cache(spark, "ivfpq_index")
+    key = snapshot_key(sf_dir, "embeddings")
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+
+    ranked, cent = _train_ivf(spark, sf_dir)
+    ranked.createOrReplaceTempView("_ipq_ranked")
+    cent.createOrReplaceTempView("_ipq_cent")
+
+    def view(df: DataFrame, name: str) -> DataFrame:
+        out = df.localCheckpoint(eager=True)
+        out.createOrReplaceTempView(name)
+        return out
+
+    view(spark.sql(_e6_sql("spark")), "_ipq_e6")
+    view(
+        spark.sql(
+            "WITH asgf AS (SELECT vec_id, cid FROM _ipq_ranked WHERE rc = 1) "
+            + _rex_sql("spark", "_ipq_e6", "asgf", "_ipq_cent")
+        ),
+        "_ipq_rex",
+    )
+    step = max(1, spark.sql(f"SELECT count(*) DIV {_K} FROM embeddings").collect()[0][0])
+    rcb = view(spark.sql(_pq_cent0_sql("spark", str(step), "_ipq_rex")), "_ipq_rcb")
+    for k in range(_PQ_ITERS):
+        rcb = view(
+            spark.sql(
+                f"WITH {_pq_codes_sql('spark', '_ipq_rex', '_ipq_rcb', f'r{k}')}\n"
+                + _pq_cent_next_sql("_ipq_rex", f"codesr{k}")
+            ),
+            "_ipq_rcb",
+        )
+    vparts = view(
+        spark.sql(
+            f"WITH {_pq_codes_sql('spark', '_ipq_rex', '_ipq_rcb', 'rf')},\n"
+            "asgf AS (SELECT vec_id, cid FROM _ipq_ranked WHERE rc = 1)\n"
+            "SELECT a.vec_id, a.cid, k.sub, k.code"
+            " FROM asgf a JOIN codesrf k ON a.vec_id = k.vec_id"
+        ),
+        "_ipq_vparts",
+    )
+    cache[key] = (ranked, rcb, vparts)
+    return ranked, rcb, vparts
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search against the persisted index: per-query work is the
+    20-row centroid lookup, the 16x16 residual LUT, the probed-list
+    ADC agg, and the exact re-rank — codes and KB-sized tables only."""
+    register_views(spark, sf_dir)
+    ranked, rcb, vparts = _train_ivfpq(spark, sf_dir)
+    ranked.createOrReplaceTempView("_ipq_ranked")
+    rcb.createOrReplaceTempView("_ipq_rcb")
+    vparts.createOrReplaceTempView("_ipq_vparts")
+    _, cent = _train_ivf(spark, sf_dir)
+    cent.createOrReplaceTempView("_ipq_cent")
+    return spark.sql(
+        f"WITH e6x AS ({_e6_sql('spark')}),\n"
+        + _ivfpq_tail_sql("spark", "_ipq_ranked", "_ipq_cent", "_ipq_rcb", "_ipq_vparts", "e6x")
+    )
+
+
+# pytest-only twins (registry capped at 50): consumed by tests/test_ivfpq.py
+PYTEST_QUERIES: dict[str, tuple] = {
+    "ivfpq_topk": (ivfpq_topk, _ivfpq_sql("duckdb")),
+}

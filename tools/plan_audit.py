@@ -81,10 +81,11 @@ def _pytest_only_queries() -> dict:
     """Non-registered operators worth auditing (registry is capped at
     50; these are verified by pytest twins but their plan shapes are
     as scale-relevant as the registered ones)."""
+    from monday_etl_automation_spark.plans.ivfpq_ops import ivfpq_topk
     from monday_etl_automation_spark.plans.pq_ops import pq_topk
     from monday_etl_automation_spark.plans.search_ops import bm25_topk
 
-    return {"pq_topk": pq_topk, "bm25_topk": bm25_topk}
+    return {"pq_topk": pq_topk, "bm25_topk": bm25_topk, "ivfpq_topk": ivfpq_topk}
 
 
 def main() -> int:
