@@ -172,6 +172,43 @@ ORDER BY s.vec_id
     )
 
 
+def ivfpq_encode_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> DataFrame:
+    """(vec_id, cid, sub, code) for the batch against the FROZEN IVF
+    centroids and residual codebooks — the rows an IVF-PQ index
+    maintenance job appends (same layout as the persisted ``vparts``
+    relation). Frozen-quantizer invariant holds here too: a cloned
+    corpus vector encodes to identical (cid, codes)."""
+    from monday_etl_automation_spark.plans.ivfpq_ops import (
+        _e6_sql,
+        _rex_sql,
+        _train_ivfpq,
+    )
+
+    register_views(spark, sf_dir)
+    _, rcb, _ = _train_ivfpq(spark, sf_dir)
+    _, cent = _train_ivf(spark, sf_dir)
+    rcb.createOrReplaceTempView("_ing_ipq_rcb")
+    cent.createOrReplaceTempView("_ing_ipq_cent")
+    basg = (
+        ivf_assign_batch(spark, sf_dir, new_vecs)  # registers _ing_batch
+        .where("rc = 1")
+        .drop("rc")
+        .localCheckpoint(eager=True)
+    )
+    basg.createOrReplaceTempView("_ing_ipq_asg")
+    be6 = _e6_sql("spark").replace("FROM embeddings", "FROM _ing_batch")
+    return spark.sql(
+        f"""
+WITH be6 AS ({be6}),
+brex AS ({_rex_sql('spark', 'be6', '_ing_ipq_asg', '_ing_ipq_cent')}),
+{_pq_codes_sql('spark', 'brex', '_ing_ipq_rcb', 'b')}
+SELECT a.vec_id, a.cid, k.sub, k.code
+FROM _ing_ipq_asg a JOIN codesb k ON a.vec_id = k.vec_id
+ORDER BY a.vec_id, k.sub
+""".strip()
+    )
+
+
 def pq_search_batch(spark: SparkSession, sf_dir: str, queries: DataFrame) -> DataFrame:
     """Top-{_TOPK} corpus neighbors for NEW query vectors: ADC over the
     persisted codes (corpus embeddings untouched) + exact cosine

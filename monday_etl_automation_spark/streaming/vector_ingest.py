@@ -2,11 +2,12 @@
 
 ``VectorIngestSink`` is the vector-side twin of
 ``streaming.pipeline.DedupIngestSink``: a `foreachBatch` consumer that
-takes a stream of (vec_id, embedding, label) rows and keeps the FOUR
+takes a stream of (vec_id, embedding, label) rows and keeps the FIVE
 index tables a similarity-search service reads — the vectors
-themselves, LSH bucket rows, the IVF inverted-list assignment, and PQ
-codes — continuously up to date against the FROZEN quantizers trained
-on the base corpus snapshot (`plans/embed_ingest.py`).
+themselves, LSH bucket rows, the IVF inverted-list assignment, PQ
+codes, and IVF-PQ residual codes — continuously up to date against
+the FROZEN quantizers trained on the base corpus snapshot
+(`plans/embed_ingest.py`).
 
 Exactly-once without a transaction log, same scheme as
 DedupIngestSink: every output is PARTITIONED BY batch_id and written
@@ -42,6 +43,7 @@ from pyspark.sql import functions as F
 from monday_etl_automation_spark.plans.embed_ingest import (
     ann_assign_batch,
     ivf_assign_batch,
+    ivfpq_encode_batch,
     pq_encode_batch,
 )
 
@@ -57,6 +59,7 @@ class VectorIngestSink:
         self.buckets_path = os.path.join(self.base_path, "buckets")
         self.ivf_path = os.path.join(self.base_path, "ivf")
         self.codes_path = os.path.join(self.base_path, "codes")
+        self.ivfpq_path = os.path.join(self.base_path, "ivfpq")
 
     def _ids_before(self, batch_id: int) -> DataFrame:
         if not glob.glob(os.path.join(self.vectors_path, "batch_id=*")):
@@ -89,6 +92,7 @@ class VectorIngestSink:
                 self.ivf_path,
             ),
             (pq_encode_batch(self.spark, self.sf_dir, fresh), self.codes_path),
+            (ivfpq_encode_batch(self.spark, self.sf_dir, fresh), self.ivfpq_path),
         )
         for df, path in outputs:
             (
@@ -116,3 +120,8 @@ class VectorIngestSink:
 
     def codes(self) -> DataFrame:
         return self._read(self.codes_path, "vec_id BIGINT, sub INT, code INT")
+
+    def ivfpq_codes(self) -> DataFrame:
+        return self._read(
+            self.ivfpq_path, "vec_id BIGINT, cid INT, sub INT, code INT"
+        )

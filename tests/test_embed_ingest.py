@@ -185,3 +185,23 @@ SELECT vec_id, sub, code FROM codesb ORDER BY vec_id, sub
     want = sorted(tuple(r) for r in con.execute(twin).fetchall())
     con.close()
     assert got == want
+
+
+def test_ivfpq_frozen_clone_identity(spark, sf_dir, batch):
+    """IVF-PQ extends the frozen-quantizer invariant: a cloned corpus
+    vector gets the identical (cid, sub, code) rows the persisted
+    vparts relation holds for its source."""
+    from monday_etl_automation_spark.plans.embed_ingest import ivfpq_encode_batch
+    from monday_etl_automation_spark.plans.ivfpq_ops import _train_ivfpq
+
+    _, _, vparts = _train_ivfpq(spark, sf_dir)
+    want = sorted(
+        (r.cid, r.sub, r.code) for r in vparts.where(f"vec_id = {_CLONE}").collect()
+    )
+    got = sorted(
+        (r.cid, r.sub, r.code)
+        for r in ivfpq_encode_batch(spark, sf_dir, batch)
+        .where(f"vec_id = {_CLONE + _OFF}")
+        .collect()
+    )
+    assert got == want and len(got) == P._M

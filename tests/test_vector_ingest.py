@@ -113,3 +113,14 @@ def test_dirty_batch_resolves_deterministically(spark, sf_dir, sink):
     )[0]
     got_label = sink.vectors().collect()[0].label
     assert got_label == want_label
+
+
+def test_ivfpq_codes_ride_the_sink(spark, sf_dir, sink):
+    from monday_etl_automation_spark.plans.embed_ingest import ivfpq_encode_batch
+
+    sink.process_batch(_vecs(spark, sf_dir, [1, 2]), 1)
+    sink.process_batch(_vecs(spark, sf_dir, [3]), 2)
+    got = sorted(map(tuple, sink.ivfpq_codes().collect()))
+    union = _vecs(spark, sf_dir, [1, 2, 3])
+    want = sorted(map(tuple, ivfpq_encode_batch(spark, sf_dir, union).collect()))
+    assert got == want and got
