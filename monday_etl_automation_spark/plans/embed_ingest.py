@@ -209,6 +209,50 @@ ORDER BY a.vec_id, k.sub
     )
 
 
+def ivfpq_search_batch(spark: SparkSession, sf_dir: str, queries: DataFrame) -> DataFrame:
+    """IVF-PQ search for NEW query vectors against the persisted
+    index: probe pick = the frozen-centroid ranking ivf_assign_batch
+    already computes, then the shared composite-ADC tail
+    (ivfpq_ops._ivfpq_tail_sql) with the batch as the query side —
+    corpus vectors touched only in the exact re-rank."""
+    from monday_etl_automation_spark.plans.ivfpq_ops import (
+        _NPROBE,
+        _e6_sql,
+        _ivfpq_tail_sql,
+        _train_ivfpq,
+    )
+
+    register_views(spark, sf_dir)
+    _, rcb, vparts = _train_ivfpq(spark, sf_dir)
+    _, cent = _train_ivf(spark, sf_dir)
+    rcb.createOrReplaceTempView("_ing_ipq_rcb")
+    cent.createOrReplaceTempView("_ing_ipq_cent")
+    vparts.createOrReplaceTempView("_ing_ipq_vparts")
+    qpick = (
+        ivf_assign_batch(spark, sf_dir, queries)  # registers _ing_batch
+        .where(f"rc <= {_NPROBE}")
+        .drop("rc")
+        .localCheckpoint(eager=True)
+    )
+    qpick.createOrReplaceTempView("_ing_ipq_qpick")
+    bq6 = _e6_sql("spark").replace("FROM embeddings", "FROM _ing_batch")
+    return spark.sql(
+        "WITH "
+        + _ivfpq_tail_sql(
+            "spark",
+            ranked="_unused_",
+            cent="_ing_ipq_cent",
+            rcb="_ing_ipq_rcb",
+            vparts="_ing_ipq_vparts",
+            e6="_unused_",
+            qpick="SELECT vec_id, cid FROM _ing_ipq_qpick",
+            q6=f"SELECT vec_id, dim, xd6 FROM ({bq6}) b6",
+            qsrc="_ing_batch",
+            exclude_self=False,
+        )
+    )
+
+
 def pq_search_batch(spark: SparkSession, sf_dir: str, queries: DataFrame) -> DataFrame:
     """Top-{_TOPK} corpus neighbors for NEW query vectors: ADC over the
     persisted codes (corpus embeddings untouched) + exact cosine

@@ -91,20 +91,37 @@ def _rex_sql(dialect: str, e6: str, asg: str, cent: str) -> str:
 
 
 def _ivfpq_tail_sql(
-    dialect: str, ranked: str, cent: str, rcb: str, vparts: str, e6: str
+    dialect: str,
+    ranked: str,
+    cent: str,
+    rcb: str,
+    vparts: str,
+    e6: str,
+    qpick: str | None = None,
+    q6: str | None = None,
+    qsrc: str = "embeddings",
+    exclude_self: bool = True,
 ) -> str:
     """Search CTEs over trained relations: ``ranked(vec_id, cid, rc)``,
     ``cent(cid, dim, md)``, ``rcb(sub, code, d, md)`` (residual
     codebooks), ``vparts(vec_id, cid, sub, code)`` (the 8-byte codes +
-    list id per vector), ``e6`` (1e6 elements, for the query side)."""
+    list id per vector), ``e6`` (1e6 elements, for the query side).
+    ``qpick``/``q6``/``qsrc``/``exclude_self`` override the query side
+    for batch (non-corpus) queries — one body serves the corpus
+    search, the twin, and the batch path."""
     idiv = "DIV" if dialect == "spark" else "//"
     dot = _dot(dialect, "q.embedding", "v.embedding")
     cos = f"({dot}) / (q.norm * v.norm)"
-    return f"""qpick AS (
-  SELECT vec_id, cid FROM {ranked}
-  WHERE vec_id % {_QUERY_MOD} = 0 AND rc <= {_NPROBE}
-),
-q6 AS (SELECT vec_id, dim, xd6 FROM {e6} e WHERE vec_id % {_QUERY_MOD} = 0),
+    qpick_sql = qpick or (
+        f"SELECT vec_id, cid FROM {ranked}"
+        f" WHERE vec_id % {_QUERY_MOD} = 0 AND rc <= {_NPROBE}"
+    )
+    q6_sql = q6 or (
+        f"SELECT vec_id, dim, xd6 FROM {e6} e WHERE vec_id % {_QUERY_MOD} = 0"
+    )
+    self_guard = "WHERE d2.qid <> d2.vec_id" if exclude_self else ""
+    return f"""qpick AS ({qpick_sql}),
+q6 AS ({q6_sql}),
 qc AS (
   SELECT q.vec_id AS qid, c.cid, CAST(sum(q.xd6 * c.md) AS BIGINT) AS dot_qc
   FROM q6 q JOIN {cent} c ON q.dim = c.dim GROUP BY q.vec_id, c.cid
@@ -149,15 +166,18 @@ cand AS (
     JOIN vstats vs ON d2.vec_id = vs.vec_id
     JOIN cc2 ON vs.cid = cc2.cid
     JOIN qc ON d2.qid = qc.qid AND vs.cid = qc.cid
-    WHERE d2.qid <> d2.vec_id
+    {self_guard}
   ) s WHERE ra <= {_CAND}
 ),
-base AS (
+qbase AS (
+  SELECT vec_id, embedding, {_norm(dialect, 'embedding')} AS norm FROM {qsrc}
+),
+vbase AS (
   SELECT vec_id, embedding, {_norm(dialect, 'embedding')} AS norm FROM embeddings
 ),
 scored AS (
   SELECT c.qid AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_raw
-  FROM cand c JOIN base q ON c.qid = q.vec_id JOIN base v ON c.vec_id = v.vec_id
+  FROM cand c JOIN qbase q ON c.qid = q.vec_id JOIN vbase v ON c.vec_id = v.vec_id
 ),
 final_rank AS (
   SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,

@@ -205,3 +205,18 @@ def test_ivfpq_frozen_clone_identity(spark, sf_dir, batch):
         .collect()
     )
     assert got == want and len(got) == P._M
+
+
+def test_ivfpq_search_batch_finds_sources(spark, sf_dir, batch):
+    from monday_etl_automation_spark.plans.embed_ingest import ivfpq_search_batch
+
+    rows = ivfpq_search_batch(spark, sf_dir, batch).collect()
+    top1 = {r.query_id: (r.neighbor_id, r.cosine) for r in rows if r.rk == 1}
+    assert top1[_CLONE + _OFF] == (_CLONE, 1.0)
+    nb, cos = top1[_TINY + _OFF]
+    assert nb == _TINY and cos > 0.999
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.query_id] = max(per_q.get(r.query_id, 0), r.rk)
+    assert set(per_q) == {v + _OFF for v in (_CLONE, _PERT, _FRESH, _TINY)}
+    assert all(v == 5 for v in per_q.values())
