@@ -172,12 +172,21 @@ ORDER BY s.vec_id
     )
 
 
-def ivfpq_encode_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> DataFrame:
+def ivfpq_encode_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    new_vecs: DataFrame,
+    asg: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, cid, sub, code) for the batch against the FROZEN IVF
     centroids and residual codebooks — the rows an IVF-PQ index
     maintenance job appends (same layout as the persisted ``vparts``
     relation). Frozen-quantizer invariant holds here too: a cloned
-    corpus vector encodes to identical (cid, codes)."""
+    corpus vector encodes to identical (cid, codes). ``asg`` lets a
+    caller that already computed ivf_assign_batch for this batch
+    (VectorIngestSink does, for its IVF output) pass the (vec_id, cid,
+    rc) frame instead of scoring the batch against the centroids a
+    second time."""
     from monday_etl_automation_spark.plans.ivfpq_ops import (
         _e6_sql,
         _rex_sql,
@@ -189,12 +198,11 @@ def ivfpq_encode_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) ->
     _, cent = _train_ivf(spark, sf_dir)
     rcb.createOrReplaceTempView("_ing_ipq_rcb")
     cent.createOrReplaceTempView("_ing_ipq_cent")
-    basg = (
-        ivf_assign_batch(spark, sf_dir, new_vecs)  # registers _ing_batch
-        .where("rc = 1")
-        .drop("rc")
-        .localCheckpoint(eager=True)
-    )
+    if asg is None:
+        asg = ivf_assign_batch(spark, sf_dir, new_vecs)  # registers _ing_batch
+    else:
+        _batch_view(spark, new_vecs, "_ing_batch")
+    basg = asg.where("rc = 1").drop("rc").localCheckpoint(eager=True)
     basg.createOrReplaceTempView("_ing_ipq_asg")
     be6 = _e6_sql("spark").replace("FROM embeddings", "FROM _ing_batch")
     return spark.sql(

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from monday_etl_automation_spark.sources.tables import (
+    bind_table,
     register_views,
     session_artifact_cache,
     snapshot_key,
@@ -246,6 +247,7 @@ def _ann_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-expanded at every reference (Spark inlines CTEs), costing two
     full projection passes per query. At cluster scale this is the
     index table a (rare) build job maintains alongside the corpus."""
+    bind_table(spark, sf_dir, "embeddings")  # direct-call poisoning guard
     cache = session_artifact_cache(spark, "ann_buckets")
     key = snapshot_key(sf_dir, "embeddings")
     hit = cache.get(key)
@@ -645,6 +647,7 @@ def _train_ivf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     snapshot trains in this session, so any consumer that resolves the
     view later (instead of holding the frame) would silently encode
     against the wrong quantizer."""
+    bind_table(spark, sf_dir, "embeddings")  # direct-call poisoning guard
     cache = session_artifact_cache(spark, "ivf_ranked")
     key = snapshot_key(sf_dir, "embeddings")
     hit = cache.get(key)

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from monday_etl_automation_spark.plans.embed_ops import (
     _IVF_ITERS,
     _IVF_NCENT,
+    _IVF_NPROBE,
     _QUERY_MOD,
     _TOPK,
     _dot,
@@ -59,6 +60,7 @@ from monday_etl_automation_spark.plans.pq_ops import (
     _pq_codes_sql,
 )
 from monday_etl_automation_spark.sources.tables import (
+    bind_table,
     register_views,
     session_artifact_cache,
     snapshot_key,
@@ -67,14 +69,24 @@ from monday_etl_automation_spark.sources.tables import (
 _NPROBE = 8
 _CAND = 100
 
+# the batch search path derives its probe pick from ivf_assign_batch,
+# whose output is truncated at embed_ops._IVF_NPROBE — a larger local
+# probe budget would silently cap at the IVF constant there while the
+# corpus path (full ranking) honored it, diverging recall between the
+# two paths (see ivfpq_search_batch in plans/embed_ingest.py)
+assert _NPROBE <= _IVF_NPROBE, "IVF-PQ nprobe must not exceed the IVF probe set"
+
+# ONE definition of the 1e6 regrain — round(floor(x*1e8)/100) is NOT
+# always floor(x*1e6), so twin and executor must share this expression
+_E6_EXPR = "CAST(round(CAST(xd AS DOUBLE) / 100, 0) AS BIGINT)"
+
 
 def _e6_sql(dialect: str) -> str:
     """1e6-grain element relation (vec_id, dim, xd6), derived from the
-    SAME 1e8 floor the IVF trainer uses — round(floor(x*1e8)/100) is
-    NOT always floor(x*1e6), so this must go through the identical
-    expression in both the twin and the executor."""
+    SAME 1e8 floor the IVF trainer uses (shared _E6_EXPR — identical
+    in the twin and the executor)."""
     return (
-        f"SELECT vec_id, dim, CAST(round(CAST(xd AS DOUBLE) / 100, 0) AS BIGINT) AS xd6"
+        f"SELECT vec_id, dim, {_E6_EXPR} AS xd6"
         f" FROM ({_ivf_ex_sql(dialect)}) ivx"
     )
 
@@ -213,7 +225,7 @@ cent0 AS ({_ivf_cent0_sql(dialect, "(SELECT step FROM meta)")}),
 {ivf_rounds},
 {_ivf_ranked_sql(dialect, 'ex', f'cent{fin}', str(fin))},
 asgf AS (SELECT vec_id, cid FROM ranked{fin} WHERE rc = 1),
-e6 AS (SELECT vec_id, dim, CAST(round(CAST(xd AS DOUBLE) / 100, 0) AS BIGINT) AS xd6 FROM ex),
+e6 AS (SELECT vec_id, dim, {_E6_EXPR} AS xd6 FROM ex),
 rex AS ({_rex_sql(dialect, 'e6', 'asgf', f'cent{fin}')}),
 pqmeta AS (SELECT greatest(1, count(*) {idiv} {_K}) AS step FROM embeddings),
 rcent0 AS ({_pq_cent0_sql(dialect, "(SELECT step FROM pqmeta)", "rex")}),
@@ -235,6 +247,7 @@ def _train_ivfpq(
     snapshot). Stepwise localCheckpoints for the usual CTE-inlining
     reason; all handles are cached FRAMES (never re-resolved temp
     views — CLAUDE.md view-rebinding rule)."""
+    bind_table(spark, sf_dir, "embeddings")  # direct-call poisoning guard
     cache = session_artifact_cache(spark, "ivfpq_index")
     key = snapshot_key(sf_dir, "embeddings")
     hit = cache.get(key)

@@ -42,6 +42,7 @@ from monday_etl_automation_spark.plans.embed_ops import (
     _norm,
 )
 from monday_etl_automation_spark.sources.tables import (
+    bind_table,
     register_views,
     session_artifact_cache,
     snapshot_key,
@@ -216,6 +217,7 @@ def _train_pq(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     Stepwise localCheckpoints for the same reason as the IVF trainer
     (Spark inlines CTEs; an unrolled Lloyd chain re-expands its
     upstream per reference)."""
+    bind_table(spark, sf_dir, "embeddings")  # direct-call poisoning guard
     cache = session_artifact_cache(spark, "pq_index")
     key = snapshot_key(sf_dir, "embeddings")
     hit = cache.get(key)

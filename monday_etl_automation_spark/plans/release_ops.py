@@ -125,9 +125,12 @@ def release_training_corpus(
     # document a second time — the written artifact IS the cheap source
     back = spark.read.parquet(f"{out_dir}/released")
     train_ids = back.where("split = 'train'").select("doc_id")
+    # no caller-side checkpoint: write_training_shards materializes its
+    # input itself (self-join guard) — checkpointing here would store
+    # the packed corpus twice
     packed = pack_sequences(
         spark, sf_dir, budget=pack_budget, n_shards=n_shards, doc_ids=train_ids
-    ).localCheckpoint(eager=True)
+    )
     manifest = write_training_shards(
         packed, f"{out_dir}/shards", tokens_per_file=tokens_per_file
     ).localCheckpoint(eager=True)

@@ -148,10 +148,12 @@ def _postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list relation, built once per (session, data snapshot)
     — the same persistence scheme as the ANN/IVF/dedup indexes."""
     from monday_etl_automation_spark.sources.tables import (
+        bind_table,
         session_artifact_cache,
         snapshot_key,
     )
 
+    bind_table(spark, sf_dir, "documents")  # direct-call poisoning guard
     cache = session_artifact_cache(spark, "bm25_postings")
     key = snapshot_key(sf_dir, "documents")
     hit = cache.get(key)
@@ -183,9 +185,12 @@ def bm25_search(
             "_bm25_q"
         )
     else:
+        # validate PER QUERY: a term-less query would otherwise vanish
+        # from the output silently, indistinguishable from "no hits"
+        empty = sorted(q for q, terms in queries.items() if not terms)
+        if empty or not queries:
+            raise ValueError(f"bm25_search queries without terms: {empty or '(none)'}")
         pairs = [(q, t.lower()) for q, terms in queries.items() for t in terms]
-        if not pairs:
-            raise ValueError("bm25_search needs at least one (query, term) pair")
         spark.createDataFrame(pairs, "qid STRING, term STRING").createOrReplaceTempView(
             "_bm25_q"
         )

@@ -158,6 +158,24 @@ def session_artifact_cache(spark: SparkSession, tag: str) -> dict:
     return cache
 
 
+def bind_table(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Direct-call cache-poisoning guard for snapshot-keyed builders:
+    ensure view ``name`` reflects THIS sf_dir before training/indexing
+    reads it, without requiring the full 10-table registration (a
+    partial snapshot dir — e.g. an embeddings-only fixture — must
+    still work).
+
+    If the session's full view mapping is already bound to sf_dir, the
+    views are right (including deliberate test overrides of a single
+    view, which leave the tag in place — those keep working). Otherwise
+    rebind just this table and DROP the tag: the session now holds a
+    mixed mapping, so the next register_views must not skip."""
+    if getattr(spark, "_mea_views_sf_dir", None) == sf_dir:
+        return
+    load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark._mea_views_sf_dir = None  # noqa: SLF001 (mixed mapping: force re-register)
+
+
 def clear_artifact_caches(spark: SparkSession) -> None:
     """Drop every snapshot-keyed derived artifact (signature indexes,
     ANN buckets, IVF assignments) in this session.

@@ -84,15 +84,20 @@ class VectorIngestSink:
             self._ids_before(batch_id), "vec_id", "left_anti"
         ).localCheckpoint(eager=True)
 
+        # score the batch against the centroids ONCE; the IVF output
+        # and the IVF-PQ residual encode both derive from it
+        asg = ivf_assign_batch(self.spark, self.sf_dir, fresh).localCheckpoint(
+            eager=True
+        )
         outputs = (
             (fresh, self.vectors_path),
             (ann_assign_batch(self.spark, self.sf_dir, fresh), self.buckets_path),
-            (
-                ivf_assign_batch(self.spark, self.sf_dir, fresh).where("rc = 1").drop("rc"),
-                self.ivf_path,
-            ),
+            (asg.where("rc = 1").drop("rc"), self.ivf_path),
             (pq_encode_batch(self.spark, self.sf_dir, fresh), self.codes_path),
-            (ivfpq_encode_batch(self.spark, self.sf_dir, fresh), self.ivfpq_path),
+            (
+                ivfpq_encode_batch(self.spark, self.sf_dir, fresh, asg=asg),
+                self.ivfpq_path,
+            ),
         )
         for df, path in outputs:
             (
