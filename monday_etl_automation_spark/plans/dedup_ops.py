@@ -511,7 +511,11 @@ ORDER BY doc_id
 """.strip()
 
 
-def near_dup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _assign_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-step assignment WITHOUT the final ORDER BY — consumed
+    both by near_dup_assign (which adds the sort) and by the folded
+    near_dup_components entry (where a pre-join sort would only add a
+    useless range exchange)."""
     register_views(spark, sf_dir)
     # reuse the persisted near-pair index (order-free consumer)
     pairs = _near_pairs_index(spark, sf_dir)
@@ -532,9 +536,19 @@ assign AS (
 SELECT doc_id, canonical_id,
        CAST(CASE WHEN canonical_id = doc_id THEN 1 ELSE 0 END AS INT) AS is_kept
 FROM assign
-ORDER BY doc_id
 """.strip()
     )
+
+
+def near_dup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assign_frame(spark, sf_dir).orderBy("doc_id")
+
+
+# standalone twin for the API-level callable (its driver coverage now
+# rides the near_dup_components entry); consumed by tests/test_dedup.py
+PYTEST_QUERIES: dict[str, tuple] = {
+    "near_dup_assign": (near_dup_assign, _assign_sql("duckdb")),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -775,7 +789,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical. If the dup population ever outgrew broadcast size,
     # drop the hint and this becomes a plain shuffle join on doc_id —
     # still one corpus scan.
-    return (
+    comp = (
         spark.table("documents")
         .select("doc_id")
         .join(F.broadcast(labels.withColumnRenamed("label", "_cc")), "doc_id", "left")
@@ -787,11 +801,23 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("is_kept"),
         )
-        .orderBy("doc_id")
     )
+    # near_dup_assign folded in (round 9): the one-step assignment
+    # rides as two extra columns so the driver's 50-entry window
+    # verifies BOTH operators under one registry slot. Same key, same
+    # row count — a doc_id equi-join, nothing more.
+    assign = _assign_frame(spark, sf_dir).selectExpr(
+        "doc_id",
+        "canonical_id AS assign_canonical_id",
+        "is_kept AS assign_is_kept",
+    )
+    return comp.join(assign, "doc_id").orderBy("doc_id")
 
 
 def _components_sql(dialect: str) -> str:
+    """Recursive-CTE fixed point PLUS the folded one-step assignment
+    (near_dup_assign) over the same edge list — five columns matching
+    the Spark entry."""
     pairs = _simhash_pairs_sql(dialect).replace("\nORDER BY doc_id_a, doc_id_b", "")
     return f"""
 WITH RECURSIVE pairs AS ({pairs}),
@@ -805,18 +831,33 @@ reach AS (
   UNION
   SELECT e.src AS doc_id, reach.r
   FROM edges e JOIN reach ON reach.doc_id = e.dst
+),
+comp AS (
+  SELECT doc_id, min(r) AS canonical_id,
+         CAST(CASE WHEN min(r) = doc_id THEN 1 ELSE 0 END AS INT) AS is_kept
+  FROM reach
+  GROUP BY doc_id
+),
+asg AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(min(e.dst), d.doc_id)) AS assign_canonical_id
+  FROM documents d LEFT JOIN edges e ON d.doc_id = e.src
+  GROUP BY d.doc_id
 )
-SELECT doc_id, min(r) AS canonical_id,
-       CAST(CASE WHEN min(r) = doc_id THEN 1 ELSE 0 END AS INT) AS is_kept
-FROM reach
-GROUP BY doc_id
-ORDER BY doc_id
+SELECT c.doc_id, c.canonical_id, c.is_kept,
+       a.assign_canonical_id,
+       CAST(CASE WHEN a.assign_canonical_id = a.doc_id THEN 1 ELSE 0 END AS INT) AS assign_is_kept
+FROM comp c JOIN asg a ON c.doc_id = a.doc_id
+ORDER BY c.doc_id
 """.strip()
 
 
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, _dedup_exact_sql("duckdb")),
-    "near_dup_assign": (near_dup_assign, _assign_sql("duckdb")),
+    # near_dup_assign is FOLDED into near_dup_components (round 9):
+    # its columns ride that entry so the freed slot holds vector_extra
+    # under the driver's 50-entry window. The standalone callable and
+    # its oracle stay for the API and tests/test_dedup.py.
     "near_dup_components": (near_dup_components, _components_sql("duckdb")),
     "dedup_fingerprints": (dedup_fingerprints, _fingerprints_sql("duckdb")),
     "minhash_lsh_candidates": (minhash_lsh_candidates, _lsh_sql("duckdb")),

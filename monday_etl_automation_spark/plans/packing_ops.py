@@ -58,12 +58,16 @@ def pack_sequences(
     chunk_size: int = 64,
     overlap: int = 16,
     doc_ids: DataFrame | None = None,
+    counter: str = "ws",
 ) -> DataFrame:
     """Assign every chunk to a (shard, seq_idx) training sequence whose
     token total never exceeds ``budget``. ``doc_ids`` (a one-column
     doc_id frame) restricts packing to those documents — the release
-    pipeline packs only the released train split."""
-    chunks = chunk_documents(spark, sf_dir, chunk_size, overlap).select(
+    pipeline packs only the released train split. ``counter='bpe'``
+    budgets on REAL frozen-merges BPE counts (functions/bpe.py) — what
+    a model's context window actually measures; size the budget for
+    subword counts (a chunk's BPE count is >= its word count)."""
+    chunks = chunk_documents(spark, sf_dir, chunk_size, overlap, counter).select(
         "doc_id", "chunk_idx", "n_chunk_tokens"
     )
     if doc_ids is not None:

@@ -51,6 +51,7 @@ def _load_all() -> None:
         relational,
         relational_extra,
         text_ops,
+        vector_extra,
         windows_ops,
     )
 
@@ -59,7 +60,7 @@ def _load_all() -> None:
     # queries: keep the registry at <=50 entries (guarded by
     # tests/test_queries.py) and register the historically at-risk
     # families (binary/media/temporal/streaming) early.
-    for mod in (binary_ops, media_ops, advanced_joins, windows_ops, dedup_ops, embed_ops, text_ops, monday_ops, relational, relational_extra):
+    for mod in (binary_ops, media_ops, advanced_joins, windows_ops, dedup_ops, embed_ops, vector_extra, text_ops, monday_ops, relational, relational_extra):
         for name, (fn, oracle) in mod.QUERIES.items():
             register(name, fn, oracle)
     _LOADED = True

@@ -16,26 +16,35 @@ relation is the posting list you'd materialize once per corpus
 snapshot and the per-query work is a broadcast-join + hash agg.
 
 Cross-engine exactness (the tfidf lesson, `text_ops.py:234`): no
-``ln`` — libm last-ulp drift across engines would flake the strict
-hash compare. Instead:
+``ln`` — libm log is not correctly rounded, so last-ulp drift across
+engines would flake the strict hash compare. Round 9 replaced the
+earlier rational-idf variant (which measurably misordered — and at
+sf0.01+ changed the top-10 SET of — the mixed-idf ``q_dup_scan``
+query vs true log-BM25) with an EXACT fixed-point logarithm:
 
-- idf is the RATIONAL Robertson–Spärck-Jones core
-  (N - df + 0.5) / (df + 0.5) = (2N - 2df + 1) / (2df + 1) — the
-  argument of Lucene's ``ln(1 + ...)``, monotone in it, so rankings
-  agree with log-BM25 whenever per-term scores aren't summed across
-  terms with wildly different idf magnitudes (documented variant).
-- the tf saturation term is cleared of floats by multiplying through
-  by 10·S (S = corpus token count):
+- idf is computed in **log2 units**: Lucene's
+  ln(1 + (N-df+0.5)/(df+0.5)) = ln((2N+2)/(2df+1)); ranking under a
+  positive global factor is invariant, so scoring by
+  log2((2N+2)/(2df+1)) ranks identically to ln-BM25. log2 of the
+  rational is evaluated by the classic shift-and-square algorithm in
+  1e9 fixed point — pure BIGINT ops (compare / integer-divide /
+  multiply), bit-identical in both engines, max abs error < 1e-6
+  (micros-exact; 24 fraction bits). The chain runs on the df
+  relation: one row per query term, so its cost is nil.
+- the tf saturation term stays the exact rational cleared of floats:
   tf·(k1+1) / (tf + k1·(1-b+b·dl·N/S))
     = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)  — all BIGINT.
-- each per-term score is ONE double division of two exact BIGINTs,
-  scaled to micros and floored (floor semantics identical in both
-  engines), and the per-(query, doc) total is a BIGINT sum — exact
-  and order-insensitive, so the strict value compare holds.
+- each per-term score is idf2_micro (BIGINT) times ONE double
+  division of two exact BIGINTs, floored (IEEE division and floor
+  are identical in both engines), and the per-(query, doc) total is
+  a BIGINT sum — exact and order-insensitive, so the strict value
+  compare holds. tests/test_search.py pins rank agreement against a
+  double-precision ln-BM25 shadow scorer.
 
-Bounds (sf0.1): numerator (2N+1)·22·tf·S < 1e12, denominator < 1e11 —
-far inside BIGINT; at petabyte scale the micros-quantized sum still
-fits (score_micro < ~1e13 per term pair).
+Bounds (sf0.1): idf2_micro < 2e7 (log2(2N+2) µ); 22·tf·S < 1e12 and
+the divisor < 1e11 — the double product stays < 1e9 and every BIGINT
+far inside range. The log2 chain's intermediates: m ≤ 2e9, m·m ≤
+4e18 < 2^63; m0 = (2N+2)·1e9 overflows only past N ≈ 4.6e9 docs.
 
 Pytest-only (driver registry capped at 50 per CLAUDE.md); the DuckDB
 twin runs under tests/oracle_compare.assert_matches_oracle.
@@ -91,6 +100,61 @@ def _postings_sql(dialect: str) -> str:
     )
 
 
+_LOG2_FRAC_BITS = 24  # fraction bits: 2^-24 < 1e-7 log2 units, micros-exact
+
+
+def _idf2_ctes(dialect: str) -> str:
+    """CTE chain computing ``idf2(term, idf2)`` — idf2 =
+    floor(log2((2N+2)/(2df+1)) * 1e6) — from the ``df`` and ``meta``
+    relations by pure-integer shift-and-square: normalize
+    m = r·1e9 into [1e9, 2e9) collecting the integer part k, then
+    {_LOG2_FRAC_BITS} squaring steps each yield one fraction bit.
+    Comparisons, integer division, and multiplication only — the two
+    engines walk bit-identical states. One row per query term."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    steps = [
+        f"""lg0 AS (
+  SELECT f.term, CAST((2 * m.n + 2) * 1000000000 AS BIGINT) {idiv} (2 * f.df + 1) AS m,
+         CAST(0 AS BIGINT) AS k
+  FROM df f CROSS JOIN meta m
+)"""
+    ]
+    prev = "lg0"
+    for i, j in enumerate((32, 16, 8, 4, 2, 1)):
+        name = f"lgk{i}"
+        p2 = 1 << j
+        # single pre-multiplied literal: DuckDB types small literals
+        # INT32, so `65536 * 1000000000` would overflow at the parser
+        thr = p2 * 10**9
+        steps.append(
+            f"""{name} AS (
+  SELECT term, CASE WHEN m >= {thr} THEN m {idiv} {p2} ELSE m END AS m,
+         k + CASE WHEN m >= {thr} THEN {j} ELSE 0 END AS k
+  FROM {prev}
+)"""
+        )
+        prev = name
+    steps.append(f"lgs0 AS (SELECT term, m, k, CAST(0 AS BIGINT) AS acc FROM {prev})")
+    prev = "lgs0"
+    for i in range(_LOG2_FRAC_BITS):
+        name = f"lgs{i + 1}"
+        steps.append(
+            f"""{name} AS (
+  SELECT term, CASE WHEN m2 >= 2000000000 THEN m2 {idiv} 2 ELSE m2 END AS m, k,
+         acc * 2 + CASE WHEN m2 >= 2000000000 THEN 1 ELSE 0 END AS acc
+  FROM (SELECT term, (m * m) {idiv} 1000000000 AS m2, k, acc FROM {prev}) s{i}
+)"""
+        )
+        prev = name
+    steps.append(
+        f"""idf2 AS (
+  SELECT term, k * 1000000 + (acc * 1000000) {idiv} {1 << _LOG2_FRAC_BITS} AS idf2
+  FROM {prev}
+)"""
+    )
+    return ",\n".join(steps)
+
+
 def _bm25_tail_sql(dialect: str, rel: str, qterms: str | None = None) -> str:
     """Scoring over a posting-list relation ``rel(doc_id, term, c)``;
     ``qterms`` overrides the query-term relation SQL (default: the
@@ -105,16 +169,17 @@ tf AS (
   FROM {rel} e JOIN (SELECT DISTINCT term FROM qterms) qt ON e.term = qt.term
 ),
 df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+{_idf2_ctes(dialect)},
 scored_terms AS (
   SELECT q.qid, t.doc_id,
          CAST(floor(
-           CAST((2 * m.n - 2 * f.df + 1) * 22 * t.tf * m.s AS DOUBLE)
-           / CAST((2 * f.df + 1) * (10 * t.tf * m.s + 3 * m.s + 9 * d.dl * m.n) AS DOUBLE)
-           * 1000000
+           CAST(i.idf2 AS DOUBLE)
+           * (CAST(22 * t.tf * m.s AS DOUBLE)
+              / CAST(10 * t.tf * m.s + 3 * m.s + 9 * d.dl * m.n AS DOUBLE))
          ) AS BIGINT) AS st
   FROM qterms q
   JOIN tf t ON t.term = q.term
-  JOIN df f ON f.term = q.term
+  JOIN idf2 i ON i.term = q.term
   JOIN dl d ON d.doc_id = t.doc_id
   CROSS JOIN meta m
 ),

@@ -148,32 +148,47 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# token_count_bpe — BPE-ish regex token counting
+# token_count_bpe — REAL frozen-merges BPE (functions/bpe.py; round 9
+# replaced the earlier "BPE-ish" regex). The regex count stays as a
+# third column: the two counts disagreeing is itself a useful signal
+# (regex counts alnum runs + symbols; BPE counts subword units).
 # ---------------------------------------------------------------------------
+
+
+def _token_count_sql(dialect: str) -> str:
+    from monday_etl_automation_spark.functions.bpe import (
+        bpe_count_from_units_expr,
+        bpe_unit_string_expr,
+    )
+
+    spark = dialect == "spark"
+    toks = _SPARK_TOKS if spark else _DUCK_TOKS
+    regex_cnt = (
+        f"size(regexp_extract_all(coalesce(text, ''), '{_BPE_RE_SPARK}', 0))"
+        if spark
+        else f"CAST(len(regexp_extract_all(coalesce(text, ''), '{_BPE_RE_DUCK}', 0)) AS INT)"
+    )
+    ws_cnt = f"size({toks})" if spark else f"CAST(len({toks}) AS INT)"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {bpe_unit_string_expr(dialect, 'text')} AS bpe_u FROM documents
+)
+SELECT
+  doc_id,
+  {bpe_count_from_units_expr(dialect, 'bpe_u')} AS n_bpe_tokens,
+  {regex_cnt} AS n_regex_tokens,
+  {ws_cnt} AS n_ws_tokens
+FROM t
+ORDER BY doc_id
+""".strip()
 
 
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(
-        f"""
-SELECT
-  doc_id,
-  size(regexp_extract_all(coalesce(text, ''), '{_BPE_RE_SPARK}', 0)) AS n_bpe_tokens,
-  size(split(trim(coalesce(text, '')), '\\\\s+')) AS n_ws_tokens
-FROM documents
-ORDER BY doc_id
-""".strip()
-    )
+    return spark.sql(_token_count_sql("spark"))
 
 
-TOKEN_COUNT_ORACLE = f"""
-SELECT
-  doc_id,
-  CAST(len(regexp_extract_all(coalesce(text, ''), '{_BPE_RE_DUCK}', 0)) AS INT) AS n_bpe_tokens,
-  CAST(len({_DUCK_TOKS}) AS INT) AS n_ws_tokens
-FROM documents
-ORDER BY doc_id
-""".strip()
+TOKEN_COUNT_ORACLE = _token_count_sql("duckdb")
 
 
 # ---------------------------------------------------------------------------
@@ -292,15 +307,20 @@ def _text_profile_sql(dialect: str) -> str:
         rates_ctes,
     )
 
+    from monday_etl_automation_spark.functions.bpe import (
+        bpe_count_from_units_expr,
+        bpe_unit_string_expr,
+    )
+
     spark = dialect == "spark"
     toks = _SPARK_TOKS if spark else _DUCK_TOKS
     mix_gate = _SPARK_GATE if spark else _DUCK_GATE
     stop_list = ", ".join(f"'{w}'" for w in _STOP_EN)
-    bpe = (
-        f"size(regexp_extract_all(coalesce(text, ''), '{_BPE_RE_SPARK}', 0))"
-        if spark
-        else f"CAST(len(regexp_extract_all(coalesce(text, ''), '{_BPE_RE_DUCK}', 0)) AS INT)"
-    )
+    # REAL frozen-merges BPE (round 9; was a "BPE-ish" regex count):
+    # the unit string materializes once per row in CTE t, the count is
+    # pure length arithmetic on it
+    bpe = bpe_count_from_units_expr(dialect, "bpe_u")
+    bpe_u = bpe_unit_string_expr(dialect, "text")
     if spark:
         shingles = (
             "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3),"
@@ -327,7 +347,9 @@ def _text_profile_sql(dialect: str) -> str:
         n_dist = "CAST(len(list_distinct(toks)) AS INT)"
     return f"""
 WITH t AS (
-  SELECT doc_id, lang, source, n_chars, text, {toks} AS toks FROM documents
+  SELECT doc_id, lang, source, n_chars, text, {toks} AS toks,
+         {bpe_u} AS bpe_u
+  FROM documents
 ),
 s AS (
   SELECT
@@ -380,11 +402,16 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _chunk_sql(dialect: str, size: int, overlap: int) -> str:
+def _chunk_sql(dialect: str, size: int, overlap: int, counter: str = "ws") -> str:
+    """``counter='ws'``: n_chunk_tokens = whitespace token count (the
+    window arithmetic, free). ``counter='bpe'``: n_chunk_tokens = REAL
+    frozen-merges BPE count of the chunk text (functions/bpe.py) —
+    what a training pipeline's packing budget actually means. Both are
+    row-local; the BPE variant adds the expression chain per chunk."""
     stride = size - overlap
     if dialect == "spark":
         # slice() is 1-indexed; sequence gives chunk starts 0, stride, ...
-        return f"""
+        head = f"""
 WITH t AS (
   SELECT doc_id, {_SPARK_TOKS} AS toks FROM documents
 ),
@@ -396,16 +423,17 @@ c AS (
     doc_id, toks, n_tokens,
     explode(sequence(0, CAST(greatest(ceil((n_tokens - {overlap}) / {stride}.0) - 1, 0) AS INT))) AS chunk_idx
   FROM n WHERE n_tokens > 0
-)
-SELECT
-  doc_id,
-  CAST(chunk_idx AS BIGINT) AS chunk_idx,
-  array_join(slice(toks, chunk_idx * {stride} + 1, {size}), ' ') AS chunk_text,
-  CAST(least(n_tokens - chunk_idx * {stride}, {size}) AS BIGINT) AS n_chunk_tokens
-FROM c
-ORDER BY doc_id, chunk_idx
-"""
-    return f"""
+),
+ch AS (
+  SELECT
+    doc_id,
+    CAST(chunk_idx AS BIGINT) AS chunk_idx,
+    array_join(slice(toks, chunk_idx * {stride} + 1, {size}), ' ') AS chunk_text,
+    CAST(least(n_tokens - chunk_idx * {stride}, {size}) AS BIGINT) AS n_ws_chunk_tokens
+  FROM c
+)"""
+    else:
+        head = f"""
 WITH t AS (
   SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
 ),
@@ -417,24 +445,52 @@ c AS (
     doc_id, toks, n_tokens,
     unnest(generate_series(0, CAST(greatest(ceil((n_tokens - {overlap}) / {stride}.0) - 1, 0) AS INT))) AS chunk_idx
   FROM n WHERE n_tokens > 0
+),
+ch AS (
+  SELECT
+    doc_id,
+    CAST(chunk_idx AS BIGINT) AS chunk_idx,
+    array_to_string(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {size}], ' ') AS chunk_text,
+    CAST(least(n_tokens - chunk_idx * {stride}, {size}) AS BIGINT) AS n_ws_chunk_tokens
+  FROM c
+)"""
+    if counter == "bpe":
+        from monday_etl_automation_spark.functions.bpe import (
+            bpe_count_from_units_expr,
+            bpe_unit_string_expr,
+        )
+
+        return f"""{head.strip()},
+b AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         {bpe_unit_string_expr(dialect, 'chunk_text')} AS bpe_u
+  FROM ch
 )
-SELECT
-  doc_id,
-  CAST(chunk_idx AS BIGINT) AS chunk_idx,
-  array_to_string(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {size}], ' ') AS chunk_text,
-  CAST(least(n_tokens - chunk_idx * {stride}, {size}) AS BIGINT) AS n_chunk_tokens
-FROM c
+SELECT doc_id, chunk_idx, chunk_text,
+       {bpe_count_from_units_expr(dialect, 'bpe_u')} AS n_chunk_tokens
+FROM b
+ORDER BY doc_id, chunk_idx
+"""
+    return f"""{head.strip()}
+SELECT doc_id, chunk_idx, chunk_text, n_ws_chunk_tokens AS n_chunk_tokens
+FROM ch
 ORDER BY doc_id, chunk_idx
 """
 
 
-def chunk_documents(spark: SparkSession, sf_dir: str, size: int = 64, overlap: int = 16) -> DataFrame:
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    size: int = 64,
+    overlap: int = 16,
+    counter: str = "ws",
+) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(_chunk_sql("spark", size, overlap))
+    return spark.sql(_chunk_sql("spark", size, overlap, counter))
 
 
-def chunk_oracle(size: int = 64, overlap: int = 16) -> str:
-    return _chunk_sql("duckdb", size, overlap)
+def chunk_oracle(size: int = 64, overlap: int = 16, counter: str = "ws") -> str:
+    return _chunk_sql("duckdb", size, overlap, counter)
 
 
 # ---------------------------------------------------------------------------

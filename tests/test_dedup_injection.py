@@ -163,3 +163,15 @@ def test_local_and_distributed_components_agree(spark):
     l = {r.doc_id: r.label for r in local.collect()}
     d = {r.doc_id: r.label for r in dist.collect()}
     assert l == d
+
+
+def test_near_dup_assign_standalone_twin(spark, sf_dir):
+    """near_dup_assign's driver coverage now rides the folded
+    near_dup_components entry (round 9); the standalone callable keeps
+    its own DuckDB twin here so an API-level regression can't hide
+    behind the fold."""
+    from monday_etl_automation_spark.plans.dedup_ops import PYTEST_QUERIES
+    from tests.oracle_compare import assert_matches_oracle
+
+    fn, oracle = PYTEST_QUERIES["near_dup_assign"]
+    assert_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)

@@ -33,11 +33,11 @@ def test_ivfpq_recall_floor(spark):
     hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
     total = sum(len(nbrs) for nbrs in exact.values())
     rec = hits / total
-    # measured 0.94 (sf0.01) / 0.83 (sf0.1): the probed lists bound
-    # recall exactly as plain IVF — residual quantization only
-    # reorders candidates before the exact re-rank. Floor 0.75 leaves
-    # redraw headroom under the tighter sf0.1 measurement.
-    assert rec >= 0.75, f"IVF-PQ recall {rec:.3f} below design floor"
+    # measured 0.960 (sf0.01) / 0.935 (sf0.1) at nprobe=12, cand=200
+    # (round 9): the probed lists bound recall exactly as plain IVF —
+    # residual quantization only reorders candidates before the exact
+    # re-rank. Floor 0.80 now matches the LSH/IVF/PQ paths.
+    assert rec >= 0.80, f"IVF-PQ recall {rec:.3f} below design floor"
 
 
 def test_ivfpq_index_is_compact(spark, sf_dir):

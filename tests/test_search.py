@@ -86,3 +86,70 @@ def test_bm25_search_arbitrary_queries(spark, sf_dir):
     assert per_q == set(more)
     extra_top = [r for r in rows if r.qid == "q_extra" and r.rk == 1]
     assert extra_top and extra_top[0].bm25 > 0
+
+
+def test_bm25_matches_log_bm25_shadow(spark):
+    """The r8 verdict's fidelity ask: pin the registered scorer against
+    TRUE log-BM25. The shadow scorer computes Lucene-form
+    ln(1 + (N-df+0.5)/(df+0.5)) idf in double precision; the
+    registered scorer uses the exact fixed-point log2 idf (a positive
+    global factor of ln2 — rank-invariant). Asserts identical top-k
+    ordering wherever the shadow scores are not ties; within a shadow
+    tie group the doc sets must still agree."""
+    import duckdb
+
+    from monday_etl_automation_spark.plans.search_ops import (
+        _bm25_sql,
+        _postings_sql,
+        _qterms_sql,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        got = con.execute(_bm25_sql("duckdb")).fetchall()
+        shadow_sql = f"""
+WITH po AS ({_postings_sql("duckdb")}),
+qterms AS ({_qterms_sql("duckdb")}),
+dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM po GROUP BY doc_id),
+meta AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl),
+tf AS (SELECT e.doc_id, e.term, CAST(e.c AS BIGINT) AS tf
+  FROM po e JOIN (SELECT DISTINCT term FROM qterms) qt ON e.term = qt.term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored_terms AS (
+  SELECT q.qid, t.doc_id,
+    ln(1 + (CAST(m.n AS DOUBLE) - f.df + 0.5) / (f.df + 0.5))
+    * (t.tf * 2.2)
+    / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * m.n / CAST(m.s AS DOUBLE))) AS st
+  FROM qterms q JOIN tf t ON t.term = q.term JOIN df f ON f.term = q.term
+  JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN meta m),
+agg AS (SELECT qid, doc_id, sum(st) AS score FROM scored_terms GROUP BY qid, doc_id),
+ranked AS (SELECT qid, doc_id, score,
+  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk FROM agg)
+SELECT qid, doc_id, score, rk FROM ranked WHERE rk <= {_TOPK} ORDER BY qid, rk
+"""
+        shadow = con.execute(shadow_sql).fetchall()
+        con.close()
+        got_by_q: dict[str, list[int]] = {}
+        for qid, doc, _s, rk in got:
+            got_by_q.setdefault(qid, []).append(doc)
+        sh_by_q: dict[str, list[tuple[int, float]]] = {}
+        for qid, doc, s, rk in shadow:
+            sh_by_q.setdefault(qid, []).append((doc, s))
+        assert set(got_by_q) == set(sh_by_q)
+        for qid, sh in sh_by_q.items():
+            docs = got_by_q[qid]
+            assert len(docs) == len(sh)
+            # identical order except inside shadow-score tie groups
+            i = 0
+            while i < len(sh):
+                j = i
+                while j + 1 < len(sh) and abs(sh[j + 1][1] - sh[i][1]) < 1e-9:
+                    j += 1
+                assert set(docs[i : j + 1]) == {d for d, _ in sh[i : j + 1]}, (
+                    f"{sf} {qid}: rank block {i}..{j} diverges from log-BM25:"
+                    f" got {docs[i:j + 1]} want {[d for d, _ in sh[i:j + 1]]}"
+                )
+                i = j + 1
