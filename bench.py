@@ -6,10 +6,10 @@ Prints ONE JSON line:
 Methodology (steady-state, like a long-lived cluster):
 - warmup 1: every query once at sf0.001 — JVM/codegen JIT, Python
   worker spin-up, parquet footer caches.
-- timed runs: two full INTERLEAVED passes over all queries at the
+- timed runs: three full INTERLEAVED passes over all queries at the
   bench SF with the `noop` sink (full distributed execution, no
   driver-side row deserialization); per-query time is the min of its
-  two runs. The host exhibits intermittent 30-80s stall windows
+  three runs. The host exhibits intermittent 30-80s stall windows
   (hypervisor/IO noise, observed on identical plans at idle);
   interleaving spreads a stall across DIFFERENT queries in each pass
   so min() picks the clean run — consecutive per-query runs would put
@@ -17,6 +17,11 @@ Methodology (steady-state, like a long-lived cluster):
   eviction (which once argued for consecutive runs: a 10x-inflated
   q1) is fixed at the root via spark.sql.codegen.cache.maxEntries in
   session.py.
+- per-query SPREAD (max - min across the passes) goes to stderr as a
+  second JSON line (r8 verdict item 9): cross-round comparisons can
+  separate real regressions from host noise without manual
+  reconciliation — a query whose spread rivals its min was stalled in
+  some pass, and its cross-round delta is noise until re-measured.
 """
 
 from __future__ import annotations
@@ -80,8 +85,8 @@ def main() -> int:
         except Exception:
             pass
 
-    times: dict[str, float] = {}
-    for _pass in range(2):
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _pass in range(3):
         try:
             spark.sparkContext._jvm.System.gc()  # noqa: SLF001
         except Exception:
@@ -90,13 +95,15 @@ def main() -> int:
             t0 = time.time()
             try:
                 run(name, sf_dir)
-                dt = time.time() - t0
+                samples[name].append(time.time() - t0)
             except Exception as ex:  # noqa: BLE001
                 print(f"# bench error {name}: {type(ex).__name__}: {str(ex)[:200]}", file=sys.stderr)
-                dt = float("nan")
-            prev = times.get(name)
-            if prev is None or (dt == dt and (prev != prev or dt < prev)):
-                times[name] = round(dt, 3)
+    times = {n: round(min(s), 3) for n, s in samples.items() if s}
+    for n in names:
+        if not samples[n]:
+            times[n] = float("nan")
+    spread = {n: round(max(s) - min(s), 3) for n, s in samples.items() if s}
+    print(json.dumps({"spread": spread}), file=sys.stderr)
     total = sum(v for v in times.values() if v == v)
     total = round(total, 3)
 

@@ -141,3 +141,36 @@ def bpe_tokens_py(text: str | None) -> list[str]:
 
 def bpe_token_count_py(text: str | None) -> int:
     return len(bpe_tokens_py(text))
+
+
+def bpe_vocab() -> tuple[str, ...]:
+    """The deterministic vocabulary induced by the frozen merges: the
+    36 base characters in lexical order, then one product per merge in
+    rank order. Every unit the tokenizer can emit is in this tuple
+    (base chars cover any unmerged character; products cover every
+    merge), so id lookup never misses. Ids are 1-based positions —
+    array_position/list_position semantics shared by both engines."""
+    base = tuple("0123456789abcdefghijklmnopqrstuvwxyz")
+    return base + tuple(a + b for a, b in _MERGES)
+
+
+def bpe_token_ids_expr(dialect: str, unit_col: str) -> str:
+    """SQL expression: a ``bpe_unit_string_expr`` COLUMN -> ARRAY of
+    1-based BIGINT token ids (boundary units dropped). The vocab rides
+    the expression as an array literal — the broadcast-merges-table
+    posture, same as the merge chain itself."""
+    vocab = ", ".join(f"'{u}'" for u in bpe_vocab())
+    if dialect == "spark":
+        units = f"filter(split(trim(BOTH '{_MARK}' FROM {unit_col}), '{_MARK}{_MARK}'), t -> t <> '{_BOUNDARY}' AND t <> '')"
+        return f"transform({units}, t -> array_position(array({vocab}), t))"
+    units = (
+        f"list_filter(string_split(trim({unit_col}, '{_MARK}'), '{_MARK}{_MARK}'),"
+        f" t -> t <> '{_BOUNDARY}' AND t <> '')"
+    )
+    return f"list_transform({units}, t -> CAST(list_position([{vocab}], t) AS BIGINT))"
+
+
+def bpe_token_ids_py(text: str | None) -> list[int]:
+    """Python reference: tokens -> 1-based vocab ids."""
+    vocab = {u: i + 1 for i, u in enumerate(bpe_vocab())}
+    return [vocab[t] for t in bpe_tokens_py(text)]

@@ -268,3 +268,85 @@ def bm25_search(
 PYTEST_QUERIES: dict[str, tuple] = {
     "bm25_topk": (bm25_topk, _bm25_sql("duckdb")),
 }
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval — reciprocal-rank fusion of BM25 (lexical) and IVF
+# ANN (dense) result lists (Cormack et al. 2009, RRF). The fused score
+# is sum over lists of 1/(K + rank); with K=60 and ranks as BIGINTs,
+# floor(1e9/(60+rank)) keeps fusion integer-exact cross-engine. At
+# 100 TB both inputs are the already-indexed hot paths (persisted
+# postings + persisted IVF quantizer); fusion itself is a join on the
+# candidate union — candidate-sized, never corpus-sized.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+# hybrid query set: each hybrid query pairs a BM25 term query with an
+# ANN query vector (vec_id and doc_id share the same id domain)
+_HYBRID_PAIRS: tuple[tuple[str, int], ...] = (
+    ("q_dup_scan", 0),
+    ("q_vector_ops", 50),
+    ("q_engine", 100),
+)
+
+
+def _rrf_tail_sql(dialect: str, bm_rel: str, ann_rel: str) -> str:
+    idiv = "DIV" if dialect == "spark" else "//"
+    rows = ", ".join(f"('{q}', {v})" for q, v in _HYBRID_PAIRS)
+    pairs = (
+        f"SELECT * FROM VALUES {rows} AS t(qid, vec_id)"
+        if dialect == "spark"
+        else f"SELECT * FROM (VALUES {rows}) AS t(qid, vec_id)"
+    )
+    return f"""pairs AS ({pairs}),
+bm AS (
+  SELECT p.qid, b.doc_id, b.rk AS bm_rk
+  FROM {bm_rel} b JOIN pairs p ON b.qid = p.qid
+),
+ann AS (
+  SELECT p.qid, a.neighbor_id AS doc_id, a.rk AS ann_rk
+  FROM {ann_rel} a JOIN pairs p ON a.query_id = p.vec_id
+),
+fused AS (
+  SELECT coalesce(bm.qid, ann.qid) AS qid,
+         coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+         CAST(coalesce(1000000000 {idiv} ({_RRF_K} + bm.bm_rk), 0)
+            + coalesce(1000000000 {idiv} ({_RRF_K} + ann.ann_rk), 0) AS BIGINT) AS rrf_nano,
+         CAST(coalesce(bm.bm_rk, 0) AS BIGINT) AS bm_rk,
+         CAST(coalesce(ann.ann_rk, 0) AS BIGINT) AS ann_rk
+  FROM bm FULL OUTER JOIN ann ON bm.qid = ann.qid AND bm.doc_id = ann.doc_id
+),
+rr AS (
+  SELECT qid, doc_id, rrf_nano, bm_rk, ann_rk,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY rrf_nano DESC, doc_id ASC
+         ) AS BIGINT) AS rk
+  FROM fused
+)
+SELECT qid, CAST(doc_id AS BIGINT) AS doc_id, rrf_nano, bm_rk, ann_rk, rk
+FROM rr WHERE rk <= {_TOPK}
+ORDER BY qid, rk"""
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion over the two persisted-index hot paths: the BM25
+    top-k (posting list) and the IVF ANN top-k (coarse quantizer) for
+    the paired hybrid queries."""
+    from monday_etl_automation_spark.plans.embed_ops import ivf_topk
+
+    bm25_topk(spark, sf_dir).createOrReplaceTempView("_hy_bm")
+    ivf_topk(spark, sf_dir).createOrReplaceTempView("_hy_ann")
+    return spark.sql(f"WITH {_rrf_tail_sql('spark', '_hy_bm', '_hy_ann')}")
+
+
+def _hybrid_sql(dialect: str) -> str:
+    from monday_etl_automation_spark.plans.embed_ops import _ivf_sql
+
+    return f"""
+WITH bmres AS ({_bm25_sql(dialect)}),
+annres AS ({_ivf_sql(dialect)}),
+{_rrf_tail_sql(dialect, 'bmres', 'annres')}
+""".strip()
+
+
+PYTEST_QUERIES["hybrid_rrf_topk"] = (hybrid_rrf_topk, _hybrid_sql("duckdb"))

@@ -1,0 +1,123 @@
+"""Corpus tokenization to token IDS (SURVEY.md §2.12 extension): the
+step a real pretraining pipeline runs between text and tensors. Builds
+on the frozen-merges BPE (functions/bpe.py) — same row-local
+expression chain, so encoding is a map stage at any corpus size.
+
+- ``encode_documents``: (doc_id, pos, token_id) long format — one row
+  per token, 1-based ids into the deterministic vocab
+  (36 base chars + 48 merge products). Long format keeps the DuckDB
+  twin strict-comparable (BIGINT rows, no array columns in the hash).
+- ``packed_token_sequences``: the packing assignment
+  (plans/packing_ops.py, BPE budgets) joined back to per-chunk token
+  ids and assembled into per-(shard, seq) id arrays in the exact FFD
+  visit order — what a shard writer would serialize as input_ids.
+  Assembly is one grouped collect over the packing's own deterministic
+  order; the heavy work (tokenize, pack) happened upstream.
+
+Cross-engine: ids are array positions in a shared literal vocab;
+everything else is the proven BPE chain — integer-exact throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monday_etl_automation_spark.functions.bpe import (
+    bpe_token_ids_expr,
+    bpe_unit_string_expr,
+)
+from monday_etl_automation_spark.sources.tables import register_views
+
+
+def _encode_sql(dialect: str) -> str:
+    u = bpe_unit_string_expr(dialect, "text")
+    ids = bpe_token_ids_expr(dialect, "bpe_u")
+    if dialect == "spark":
+        ex = "SELECT doc_id, posexplode(ids) AS (pos, token_id) FROM ids_t"
+        pos = "CAST(pos AS BIGINT) AS pos, CAST(token_id AS BIGINT) AS token_id"
+    else:
+        ex = (
+            "SELECT doc_id, unnest(generate_series(1, len(ids))) - 1 AS pos, ids"
+            " FROM ids_t"
+        )
+        pos = "CAST(pos AS BIGINT) AS pos, CAST(ids[pos + 1] AS BIGINT) AS token_id"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {u} AS bpe_u FROM documents
+),
+ids_t AS (
+  SELECT doc_id, {ids} AS ids FROM t
+),
+ex AS ({ex})
+SELECT doc_id, {pos}
+FROM ex
+ORDER BY doc_id, pos
+""".strip()
+
+
+def encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_encode_sql("spark"))
+
+
+def encode_oracle() -> str:
+    return _encode_sql("duckdb")
+
+
+def packed_token_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 512,
+    n_shards: int = 8,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """(shard, seq_idx, token_ids, n_tokens): training sequences with
+    REAL token ids, assembled in the packer's deterministic FFD visit
+    order (tokens DESC, doc_id, chunk_idx) so re-runs byte-match.
+
+    The chunk's ids re-derive from its chunk_text with the same
+    expression the packer's counter used — the join key is
+    (doc_id, chunk_idx), so assignment and content cannot drift."""
+    from monday_etl_automation_spark.plans.packing_ops import pack_sequences
+    from monday_etl_automation_spark.plans.text_ops import chunk_documents
+
+    packed = pack_sequences(
+        spark, sf_dir, budget=budget, n_shards=n_shards,
+        chunk_size=chunk_size, overlap=overlap, counter="bpe",
+    )
+    chunks = chunk_documents(spark, sf_dir, chunk_size, overlap, counter="bpe")
+    chunks.createOrReplaceTempView("_tok_chunks")
+    ids = spark.sql(
+        "WITH u AS (SELECT doc_id, chunk_idx, "
+        + bpe_unit_string_expr("spark", "chunk_text")
+        + " AS bpe_u FROM _tok_chunks) SELECT doc_id, chunk_idx, "
+        + bpe_token_ids_expr("spark", "bpe_u")
+        + " AS chunk_ids FROM u"
+    )
+    return (
+        packed.join(ids, ["doc_id", "chunk_idx"])
+        .groupBy("shard", "seq_idx")
+        .agg(
+            F.flatten(
+                # array_sort on (DESC-able key via negation, then asc
+                # tie-breaks) reproduces the FFD visit order exactly
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("n_chunk_tokens")).alias("k1"),
+                                F.col("doc_id").alias("k2"),
+                                F.col("chunk_idx").alias("k3"),
+                                F.col("chunk_ids").alias("ids"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids"),
+            F.sum("n_chunk_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard", "seq_idx")
+    )

@@ -291,7 +291,13 @@ def dead_letter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_dlq = pool.submit(streaming.run_dead_letter, spark, sf_dir)
-        f_ups = pool.submit(streaming.run_status_upsert, spark, sf_dir)
+        # n_splits=2: the merged state is batch-order independent (the
+        # per-key top-1 is associative), so the driver entry exercises
+        # one real cross-batch MERGE at half the micro-batch machinery
+        # (~1.1s/batch of state-store + dynamic-overwrite commits at
+        # sf0.1 — r8 verdict item 4); the 4-batch variant stays pinned
+        # in tests/test_streaming.py.
+        f_ups = pool.submit(streaming.run_status_upsert, spark, sf_dir, 2)
         delivered, quarantined = f_dlq.result()
         upserted = f_ups.result()
     tagged = (

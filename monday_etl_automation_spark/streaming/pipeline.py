@@ -37,11 +37,13 @@ from monday_etl_automation_spark.sources.tables import load_table, normalize_ts
 # partition, and every micro-batch commits a delta file (+CRC) per
 # store to the checkpoint dir — at replay scale the commit I/O, not
 # the data, dominates (measured at sf0.1: 32 partitions ≈ 2x the wall
-# time of 8 on every replay). Replays therefore pin a smaller shuffle
-# width; a real deployment sizes this to state volume / key count
-# (state stores are the unit of both parallelism and recovery), and a
-# restarted query keeps the width its checkpoint recorded.
-_REPLAY_SHUFFLE_PARTITIONS = 8
+# time of 8 on every replay; 8 -> 4 bought a further ~0.5s on the
+# tumbling replay and ~0.25s on sliding, flat elsewhere — r9). Replays
+# therefore pin a smaller shuffle width; a real deployment sizes this
+# to state volume / key count (state stores are the unit of both
+# parallelism and recovery), and a restarted query keeps the width its
+# checkpoint recorded.
+_REPLAY_SHUFFLE_PARTITIONS = 4
 
 
 _REPLAY_GUARD = threading.Lock()

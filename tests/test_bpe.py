@@ -128,3 +128,42 @@ def test_pack_sequences_on_bpe_budget(spark, sf_dir):
     got = packed.agg(F.sum("n_chunk_tokens")).collect()[0][0]
     want = chunks.agg(F.sum("n_chunk_tokens")).collect()[0][0]
     assert got == want
+
+
+def test_encode_documents_matches_oracle_and_python(spark, sf_dir):
+    from monday_etl_automation_spark.plans.tokenize_ops import (
+        encode_documents,
+        encode_oracle,
+    )
+    from monday_etl_automation_spark.functions.bpe import bpe_token_ids_py
+
+    df = encode_documents(spark, sf_dir)
+    assert_matches_oracle(df, encode_oracle(), sf_dir)
+    texts = {
+        r.doc_id: r.text
+        for r in spark.sql("SELECT doc_id, text FROM documents").collect()
+    }
+    got: dict[int, list[int]] = {}
+    for r in df.collect():
+        got.setdefault(r.doc_id, []).append((r.pos, r.token_id))
+    for doc_id, pairs in list(got.items())[:50]:
+        ids = [t for _, t in sorted(pairs)]
+        assert ids == bpe_token_ids_py(texts[doc_id])
+
+
+def test_packed_token_sequences_invariants(spark, sf_dir):
+    """Real input_ids assembly: sequence id-counts equal the packer's
+    token totals, never exceed the budget, and cover every chunk id."""
+    from monday_etl_automation_spark.plans.tokenize_ops import packed_token_sequences
+
+    budget = 512
+    seqs = packed_token_sequences(spark, sf_dir, budget=budget).collect()
+    assert seqs
+    for r in seqs:
+        assert len(r.token_ids) == r.n_tokens <= budget
+    from monday_etl_automation_spark.plans.text_ops import chunk_documents
+    total = (
+        chunk_documents(spark, sf_dir, counter="bpe")
+        .groupBy().sum("n_chunk_tokens").collect()[0][0]
+    )
+    assert sum(r.n_tokens for r in seqs) == total

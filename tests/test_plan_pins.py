@@ -1,0 +1,72 @@
+"""Enforced physical-plan pins (r8 verdict item 8): PLANS.md records
+plan properties but nothing failed when a plan regressed. For the
+highest-value queries, pin max shuffle count, min broadcast count, and
+parquet filter pushdown on the EXECUTED (post-AQE) plan — a lost
+broadcast hint, a new unnecessary exchange, or a filter that stopped
+reaching the scan now fails pytest instead of surfacing as a silent
+bench regression.
+
+Pins are measured at the pytest SF (sf0.001) and hold headroom of
+exactly 0 — plans here are deterministic per SF (fixed session confs,
+fixed data, AQE included in the audit), so any drift is a real plan
+change that deserves a conscious re-pin.
+
+Sabotage check (run manually to see a pin fire): drop the
+``F.broadcast`` hint in operators/joins.py:23 — flagship's broadcast
+count falls and this file fails.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from monday_etl_automation_spark.plans import registry
+
+# query -> (max hash exchanges, min broadcasts, pushdown required)
+_PINS: dict[str, tuple[int, int, bool]] = {
+    "flagship_depot_selection": (2, 6, True),
+    "q1_pricing_summary": (1, 0, True),
+    "q3_shipping_priority": (1, 4, True),
+    "q5_region_revenue": (1, 10, True),
+    "q10_returned_customers": (1, 6, True),
+    "cosine_topk": (1, 1, True),
+    "ivf_topk": (2, 3, True),
+    # quantile/dedup/profile scan derived relations or whole tables —
+    # no pushable predicate, so pushdown is not required.
+    # quantile_stats: histogram agg (1 exchange) + re-partition by
+    # group for the cumulative window (1 more, over ~150 rows)
+    "quantile_stats": (2, 0, False),
+    "dedup_exact": (1, 0, False),
+    "text_profile": (1, 4, True),
+    "semi_anti_customers": (1, 2, True),
+    "temporal_joins": (3, 4, True),
+    "vector_extra": (4, 7, True),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PINS))
+def test_plan_pin(spark, sf_dir, name):
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
+    from plan_audit import audit_plan
+
+    max_shuffle, min_bcast, need_pushdown = _PINS[name]
+    df = registry.queries()[name](spark, sf_dir)
+    # executing THIS frame finalizes the AQE plan (same rule as
+    # tools/plan_audit.py)
+    df.collect()
+    props = audit_plan(df._jdf.queryExecution().executedPlan().toString())  # noqa: SLF001
+    assert props["n_exchange"] <= max_shuffle, (
+        f"{name}: {props['n_exchange']} hash exchanges (pinned <= {max_shuffle})"
+        " — a new shuffle entered the plan"
+    )
+    assert props["n_broadcast"] >= min_bcast, (
+        f"{name}: {props['n_broadcast']} broadcasts (pinned >= {min_bcast})"
+        " — a broadcast join degraded to a shuffle join"
+    )
+    if need_pushdown:
+        assert props["pushed"], f"{name}: parquet scan lost its PushedFilters"

@@ -153,3 +153,34 @@ SELECT qid, doc_id, score, rk FROM ranked WHERE rk <= {_TOPK} ORDER BY qid, rk
                     f" got {docs[i:j + 1]} want {[d for d, _ in sh[i:j + 1]]}"
                 )
                 i = j + 1
+
+
+def test_hybrid_rrf_matches_oracle(spark, sf_dir):
+    from monday_etl_automation_spark.plans.search_ops import PYTEST_QUERIES
+
+    fn, oracle = PYTEST_QUERIES["hybrid_rrf_topk"]
+    assert_matches_oracle(fn(spark, sf_dir), oracle, sf_dir)
+
+
+def test_hybrid_rrf_fuses_both_lists(spark, sf_dir):
+    """A doc present in BOTH lists at rank r must outscore a doc that
+    holds rank r in only one list; every fused row carries at least one
+    source rank; per-query output is a clean 1..k ranking."""
+    from monday_etl_automation_spark.plans.search_ops import hybrid_rrf_topk
+
+    rows = hybrid_rrf_topk(spark, sf_dir).collect()
+    assert rows
+    per_q: dict[str, list] = {}
+    for r in rows:
+        assert r.bm_rk > 0 or r.ann_rk > 0
+        per_q.setdefault(r.qid, []).append(r)
+    for q, rs in per_q.items():
+        rks = sorted(r.rk for r in rs)
+        assert rks == list(range(1, len(rks) + 1))
+        both = [r for r in rs if r.bm_rk > 0 and r.ann_rk > 0]
+        single = [r for r in rs if (r.bm_rk > 0) != (r.ann_rk > 0)]
+        for b in both:
+            for s in single:
+                base = s.bm_rk if s.bm_rk > 0 else s.ann_rk
+                if max(b.bm_rk, b.ann_rk) <= base:
+                    assert b.rrf_nano > s.rrf_nano

@@ -45,8 +45,10 @@ POST_HOC = {
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_near_pairs",
-    "near_dup_assign",
     "embed_near_dup",
+    # trains PQ + IVF-PQ + BM25 postings eagerly (snapshot-cached);
+    # the audited plan is the search-side union over the indexes
+    "vector_extra",
     "binary_pipeline",
     "media_pipeline",
     "w3_auto_increment",
