@@ -350,3 +350,45 @@ annres AS ({_ivf_sql(dialect)}),
 
 
 PYTEST_QUERIES["hybrid_rrf_topk"] = (hybrid_rrf_topk, _hybrid_sql("duckdb"))
+
+
+# ---------------------------------------------------------------------------
+# incremental posting-list maintenance — the BM25 analog of the
+# incremental dedup / embedding-index ingestion paths: the posting
+# list is indexed once per corpus snapshot, and a new document batch
+# contributes O(|batch|) tokenize work — the corpus is NEVER rescanned
+# (plan-asserted in tests/test_search.py). At 100 TB this is the
+# append a posting-list maintenance job runs per ingest batch; df/N/S
+# re-derive from the merged postings at query time, so scores over
+# (persisted ∪ batch) are IDENTICAL to a full rebuild over the grown
+# corpus.
+# ---------------------------------------------------------------------------
+
+
+def bm25_postings_batch(spark: SparkSession, new_docs: DataFrame) -> DataFrame:
+    """Posting rows (doc_id, term, c) for an incoming batch — one
+    tokenize+explode pass over the BATCH only."""
+    new_docs.createOrReplaceTempView("_bm_batch")
+    return spark.sql(_postings_sql("spark").replace("FROM documents", "FROM _bm_batch"))
+
+
+def bm25_search_postings(
+    spark: SparkSession,
+    postings: DataFrame,
+    queries: dict[str, list[str]],
+) -> DataFrame:
+    """BM25 over a CALLER-supplied postings relation (e.g. the
+    persisted snapshot index unioned with fresh batch postings) — the
+    same scoring tail as every other BM25 path, so incremental and
+    rebuilt corpora can never drift."""
+    empty = sorted(q for q, terms in queries.items() if not terms)
+    if empty or not queries:
+        raise ValueError(f"bm25_search_postings queries without terms: {empty or '(none)'}")
+    postings.createOrReplaceTempView("_bm_po_ext")
+    pairs = [(q, t.lower()) for q, terms in queries.items() for t in terms]
+    spark.createDataFrame(pairs, "qid STRING, term STRING").createOrReplaceTempView(
+        "_bm_q_ext"
+    )
+    return spark.sql(
+        f"WITH {_bm25_tail_sql('spark', '_bm_po_ext', qterms='SELECT qid, term FROM _bm_q_ext')}"
+    )

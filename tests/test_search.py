@@ -184,3 +184,53 @@ def test_hybrid_rrf_fuses_both_lists(spark, sf_dir):
                 base = s.bm_rk if s.bm_rk > 0 else s.ann_rk
                 if max(b.bm_rk, b.ann_rk) <= base:
                     assert b.rrf_nano > s.rrf_nano
+
+
+def test_bm25_incremental_postings_match_full_rebuild(spark, sf_dir):
+    """Persisted postings + O(batch) batch postings must answer queries
+    IDENTICALLY to a from-scratch posting build over the grown corpus,
+    and the batch tokenize plan must never rescan the corpus."""
+    from monday_etl_automation_spark.plans.search_ops import (
+        _QUERIES,
+        _bm25_tail_sql,
+        _postings_index,
+        _postings_sql,
+        bm25_postings_batch,
+        bm25_search_postings,
+    )
+    from monday_etl_automation_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    batch = spark.createDataFrame(
+        [
+            (9_000_001, "dup dup scan merge vector window fast spark"),
+            (9_000_002, "a fresh document about vector search and bm25 scoring"),
+            (9_000_003, "dup"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    inc = bm25_postings_batch(spark, batch)
+    # O(batch): the batch postings plan reads no parquet at all
+    plan = inc._jdf.queryExecution().toString()  # noqa: SLF001
+    assert "Scan parquet" not in plan, "batch postings rescan the corpus"
+    merged = _postings_index(spark, sf_dir).unionByName(inc)
+
+    queries: dict[str, list[str]] = {}
+    for q, t in _QUERIES:
+        queries.setdefault(q, []).append(t)
+    got = sorted(map(tuple, bm25_search_postings(spark, merged, queries).collect()))
+
+    # full rebuild over the grown corpus (base ∪ batch), same tail
+    base = spark.table("documents").selectExpr("doc_id", "text")
+    base.unionByName(batch).createOrReplaceTempView("_bm_grown")
+    rebuilt = spark.sql(
+        "WITH po AS ("
+        + _postings_sql("spark").replace("FROM documents", "FROM _bm_grown")
+        + "),\n"
+        + _bm25_tail_sql("spark", "po")
+    )
+    want = sorted(map(tuple, rebuilt.collect()))
+    assert got == want
+    # the planted rare-term doc actually surfaces for the dup query
+    dup_top = [r for r in got if r[0] == "q_dup_scan"]
+    assert any(r[1] == 9_000_001 for r in dup_top)
