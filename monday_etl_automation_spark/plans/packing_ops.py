@@ -59,6 +59,7 @@ def pack_sequences(
     overlap: int = 16,
     doc_ids: DataFrame | None = None,
     counter: str = "ws",
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every chunk to a (shard, seq_idx) training sequence whose
     token total never exceeds ``budget``. ``doc_ids`` (a one-column
@@ -66,10 +67,14 @@ def pack_sequences(
     pipeline packs only the released train split. ``counter='bpe'``
     budgets on REAL frozen-merges BPE counts (functions/bpe.py) — what
     a model's context window actually measures; size the budget for
-    subword counts (a chunk's BPE count is >= its word count)."""
-    chunks = chunk_documents(spark, sf_dir, chunk_size, overlap, counter).select(
-        "doc_id", "chunk_idx", "n_chunk_tokens"
-    )
+    subword counts (a chunk's BPE count is >= its word count).
+    ``chunks`` overrides the chunk source with a caller-prebuilt frame
+    carrying (doc_id, chunk_idx, n_chunk_tokens) — tokenize-once reuse
+    (plans/tokenize_ops.py); ``chunk_size``/``overlap``/``counter``
+    are ignored when it is given."""
+    if chunks is None:
+        chunks = chunk_documents(spark, sf_dir, chunk_size, overlap, counter)
+    chunks = chunks.select("doc_id", "chunk_idx", "n_chunk_tokens")
     if doc_ids is not None:
         chunks = chunks.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
     sharded = chunks.withColumn("shard", F.expr(_SHARD.format(n=n_shards)).cast("int"))

@@ -80,20 +80,23 @@ def _qterms_sql(dialect: str, queries: tuple[tuple[str, str], ...] = _QUERIES) -
     return f"SELECT * FROM (VALUES {rows}) AS t(qid, term)"
 
 
-def _postings_sql(dialect: str) -> str:
+def _postings_sql(dialect: str, rel: str = "documents") -> str:
     """The posting-list relation: (doc_id, term, c) term counts — ONE
-    tokenize+explode pass over the corpus. Everything downstream (dl,
-    N, S, tf, df) is an aggregate or filter of THIS relation, so the
-    Spark executor materializes it once per (session, data snapshot)
-    — Spark inlines CTEs, and the one-shot form would re-expand the
-    corpus tokenization per reference (4+ scans; the same flaw the r7
+    tokenize+explode pass over ``rel`` (default: the corpus; the
+    incremental path passes its batch view — a parameter, not a string
+    rewrite, so a drifting SQL body can never silently fall back to
+    the full corpus). Everything downstream (dl, N, S, tf, df) is an
+    aggregate or filter of THIS relation, so the Spark executor
+    materializes it once per (session, data snapshot) — Spark inlines
+    CTEs, and the one-shot form would re-expand the corpus
+    tokenization per reference (4+ scans; the same flaw the r7
     verdict flagged in the ANN bucket build). At 100 TB this is the
     posting-list table a snapshot job maintains."""
     toks = _SPARK_TOKS if dialect == "spark" else _DUCK_TOKS
     if dialect == "spark":
-        ex = f"SELECT doc_id, explode({toks}) AS term FROM documents"
+        ex = f"SELECT doc_id, explode({toks}) AS term FROM {rel}"
     else:
-        ex = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
+        ex = f"SELECT doc_id, unnest({toks}) AS term FROM {rel}"
     return (
         f"SELECT doc_id, lower(term) AS term, CAST(count(*) AS BIGINT) AS c"
         f" FROM ({ex}) ex0 GROUP BY doc_id, lower(term)"
@@ -369,7 +372,7 @@ def bm25_postings_batch(spark: SparkSession, new_docs: DataFrame) -> DataFrame:
     """Posting rows (doc_id, term, c) for an incoming batch — one
     tokenize+explode pass over the BATCH only."""
     new_docs.createOrReplaceTempView("_bm_batch")
-    return spark.sql(_postings_sql("spark").replace("FROM documents", "FROM _bm_batch"))
+    return spark.sql(_postings_sql("spark", rel="_bm_batch"))
 
 
 def bm25_search_postings(

@@ -89,11 +89,11 @@ def chunk_documents_udtf(
 
             # mirror the SQL chunker EXACTLY: Spark's split('', '\\s+')
             # yields [''] (size 1), which re.split reproduces and
-            # str.split() would not — parity down to the empty-text edge
+            # str.split() would not — an empty text therefore emits ONE
+            # ('', 1) chunk on both paths (re.split never returns [],
+            # matching the SQL side's n_tokens > 0 always holding)
             toks = re.split(r"\s+", (text or "").strip())
             n = len(toks)
-            if n == 0:
-                return
             n_chunks = max(-(-(n - overlap) // stride), 1)
             for i in range(n_chunks):
                 piece = toks[i * stride : i * stride + size]

@@ -402,12 +402,17 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _chunk_sql(dialect: str, size: int, overlap: int, counter: str = "ws") -> str:
+def _chunk_sql(
+    dialect: str, size: int, overlap: int, counter: str = "ws", with_units: bool = False
+) -> str:
     """``counter='ws'``: n_chunk_tokens = whitespace token count (the
     window arithmetic, free). ``counter='bpe'``: n_chunk_tokens = REAL
     frozen-merges BPE count of the chunk text (functions/bpe.py) —
     what a training pipeline's packing budget actually means. Both are
-    row-local; the BPE variant adds the expression chain per chunk."""
+    row-local; the BPE variant adds the expression chain per chunk.
+    ``with_units`` (bpe only) also projects the merged unit string
+    ``bpe_u`` so downstream token-id derivation reuses THIS chain
+    instead of re-running it (plans/tokenize_ops.py)."""
     stride = size - overlap
     if dialect == "spark":
         # slice() is 1-indexed; sequence gives chunk starts 0, stride, ...
@@ -460,6 +465,7 @@ ch AS (
             bpe_unit_string_expr,
         )
 
+        units_col = ",\n       bpe_u" if with_units else ""
         return f"""{head.strip()},
 b AS (
   SELECT doc_id, chunk_idx, chunk_text,
@@ -467,7 +473,7 @@ b AS (
   FROM ch
 )
 SELECT doc_id, chunk_idx, chunk_text,
-       {bpe_count_from_units_expr(dialect, 'bpe_u')} AS n_chunk_tokens
+       {bpe_count_from_units_expr(dialect, 'bpe_u')} AS n_chunk_tokens{units_col}
 FROM b
 ORDER BY doc_id, chunk_idx
 """
@@ -484,9 +490,10 @@ def chunk_documents(
     size: int = 64,
     overlap: int = 16,
     counter: str = "ws",
+    with_units: bool = False,
 ) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(_chunk_sql("spark", size, overlap, counter))
+    return spark.sql(_chunk_sql("spark", size, overlap, counter, with_units))
 
 
 def chunk_oracle(size: int = 64, overlap: int = 16, counter: str = "ws") -> str:

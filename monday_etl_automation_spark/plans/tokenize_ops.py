@@ -83,18 +83,23 @@ def packed_token_sequences(
     from monday_etl_automation_spark.plans.packing_ops import pack_sequences
     from monday_etl_automation_spark.plans.text_ops import chunk_documents
 
+    # ONE tokenize pass: the chunker computes the merged unit string
+    # per chunk (with_units=True) and is materialized before its two
+    # consumers (packer + id derivation) — without this, the packer,
+    # the chunk re-read, and a unit-string re-derivation each re-ran
+    # the 48-replace BPE chain over every chunk (3x the corpus cost;
+    # round-9 code-review finding).
+    chunks = chunk_documents(
+        spark, sf_dir, chunk_size, overlap, counter="bpe", with_units=True
+    ).localCheckpoint(eager=True)
     packed = pack_sequences(
-        spark, sf_dir, budget=budget, n_shards=n_shards,
-        chunk_size=chunk_size, overlap=overlap, counter="bpe",
+        spark, sf_dir, budget=budget, n_shards=n_shards, chunks=chunks
     )
-    chunks = chunk_documents(spark, sf_dir, chunk_size, overlap, counter="bpe")
     chunks.createOrReplaceTempView("_tok_chunks")
     ids = spark.sql(
-        "WITH u AS (SELECT doc_id, chunk_idx, "
-        + bpe_unit_string_expr("spark", "chunk_text")
-        + " AS bpe_u FROM _tok_chunks) SELECT doc_id, chunk_idx, "
+        "SELECT doc_id, chunk_idx, "
         + bpe_token_ids_expr("spark", "bpe_u")
-        + " AS chunk_ids FROM u"
+        + " AS chunk_ids FROM _tok_chunks"
     )
     return (
         packed.join(ids, ["doc_id", "chunk_idx"])

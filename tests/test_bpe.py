@@ -167,3 +167,24 @@ def test_packed_token_sequences_invariants(spark, sf_dir):
         .groupBy().sum("n_chunk_tokens").collect()[0][0]
     )
     assert sum(r.n_tokens for r in seqs) == total
+
+
+def test_one_pass_equals_gpt2_on_random_text():
+    """Property: the one-pass ranked replace equals the iterative
+    min-rank algorithm on arbitrary text (not just corpus-shaped),
+    including adversarial runs of mergeable characters."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("abcdefghijklmnopqrstuvwxyz0123456789 .!?\t\n") )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=80))
+    def prop(t):
+        assert bpe_tokens_py(t) == _gpt2_tokens(t)
+
+    prop()
+    # adversarial: long runs of pair-forming chars (overlap handling)
+    for t in ("er" * 30, "e r " * 20, "ororor or or", "v e c t o r" * 5,
+              "scanscan scan can an n", "slowslowslow", "a" * 50):
+        assert bpe_tokens_py(t) == _gpt2_tokens(t), t

@@ -38,3 +38,34 @@ def test_registry_fits_driver_window():
     registered queries (round-1 lesson: 7 of 57 shipped unchecked).
     Every operator's covering query must sit inside that window."""
     assert len(_QUERIES) <= 50, f"registry has {len(_QUERIES)} queries; driver checks only 50"
+
+
+def test_quantile_matches_independent_quantile_cont():
+    """QUANTILE_ORACLE is the same SQL text as the Spark side (shared
+    rank construct), so the driver compare alone would let a bug in
+    that construct pass on both engines. Pin the construct against
+    DuckDB's INDEPENDENT quantile_cont implementation (round-9
+    code-review finding)."""
+    import duckdb
+
+    from monday_etl_automation_spark.plans.relational import QUANTILE_SQL
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+        )
+        got = con.execute(QUANTILE_SQL).fetchall()
+        want = con.execute(
+            """
+SELECT l_returnflag,
+  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS q25,
+  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS median,
+  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS q75,
+  min(CAST(l_quantity AS DOUBLE)) AS min_qty,
+  max(CAST(l_quantity AS DOUBLE)) AS max_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""".strip()
+        ).fetchall()
+        con.close()
+        assert got == want, f"{sf}: histogram quantiles diverge from quantile_cont"

@@ -225,7 +225,7 @@ def test_bm25_incremental_postings_match_full_rebuild(spark, sf_dir):
     base.unionByName(batch).createOrReplaceTempView("_bm_grown")
     rebuilt = spark.sql(
         "WITH po AS ("
-        + _postings_sql("spark").replace("FROM documents", "FROM _bm_grown")
+        + _postings_sql("spark", rel="_bm_grown")
         + "),\n"
         + _bm25_tail_sql("spark", "po")
     )
