@@ -85,6 +85,7 @@ def release_training_corpus(
     pack_budget: int = 128,
     tokens_per_file: int = 2048,
     n_shards: int = 8,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     register_views(spark, sf_dir)
     prep = corpus_prep(spark, sf_dir).localCheckpoint(eager=True)
@@ -125,15 +126,33 @@ def release_training_corpus(
     # document a second time — the written artifact IS the cheap source
     back = spark.read.parquet(f"{out_dir}/released")
     train_ids = back.where("split = 'train'").select("doc_id")
-    # no caller-side checkpoint: write_training_shards materializes its
-    # input itself (self-join guard) — checkpointing here would store
-    # the packed corpus twice
-    packed = pack_sequences(
-        spark, sf_dir, budget=pack_budget, n_shards=n_shards, doc_ids=train_ids
-    )
-    manifest = write_training_shards(
-        packed, f"{out_dir}/shards", tokens_per_file=tokens_per_file
-    ).localCheckpoint(eager=True)
+    # no caller-side checkpoint: the shard writers materialize their
+    # input themselves (self-join guard) — checkpointing here would
+    # store the packed corpus twice.
+    # tokenizer='bpe' ships TOKENIZED shards: sequences packed on real
+    # BPE budgets with input_ids arrays (what a dataloader actually
+    # streams) — size pack_budget for subword counts (>= word counts).
+    if tokenizer == "bpe":
+        from monday_etl_automation_spark.plans.tokenize_ops import (
+            packed_token_sequences,
+        )
+        from monday_etl_automation_spark.sources.shard_writer import (
+            write_tokenized_shards,
+        )
+
+        seqs = packed_token_sequences(
+            spark, sf_dir, budget=pack_budget, n_shards=n_shards, doc_ids=train_ids
+        )
+        manifest = write_tokenized_shards(
+            seqs, f"{out_dir}/shards", tokens_per_file=tokens_per_file
+        ).localCheckpoint(eager=True)
+    else:
+        packed = pack_sequences(
+            spark, sf_dir, budget=pack_budget, n_shards=n_shards, doc_ids=train_ids
+        )
+        manifest = write_training_shards(
+            packed, f"{out_dir}/shards", tokens_per_file=tokens_per_file
+        ).localCheckpoint(eager=True)
     stage_rows = [
         ("total_docs", spark.table("documents").count()),
         ("kept_after_prep", kept.count()),

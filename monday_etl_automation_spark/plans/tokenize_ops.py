@@ -72,14 +72,16 @@ def packed_token_sequences(
     n_shards: int = 8,
     chunk_size: int = 64,
     overlap: int = 16,
+    doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(shard, seq_idx, token_ids, n_tokens): training sequences with
     REAL token ids, assembled in the packer's deterministic FFD visit
     order (tokens DESC, doc_id, chunk_idx) so re-runs byte-match.
+    ``doc_ids`` restricts to those documents (the release pipeline
+    passes its released train split).
 
-    The chunk's ids re-derive from its chunk_text with the same
-    expression the packer's counter used — the join key is
-    (doc_id, chunk_idx), so assignment and content cannot drift."""
+    The chunk's ids derive from the SAME materialized unit string the
+    packer's counter used — assignment and content cannot drift."""
     from monday_etl_automation_spark.plans.packing_ops import pack_sequences
     from monday_etl_automation_spark.plans.text_ops import chunk_documents
 
@@ -91,7 +93,10 @@ def packed_token_sequences(
     # round-9 code-review finding).
     chunks = chunk_documents(
         spark, sf_dir, chunk_size, overlap, counter="bpe", with_units=True
-    ).localCheckpoint(eager=True)
+    )
+    if doc_ids is not None:
+        chunks = chunks.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
+    chunks = chunks.localCheckpoint(eager=True)
     packed = pack_sequences(
         spark, sf_dir, budget=budget, n_shards=n_shards, chunks=chunks
     )

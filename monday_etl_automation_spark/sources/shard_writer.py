@@ -127,3 +127,37 @@ def write_shuffled_split(
         .parquet(out_dir)
     )
     return spark.read.parquet(out_dir)
+
+
+def write_tokenized_shards(
+    seqs: DataFrame, out_dir: str, tokens_per_file: int = 4096
+) -> DataFrame:
+    """Write TOKENIZED training sequences (packed_token_sequences
+    output: shard, seq_idx, token_ids, n_tokens) as size-targeted
+    parquet shard files — the input_ids form a dataloader memory-maps
+    directly. Same shard-local greedy cumsum, same
+    one-file-per-(shard, file_seq) layout, same manifest contract as
+    write_training_shards; the only difference is that rows carry the
+    id arrays instead of (doc_id, chunk_idx) references."""
+    seqs = seqs.localCheckpoint(eager=True)  # materialize before the self-join
+    w = Window.partitionBy("shard").orderBy("seq_idx")
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0))
+    assign = seqs.select("shard", "seq_idx", "n_tokens").withColumn(
+        "file_seq", (cum_excl / F.lit(tokens_per_file)).cast("bigint")
+    )
+    rows = seqs.join(assign.select("shard", "seq_idx", "file_seq"), ["shard", "seq_idx"])
+    (
+        rows.repartition("shard", "file_seq")
+        .sortWithinPartitions("shard", "file_seq", "seq_idx")
+        .write.mode("overwrite")
+        .partitionBy("shard", "file_seq")
+        .parquet(out_dir)
+    )
+    return (
+        assign.groupBy("shard", "file_seq")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seqs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("shard", "file_seq")
+    )

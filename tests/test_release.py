@@ -97,3 +97,28 @@ def test_release_layout_and_shards(spark, run):
     }
     shard_ids = {r.doc_id for r in shards.select("doc_id").distinct().collect()}
     assert shard_ids <= train_ids
+
+
+def test_release_bpe_tokenized_shards(spark, sf_dir, tmp_path_factory):
+    """tokenizer='bpe': the released shards carry real input_ids; the
+    report's shard_tokens equals the BPE token total of the shipped
+    sequences, and every id is inside the frozen vocab."""
+    from monday_etl_automation_spark.functions.bpe import bpe_vocab
+    from monday_etl_automation_spark.plans.release_ops import release_training_corpus
+    from monday_etl_automation_spark.sources.shard_writer import read_training_shards
+
+    out = str(tmp_path_factory.mktemp("release_bpe"))
+    report = {
+        r.stage: r.n
+        for r in release_training_corpus(
+            spark, sf_dir, out, pack_budget=512, tokenizer="bpe"
+        ).collect()
+    }
+    back = read_training_shards(spark, f"{out}/shards")
+    rows = back.collect()
+    assert report["shard_tokens"] == sum(r.n_tokens for r in rows)
+    assert report["shard_files"] == len({(r.shard, r.file_seq) for r in rows})
+    vmax = len(bpe_vocab())
+    for r in rows:
+        assert len(r.token_ids) == r.n_tokens
+        assert all(1 <= t <= vmax for t in r.token_ids)

@@ -119,3 +119,32 @@ def test_shuffled_split_epochs_reproducible_and_independent(spark, sf_dir, tmp_p
     assert order_a1 == order_a2  # same epoch: byte-identical order
     assert sorted(order_a1) == sorted(order_b)  # same membership
     assert order_a1 != order_b  # different epoch: different permutation
+
+
+def test_tokenized_shards_round_trip(spark, sf_dir, tmp_path):
+    """Tokenized shards: one parquet file per (shard, file_seq), the
+    manifest totals equal the sequence totals, and read-back id arrays
+    are byte-identical to the assembled sequences."""
+    import glob as _glob
+
+    from monday_etl_automation_spark.plans.tokenize_ops import packed_token_sequences
+    from monday_etl_automation_spark.sources.shard_writer import (
+        read_training_shards,
+        write_tokenized_shards,
+    )
+
+    seqs = packed_token_sequences(spark, sf_dir, budget=512)
+    out = str(tmp_path / "tok_shards")
+    manifest = write_tokenized_shards(seqs, out, tokens_per_file=2048).collect()
+    assert manifest
+    want_total = seqs.groupBy().sum("n_tokens").collect()[0][0]
+    assert sum(r.n_tokens for r in manifest) == want_total
+    for r in manifest:
+        files = _glob.glob(f"{out}/shard={r.shard}/file_seq={r.file_seq}/*.parquet")
+        assert len(files) == 1, f"expected ONE file per group, got {files}"
+    back = read_training_shards(spark, out)
+    got = {
+        (r.shard, r.seq_idx): list(r.token_ids) for r in back.collect()
+    }
+    want = {(r.shard, r.seq_idx): list(r.token_ids) for r in seqs.collect()}
+    assert got == want
