@@ -127,6 +127,22 @@ def packed_token_sequences(
                     lambda s: s["ids"],
                 )
             ).alias("token_ids"),
+            # per-chunk lengths in the same visit order: the attention
+            # mask resets at each boundary — cumulative sums of
+            # doc_spans are the segment starts inside token_ids
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("n_chunk_tokens")).alias("k1"),
+                            F.col("doc_id").alias("k2"),
+                            F.col("chunk_idx").alias("k3"),
+                            F.col("n_chunk_tokens").alias("n"),
+                        )
+                    )
+                ),
+                lambda s: s["n"],
+            ).alias("doc_spans"),
             F.sum("n_chunk_tokens").alias("n_tokens"),
         )
         .orderBy("shard", "seq_idx")

@@ -161,6 +161,10 @@ def test_packed_token_sequences_invariants(spark, sf_dir):
     assert seqs
     for r in seqs:
         assert len(r.token_ids) == r.n_tokens <= budget
+        # doc_spans partition token_ids: each span is one chunk's run,
+        # so an attention mask can reset at every cumulative boundary
+        assert sum(r.doc_spans) == r.n_tokens
+        assert all(n > 0 for n in r.doc_spans)
     from monday_etl_automation_spark.plans.text_ops import chunk_documents
     total = (
         chunk_documents(spark, sf_dir, counter="bpe")
