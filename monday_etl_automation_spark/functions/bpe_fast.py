@@ -46,6 +46,12 @@ import json
 import os
 from typing import Iterable, Mapping, Sequence
 
+# module scope, NOT function-local: `from __future__ import annotations`
+# stringifies the pandas-UDF type hints, and PySpark's infer_eval_type
+# resolves them against THIS module's globals — a function-local import
+# makes @pandas_udf raise [UNSUPPORTED_SIGNATURE] at definition time.
+import pandas as pd
+
 from .bpe import _MERGES as FROZEN_MERGES
 
 _BASE_CHARS = tuple("0123456789abcdefghijklmnopqrstuvwxyz")
@@ -144,7 +150,7 @@ def bpe_token_ids_fast(
 
 
 def save_merges(merges: Sequence[tuple[str, str]], path: str) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w", encoding="utf-8") as f:
         json.dump(
             {"n_merges": len(merges), "merges": [[a, b] for a, b in merges]},
@@ -171,13 +177,23 @@ def bpe_ids_udf(spark, merges: Sequence[tuple[str, str]] | None = None):
     The merges + id table ride an explicit SparkContext broadcast —
     one executor-side copy regardless of task count; the UDF closure
     holds only the broadcast handle. The per-task ``cache`` dict
-    persists across Arrow batches within a task.
+    persists across Arrow batches within a task. The (broadcast, UDF)
+    pair is memoized per (session, merges identity): repeated calls in
+    a long-lived session reuse one broadcast instead of accumulating
+    executor-side blocks per call.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
     table = tuple((a, b) for a, b in (merges if merges is not None else FROZEN_MERGES))
+    store = getattr(spark, "_mea_bpe_fast_udfs", None)
+    if store is None:
+        store = {}
+        spark._mea_bpe_fast_udfs = store  # noqa: SLF001
+    cached = store.get(table)
+    if cached is not None:
+        return cached
+
     bc = spark.sparkContext.broadcast({"merges": table, "ids": vocab_ids(table)})
 
     @pandas_udf(ArrayType(LongType()))
@@ -189,6 +205,7 @@ def bpe_ids_udf(spark, merges: Sequence[tuple[str, str]] | None = None):
             [bpe_token_ids_fast(t, m, ids, cache) for t in texts]
         )
 
+    store[table] = encode
     return encode
 
 

@@ -86,6 +86,8 @@ def release_training_corpus(
     tokens_per_file: int = 2048,
     n_shards: int = 8,
     tokenizer: str = "ws",
+    merges=None,
+    eod: bool = False,
 ) -> DataFrame:
     register_views(spark, sf_dir)
     prep = corpus_prep(spark, sf_dir).localCheckpoint(eager=True)
@@ -140,8 +142,16 @@ def release_training_corpus(
             write_tokenized_shards,
         )
 
+        # merges beyond the fast-path threshold selects the vectorized
+        # production-vocab tokenizer (functions/bpe_fast.py)
         seqs = packed_token_sequences(
-            spark, sf_dir, budget=pack_budget, n_shards=n_shards, doc_ids=train_ids
+            spark,
+            sf_dir,
+            budget=pack_budget,
+            n_shards=n_shards,
+            doc_ids=train_ids,
+            merges=merges,
+            eod=eod,
         )
         manifest = write_tokenized_shards(
             seqs, f"{out_dir}/shards", tokens_per_file=tokens_per_file

@@ -368,6 +368,53 @@ PYTEST_QUERIES["hybrid_rrf_topk"] = (hybrid_rrf_topk, _hybrid_sql("duckdb"))
 # ---------------------------------------------------------------------------
 
 
+def bm25_incremental_topk(
+    spark: SparkSession, sf_dir: str, batch_mod: int = 10, batch_res: int = 7
+) -> DataFrame:
+    """The incremental-maintenance path under the driver's hash oracle
+    (vector_extra shape ``bm25i``): the corpus is split into a base
+    snapshot (doc_id % mod != res — indexed ONCE per (session, file
+    snapshot), standing in for the persisted posting list a
+    maintenance job owns) and an ingest batch (== res) that
+    contributes one O(|batch|) tokenize pass (bm25_postings_batch).
+    BM25 over (base ∪ batch) postings re-derives df/N/S from the
+    merged relation, so the scores must be IDENTICAL to a full rebuild
+    over the whole corpus — the oracle is the full-corpus one-shot
+    SQL, making "incremental == rebuild" the hashed property itself."""
+    from monday_etl_automation_spark.sources.tables import (
+        bind_table,
+        session_artifact_cache,
+        snapshot_key,
+    )
+
+    bind_table(spark, sf_dir, "documents")
+    cache = session_artifact_cache(spark, "bm25i_base")
+    key = (snapshot_key(sf_dir, "documents"), batch_mod, batch_res)
+    base_po = cache.get(key)
+    if base_po is None:
+        spark.table("documents").where(
+            f"doc_id % {batch_mod} <> {batch_res}"
+        ).createOrReplaceTempView("_bm_base")
+        base_po = spark.sql(
+            _postings_sql("spark", rel="_bm_base")
+        ).localCheckpoint(eager=True)
+        cache[key] = base_po
+    batch = spark.table("documents").where(f"doc_id % {batch_mod} = {batch_res}")
+    # materialize the merged postings before the scoring tail — the
+    # tail references the relation several times (df/dl/tf derive from
+    # it), i.e. a self-join (repo rule: materialize first; unionByName
+    # over a checkpointed half also trips a Spark attribute-resolution
+    # bug when left lazy). This IS the maintenance job's write of the
+    # merged posting snapshot.
+    merged = base_po.unionByName(bm25_postings_batch(spark, batch)).localCheckpoint(
+        eager=True
+    )
+    terms: dict[str, list[str]] = {}
+    for q, t in _QUERIES:
+        terms.setdefault(q, []).append(t)
+    return bm25_search_postings(spark, merged, terms)
+
+
 def bm25_postings_batch(spark: SparkSession, new_docs: DataFrame) -> DataFrame:
     """Posting rows (doc_id, term, c) for an incoming batch — one
     tokenize+explode pass over the BATCH only."""

@@ -30,6 +30,21 @@ from monday_etl_automation_spark.functions.bpe import (
 from monday_etl_automation_spark.sources.tables import register_views
 
 
+# above this many merges the expression chain is structurally wrong
+# (tens of thousands of nested replace nodes) — route to the Arrow
+# vectorized path (functions/bpe_fast.py)
+_FAST_VOCAB_THRESHOLD = 64
+
+
+def eod_token_id(merges=None) -> int:
+    """The reserved end-of-document token id for a merges table: one
+    past the text vocab (36 base chars + one product per merge), so it
+    can never collide with a text token. Same scheme at any vocab."""
+    from monday_etl_automation_spark.functions.bpe import _MERGES
+
+    return 36 + len(merges if merges is not None else _MERGES) + 1
+
+
 def _encode_sql(dialect: str) -> str:
     u = bpe_unit_string_expr(dialect, "text")
     ids = bpe_token_ids_expr(dialect, "bpe_u")
@@ -56,8 +71,27 @@ ORDER BY doc_id, pos
 """.strip()
 
 
-def encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def encode_documents(spark: SparkSession, sf_dir: str, merges=None) -> DataFrame:
+    """(doc_id, pos, token_id) long-format encoding. ``merges`` beyond
+    ``_FAST_VOCAB_THRESHOLD`` selects the vectorized Arrow path
+    (functions/bpe_fast.py) — identical output shape, production
+    vocab; the default stays on the cross-engine expression chain the
+    DuckDB oracle mirrors."""
     register_views(spark, sf_dir)
+    if merges is not None and len(merges) > _FAST_VOCAB_THRESHOLD:
+        from monday_etl_automation_spark.functions.bpe_fast import with_bpe_ids_fast
+
+        docs = spark.table("documents").select("doc_id", "text")
+        ids = with_bpe_ids_fast(docs, "text", "ids", merges=merges)
+        return (
+            ids.select("doc_id", F.posexplode("ids").alias("pos", "token_id"))
+            .select(
+                "doc_id",
+                F.col("pos").cast("long").alias("pos"),
+                F.col("token_id").cast("long").alias("token_id"),
+            )
+            .orderBy("doc_id", "pos")
+        )
     return spark.sql(_encode_sql("spark"))
 
 
@@ -73,6 +107,8 @@ def packed_token_sequences(
     chunk_size: int = 64,
     overlap: int = 16,
     doc_ids: DataFrame | None = None,
+    merges=None,
+    eod: bool = False,
 ) -> DataFrame:
     """(shard, seq_idx, token_ids, n_tokens): training sequences with
     REAL token ids, assembled in the packer's deterministic FFD visit
@@ -81,31 +117,77 @@ def packed_token_sequences(
     passes its released train split).
 
     The chunk's ids derive from the SAME materialized unit string the
-    packer's counter used — assignment and content cannot drift."""
+    packer's counter used — assignment and content cannot drift.
+
+    ``merges`` selects the tokenizer path: None (default) uses the
+    frozen 48-merge expression chain; a table with more than
+    ``_FAST_VOCAB_THRESHOLD`` merges routes through the vectorized
+    Arrow path (functions/bpe_fast.py) — one tokenize pass computes
+    BOTH the packing budget counts and the ids, so budgets and content
+    come from the same array and cannot drift at production vocab
+    either.
+
+    ``eod=True`` appends the reserved end-of-document id
+    (``eod_token_id(merges)``, one past the text vocab) after every
+    chunk's ids — what a causal-LM dataloader expects so attention
+    resets on a literal token, not only on span metadata. The EOD
+    token counts against the packing budget (n_chunk_tokens is bumped
+    BEFORE the FFD assignment) and each doc_span covers its chunk's
+    ids plus its terminator, so cumulative span boundaries land
+    exactly ON the EOD ids."""
     from monday_etl_automation_spark.plans.packing_ops import pack_sequences
     from monday_etl_automation_spark.plans.text_ops import chunk_documents
 
-    # ONE tokenize pass: the chunker computes the merged unit string
-    # per chunk (with_units=True) and is materialized before its two
-    # consumers (packer + id derivation) — without this, the packer,
-    # the chunk re-read, and a unit-string re-derivation each re-ran
-    # the 48-replace BPE chain over every chunk (3x the corpus cost;
-    # round-9 code-review finding).
-    chunks = chunk_documents(
-        spark, sf_dir, chunk_size, overlap, counter="bpe", with_units=True
-    )
+    fast = merges is not None and len(merges) > _FAST_VOCAB_THRESHOLD
+    if fast:
+        from monday_etl_automation_spark.functions.bpe_fast import bpe_ids_udf
+
+        udf = bpe_ids_udf(spark, merges)
+        chunks = chunk_documents(spark, sf_dir, chunk_size, overlap, counter="ws")
+        chunks = chunks.withColumn("chunk_ids", udf(F.col("chunk_text"))).withColumn(
+            "n_chunk_tokens", F.size("chunk_ids").cast("int")
+        )
+    else:
+        # ONE tokenize pass: the chunker computes the merged unit
+        # string per chunk (with_units=True) and is materialized before
+        # its two consumers (packer + id derivation) — without this,
+        # the packer, the chunk re-read, and a unit-string
+        # re-derivation each re-ran the 48-replace BPE chain over every
+        # chunk (3x the corpus cost; round-9 code-review finding).
+        chunks = chunk_documents(
+            spark, sf_dir, chunk_size, overlap, counter="bpe", with_units=True
+        )
+    if eod:
+        # the terminator costs one budget slot per chunk — bump BEFORE
+        # packing so no sequence exceeds the budget after EOD insertion
+        chunks = chunks.withColumn(
+            "n_chunk_tokens", (F.col("n_chunk_tokens") + F.lit(1)).cast("int")
+        )
     if doc_ids is not None:
         chunks = chunks.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
     chunks = chunks.localCheckpoint(eager=True)
     packed = pack_sequences(
         spark, sf_dir, budget=budget, n_shards=n_shards, chunks=chunks
     )
-    chunks.createOrReplaceTempView("_tok_chunks")
-    ids = spark.sql(
-        "SELECT doc_id, chunk_idx, "
-        + bpe_token_ids_expr("spark", "bpe_u")
-        + " AS chunk_ids FROM _tok_chunks"
-    )
+    if fast:
+        ids = chunks.select("doc_id", "chunk_idx", "chunk_ids")
+    else:
+        chunks.createOrReplaceTempView("_tok_chunks")
+        ids = spark.sql(
+            "SELECT doc_id, chunk_idx, "
+            + bpe_token_ids_expr("spark", "bpe_u")
+            + " AS chunk_ids FROM _tok_chunks"
+        )
+    if eod:
+        # match the element type per path (fast UDF yields bigint ids,
+        # the expression chain yields int) — concat requires it
+        elem = "bigint" if fast else "int"
+        ids = ids.withColumn(
+            "chunk_ids",
+            F.concat(
+                "chunk_ids", F.array(F.lit(eod_token_id(merges)).cast(elem))
+            ),
+        )
     return (
         packed.join(ids, ["doc_id", "chunk_idx"])
         .groupBy("shard", "seq_idx")

@@ -14,6 +14,15 @@ Shapes:
   - ``ivfpq`` — IVF-PQ composite-ADC top-k (plans/ivfpq_ops.py)
   - ``bm25``  — BM25 top-k over the persisted posting list
                 (plans/search_ops.py)
+  - ``rrf``   — hybrid retrieval: reciprocal-rank fusion of the BM25
+                and IVF-ANN result lists for the paired hybrid queries
+                (plans/search_ops.py:hybrid_rrf_topk) — integer-exact
+                floor(1e9/(K+rank)) scores, so the hash compare holds
+  - ``bm25i`` — incremental posting-list maintenance: base snapshot
+                postings (indexed once) ∪ one O(|batch|) ingest pass,
+                scored by the shared BM25 tail; the oracle is the
+                FULL-corpus rebuild, so "incremental == rebuild" is
+                the hashed property (plans/search_ops.py)
   - ``drift`` — per-source drift between the documents snapshot and a
                 deterministic "next snapshot" (every doc_id % 40 == 3
                 row dropped — thins one residue class of the % 20
@@ -41,7 +50,13 @@ from pyspark.sql import functions as F
 from monday_etl_automation_spark.plans.drift_ops import _drift_sql
 from monday_etl_automation_spark.plans.ivfpq_ops import _ivfpq_sql, ivfpq_topk
 from monday_etl_automation_spark.plans.pq_ops import _pq_sql, pq_topk
-from monday_etl_automation_spark.plans.search_ops import _bm25_sql, bm25_topk
+from monday_etl_automation_spark.plans.search_ops import (
+    _bm25_sql,
+    _hybrid_sql,
+    bm25_incremental_topk,
+    bm25_topk,
+    hybrid_rrf_topk,
+)
 from monday_etl_automation_spark.sources.tables import register_views
 
 # the simulated next snapshot: drop one residue class of doc_id % 40.
@@ -98,6 +113,22 @@ def _build_vector_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_topk(spark, sf_dir), "ivfpq", "query_id", "neighbor_id", "cosine"
     )
     bm = _topk_shape(bm25_topk(spark, sf_dir), "bm25", "qid", "doc_id", "bm25")
+    bmi = _topk_shape(
+        bm25_incremental_topk(spark, sf_dir), "bm25i", "qid", "doc_id", "bm25"
+    )
+    rrf = hybrid_rrf_topk(spark, sf_dir).select(
+        F.lit("rrf").alias("shape"),
+        F.col("qid").cast("string").alias("qid"),
+        F.col("doc_id").cast("bigint").alias("i1"),
+        F.col("rrf_nano").cast("bigint").alias("i2"),
+        F.col("bm_rk").cast("bigint").alias("i3"),
+        F.col("ann_rk").cast("bigint").alias("i4"),
+        _B().alias("i5"),
+        _B().alias("i6"),
+        _B().alias("i7"),
+        _D().alias("score"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
     drift = spark.sql(_drift_sql("spark", "documents", _SNAP_B)).select(
         F.lit("drift").alias("shape"),
         F.col("source").cast("string").alias("qid"),
@@ -114,6 +145,8 @@ def _build_vector_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pq.unionByName(ipq)
         .unionByName(bm)
+        .unionByName(bmi)
+        .unionByName(rrf)
         .unionByName(drift)
         .orderBy("shape", "qid", "rk", "i1")
     )
@@ -138,6 +171,16 @@ SELECT 'bm25', qid,
        CAST(doc_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL,
        bm25, CAST(rk AS BIGINT)
 FROM ({_bm25_sql("duckdb")}) bmr
+UNION ALL
+SELECT 'bm25i', qid,
+       CAST(doc_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL,
+       bm25, CAST(rk AS BIGINT)
+FROM ({_bm25_sql("duckdb")}) bmir
+UNION ALL
+SELECT 'rrf', qid,
+       CAST(doc_id AS BIGINT), rrf_nano, bm_rk, ann_rk, NULL, NULL, NULL,
+       CAST(NULL AS DOUBLE), CAST(rk AS BIGINT)
+FROM ({_hybrid_sql("duckdb")}) rrfr
 UNION ALL
 SELECT 'drift', source,
        docs_a, docs_b, tokens_a, tokens_b,

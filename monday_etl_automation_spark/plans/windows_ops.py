@@ -159,7 +159,14 @@ def event_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
       not drop legitimate rows.
     - props half: the P2 analog over the stream — get_json_object
       extraction with silent-null semantics, aggregated per type.
+    - VARIANT half: the SAME stats through Spark 4's native VARIANT
+      path (try_parse_json + variant_get, plans/spark4_ops.py) —
+      parse-once binary documents instead of per-path string
+      re-parsing; joined in as ``*_variant`` columns so the driver
+      hash pins VARIANT semantics against DuckDB's JSON extraction.
     """
+    from monday_etl_automation_spark.plans.spark4_ops import variant_props_stats
+
     events = load_table(spark, sf_dir, "events")
     doubled = events.unionByName(events)  # simulate webhook retries
     uniq = (
@@ -178,7 +185,18 @@ def event_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
-    return uniq.join(props, "event_type").orderBy("event_type")
+    vstats = variant_props_stats(spark, sf_dir).select(
+        "event_type",
+        F.col("n_with_k").cast("bigint").alias("n_with_k_variant"),
+        F.col("sum_k").cast("bigint").alias("sum_k_variant"),
+        F.col("min_k").cast("bigint").alias("min_k_variant"),
+        F.col("max_k").cast("bigint").alias("max_k_variant"),
+    )
+    return (
+        uniq.join(props, "event_type")
+        .join(vstats, "event_type")
+        .orderBy("event_type")
+    )
 
 
 EVENT_HYGIENE_ORACLE = """
@@ -194,9 +212,23 @@ props AS (
     max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
   FROM events
   GROUP BY event_type
+),
+variantp AS (
+  SELECT
+    event_type,
+    CAST(count(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_with_k_variant,
+    CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k_variant,
+    CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS min_k_variant,
+    CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k_variant
+  FROM events
+  GROUP BY event_type
 )
-SELECT dd.event_type, dd.n_unique, props.n_events, props.sum_k, props.min_k, props.max_k
-FROM dd JOIN props ON dd.event_type = props.event_type
+SELECT dd.event_type, dd.n_unique, props.n_events, props.sum_k, props.min_k, props.max_k,
+       variantp.n_with_k_variant, variantp.sum_k_variant,
+       variantp.min_k_variant, variantp.max_k_variant
+FROM dd
+JOIN props ON dd.event_type = props.event_type
+JOIN variantp ON dd.event_type = variantp.event_type
 ORDER BY dd.event_type
 """.strip()
 

@@ -326,8 +326,27 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
 
 def run_stateful_replay(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
     """availableNow replay of the stateful operator; reduce the update
-    stream to the final (= max n_events) row per user."""
+    stream to the final (= max n_events) row per user.
+
+    The reduced totals persist per (session, events snapshot) like
+    every other derived artifact (sources/tables.py) — the deployment
+    posture is a continuously-running stateful query whose state
+    ALREADY reflects the stream; a batch consumer reads current state,
+    it does not re-replay history per query. Callers that pass
+    ``name`` (tests exercising replay mechanics) bypass the cache."""
     from pyspark.sql import Window
+
+    from monday_etl_automation_spark.sources.tables import (  # noqa: PLC0415
+        session_artifact_cache,
+        snapshot_key,
+    )
+
+    cache = session_artifact_cache(spark, "stateful_totals")
+    key = snapshot_key(sf_dir, "events")
+    if name is None:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
 
     sink = name or f"stateful_{uuid.uuid4().hex[:8]}"
     with _replay_partitions(spark):
@@ -342,13 +361,20 @@ def run_stateful_replay(spark: SparkSession, sf_dir: str, name: str | None = Non
         )
         q.awaitTermination()
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
+    result = (
         spark.table(sink)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
         .orderBy("user_id")
     )
+    if name is None:
+        # materialize the per-user totals (tiny: |users| rows) so the
+        # cached artifact survives later memory-sink churn and joins
+        # against it never re-read the sink table
+        result = result.localCheckpoint(eager=True)
+        cache[key] = result
+    return result
 
 
 def sessionize_with_timers(events: DataFrame, gap_seconds: int = 300) -> DataFrame:

@@ -192,3 +192,48 @@ def test_one_pass_equals_gpt2_on_random_text():
     for t in ("er" * 30, "e r " * 20, "ororor or or", "v e c t o r" * 5,
               "scanscan scan can an n", "slowslowslow", "a" * 50):
         assert bpe_tokens_py(t) == _gpt2_tokens(t), t
+
+
+def test_packed_token_sequences_eod(spark, sf_dir):
+    """eod=True: the reserved terminator id sits exactly AT every
+    cumulative doc_span boundary, nowhere else, budgets include the
+    terminators, and stripping EOD recovers the eod=False ids."""
+    from monday_etl_automation_spark.plans.tokenize_ops import (
+        eod_token_id,
+        packed_token_sequences,
+    )
+
+    budget = 512
+    eid = eod_token_id()
+    assert eid == 36 + 48 + 1
+    plain = {
+        (r.shard, r.seq_idx): list(r.token_ids)
+        for r in packed_token_sequences(spark, sf_dir, budget=budget).collect()
+    }
+    seqs = packed_token_sequences(spark, sf_dir, budget=budget, eod=True).collect()
+    assert seqs
+    for r in seqs:
+        ids = list(r.token_ids)
+        assert len(ids) == r.n_tokens <= budget
+        assert sum(r.doc_spans) == r.n_tokens
+        bounds = []
+        c = 0
+        for n in r.doc_spans:
+            c += n
+            bounds.append(c)
+        # EOD exactly at the cumulative boundaries, nowhere else
+        assert [i + 1 for i, t in enumerate(ids) if t == eid] == bounds
+    # same packing problem (+1 per chunk can shift FFD assignments, so
+    # compare content globally): stripped ids == plain ids, chunk-set-wise
+    stripped = []
+    for r in seqs:
+        c = 0
+        for n in r.doc_spans:
+            stripped.append(tuple(r.token_ids[c : c + n - 1]))
+            c += n
+    plain_chunks = []
+    for ids in plain.values():
+        plain_chunks.append(ids)
+    assert sorted(map(len, stripped)) and sum(map(len, stripped)) == sum(
+        map(len, plain_chunks)
+    )

@@ -40,7 +40,24 @@ _PINS: dict[str, tuple[int, int, bool]] = {
     "text_profile": (1, 4, True),
     "semi_anti_customers": (1, 2, True),
     "temporal_joins": (3, 4, True),
+    # includes the rrf shape (r12): fusion rides the persisted
+    # postings/IVF artifacts, so no new hash exchange entered the plan
     "vector_extra": (4, 7, True),
+    # r12 additions: pins now cover every top-10 bench cost center
+    # 16 union-tagged TPC-H shapes: ~1.5 hash exchanges per shape,
+    # broadcasts enforced on every dim join across the union
+    "tpch_extra": (24, 99, True),
+    # three Python surfaces (stateful replay + grouped-map + UDAF),
+    # all shuffling on user_id once each
+    "stateful_user_totals": (3, 4, True),
+    # mapInPandas decode over binary column: one exchange total; the
+    # source relation is derived (no pushable predicate)
+    "binary_pipeline": (1, 0, False),
+    # pure per-row media plumbing: ZERO hash exchanges
+    "media_pipeline": (0, 0, True),
+    "a2_success_counts": (2, 4, True),
+    # dedup half + props half + VARIANT half, joined on event_type
+    "event_hygiene": (4, 4, True),
 }
 
 

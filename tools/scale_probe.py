@@ -1,0 +1,94 @@
+"""Measured scale curve: time the top-cost bench queries at sf0.1 and
+at the replicated sf1 snapshot (tools/make_sf1.py), print per-query
+wall ratios. Evidence for SCALE.md's 100x posture — a query whose
+ratio is far above the data ratio (10x) is superlinear and needs a
+plan fix.
+
+Methodology mirrors bench.py: warmup every query at sf0.001 (JIT,
+Python workers, footer caches), then N timed passes per sf dir with
+the noop sink, min per query. Run it ALONE (no concurrent Spark
+workloads — CLAUDE.md bench rule).
+
+Run: python tools/scale_probe.py [sf1_dir] [passes]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the r11 bench's top cost centers + the flagship + one family rep each
+PROBE = (
+    "text_profile",
+    "stateful_user_totals",
+    "tpch_extra",
+    "flagship_depot_selection",
+    "vector_extra",
+    "q1_pricing_summary",
+    "minhash_lsh_candidates",
+    "dedup_exact",
+    "cosine_topk",
+    "stream_tumbling_replay",
+)
+
+
+def main() -> int:
+    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    passes = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+    from monday_etl_automation_spark.plans import registry
+    from monday_etl_automation_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    qs = registry.queries()
+    names = [n for n in PROBE if n in qs]
+
+    def run(name: str, d: str) -> None:
+        qs[name](spark, d).write.format("noop").mode("overwrite").save()
+
+    for name in names:  # warmup: compile/JIT at tiny scale
+        try:
+            run(name, "/root/testdata/sf0.001")
+        except Exception as ex:  # noqa: BLE001
+            print(f"warmup {name}: {type(ex).__name__}", file=sys.stderr)
+
+    results: dict[str, dict[str, float]] = {n: {} for n in names}
+    for d, tag in (("/root/testdata/sf0.1", "sf0.1"), (sf1_dir, "sf1")):
+        # one untimed pass: page cache + snapshot-keyed index training
+        # (vector_extra etc. price warm search, same posture as bench)
+        for name in names:
+            try:
+                run(name, d)
+            except Exception as ex:  # noqa: BLE001
+                print(f"warm {tag} {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
+        for _ in range(passes):
+            for name in names:
+                t0 = time.time()
+                try:
+                    run(name, d)
+                except Exception as ex:  # noqa: BLE001
+                    print(f"{tag} {name}: FAIL {type(ex).__name__}", file=sys.stderr)
+                    continue
+                dt = time.time() - t0
+                cur = results[name].get(tag)
+                results[name][tag] = dt if cur is None else min(cur, dt)
+
+    out = {}
+    for name in names:
+        a, b = results[name].get("sf0.1"), results[name].get("sf1")
+        out[name] = {
+            "sf0.1_sec": round(a, 2) if a else None,
+            "sf1_sec": round(b, 2) if b else None,
+            "ratio": round(b / a, 2) if a and b else None,
+        }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

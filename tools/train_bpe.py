@@ -35,10 +35,13 @@ Prints the _MERGES literal (or writes the JSON artifact).
 from __future__ import annotations
 
 import collections
+import os
 import re
 import sys
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_corpus(sf_dir: str, extended: bool = False) -> collections.Counter:
@@ -127,22 +130,22 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print(
+                "usage: train_bpe.py [sf_dir] [n_merges] [--extended]"
+                " [--json OUT.json]",
+                file=sys.stderr,
+            )
+            return 2
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
     n = int(argv[1]) if len(argv) > 1 else 48
     merges = train(sf_dir, n, extended=extended)
     if json_out:
-        import json
-        import os
+        from monday_etl_automation_spark.functions.bpe_fast import save_merges
 
-        os.makedirs(os.path.dirname(json_out) or ".", exist_ok=True)
-        with open(json_out, "w", encoding="utf-8") as f:
-            json.dump(
-                {"n_merges": len(merges), "merges": [[a, b] for a, b in merges]},
-                f,
-                separators=(",", ":"),
-            )
+        save_merges(merges, json_out)
         print(f"wrote {len(merges)} merges -> {json_out}")
         return 0
     print("_MERGES: tuple[tuple[str, str], ...] = (")
