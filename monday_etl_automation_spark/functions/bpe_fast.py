@@ -58,6 +58,10 @@ _BASE_CHARS = tuple("0123456789abcdefghijklmnopqrstuvwxyz")
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 MERGES_1K_PATH = os.path.join(_DATA_DIR, "bpe_merges_1k.json")
+# production-scale artifact (8,192 merges, extended corpus at sf0.1):
+# real vocabs are 32k-100k; the word-memo design makes throughput
+# ~flat in vocab size (tests/test_bpe_fast.py pins parity + timing)
+MERGES_8K_PATH = os.path.join(_DATA_DIR, "bpe_merges_8k.json")
 
 
 # ---------------------------------------------------------------- core

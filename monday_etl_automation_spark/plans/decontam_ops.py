@@ -86,31 +86,46 @@ def _ngram_hash_cte(dialect: str, src: str, out: str) -> str:
 )"""
 
 
-def _overlap_sql(dialect: str) -> str:
-    return f"""
-WITH aug AS (
+def overlap_flags_ctes(dialect: str, prefix: str = "") -> str:
+    """WITH-fragment ending in ``{prefix}flags(doc_id, n_hits,
+    is_contaminated)`` — one row per NON-benchmark doc. Shared by the
+    standalone benchmark_overlap operator and the driver-registered
+    decon columns of text_profile (plans/text_ops.py), so the
+    decontamination the driver hashes is the decontamination the
+    release pipeline applies."""
+    p = prefix
+    return f"""{p}aug AS (
   SELECT doc_id,
          CASE WHEN doc_id % {_BENCH_MOD} = 0 OR doc_id % {_PLANT_MOD} = 0
               THEN coalesce(text, '') || ' {_SENTINEL}'
               ELSE coalesce(text, '') END AS text
   FROM documents
 ),
-corpus AS (SELECT doc_id, text FROM aug WHERE doc_id % {_BENCH_MOD} <> 0),
-bench AS (SELECT doc_id, text FROM aug WHERE doc_id % {_BENCH_MOD} = 0),
-{_ngram_hash_cte(dialect, "corpus", "cg")},
-{_ngram_hash_cte(dialect, "bench", "bg")},
-hits AS (
-  SELECT cg.doc_id, CAST(count(DISTINCT cg.h) AS BIGINT) AS n_hits
-  FROM cg JOIN (SELECT DISTINCT h FROM bg) b ON cg.h = b.h
-  GROUP BY cg.doc_id
-)
-SELECT c.doc_id,
-       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
-       CAST(CASE WHEN coalesce(hits.n_hits, 0) >= {_HIT_MIN} THEN 1 ELSE 0 END AS INT)
-         AS is_contaminated
-FROM (SELECT doc_id FROM corpus) c
-LEFT JOIN hits ON c.doc_id = hits.doc_id
-ORDER BY c.doc_id
+{p}corpus AS (SELECT doc_id, text FROM {p}aug WHERE doc_id % {_BENCH_MOD} <> 0),
+{p}bench AS (SELECT doc_id, text FROM {p}aug WHERE doc_id % {_BENCH_MOD} = 0),
+{_ngram_hash_cte(dialect, f"{p}corpus", f"{p}cg")},
+{_ngram_hash_cte(dialect, f"{p}bench", f"{p}bg")},
+{p}hits AS (
+  SELECT {p}cg.doc_id, CAST(count(DISTINCT {p}cg.h) AS BIGINT) AS n_hits
+  FROM {p}cg JOIN (SELECT DISTINCT h FROM {p}bg) {p}b ON {p}cg.h = {p}b.h
+  GROUP BY {p}cg.doc_id
+),
+{p}flags AS (
+  SELECT {p}c.doc_id,
+         CAST(coalesce({p}hits.n_hits, 0) AS BIGINT) AS n_hits,
+         CAST(CASE WHEN coalesce({p}hits.n_hits, 0) >= {_HIT_MIN} THEN 1 ELSE 0 END AS INT)
+           AS is_contaminated
+  FROM (SELECT doc_id FROM {p}corpus) {p}c
+  LEFT JOIN {p}hits ON {p}c.doc_id = {p}hits.doc_id
+)"""
+
+
+def _overlap_sql(dialect: str) -> str:
+    return f"""
+WITH {overlap_flags_ctes(dialect)}
+SELECT doc_id, n_hits, is_contaminated
+FROM flags
+ORDER BY doc_id
 """.strip()
 
 
@@ -158,17 +173,16 @@ def scrub_expr(dialect: str, col: str) -> str:
     return out
 
 
-def _pii_sql(dialect: str) -> str:
+def _count_expr(dialect: str, col: str, pat: str) -> str:
+    p = _rx(dialect, pat)
+    if dialect == "spark":
+        return f"size(regexp_extract_all({col}, '{p}', 0))"
+    return f"CAST(len(regexp_extract_all({col}, '{p}')) AS INT)"
+
+
+def _pii_planted_expr(dialect: str) -> str:
     spark = dialect == "spark"
-
-    def count(col: str, pat: str) -> str:
-        p = _rx(dialect, pat)
-        if spark:
-            return f"size(regexp_extract_all({col}, '{p}', 0))"
-        return f"CAST(len(regexp_extract_all({col}, '{p}')) AS INT)"
-
-    scrubbed = scrub_expr(dialect, "text")
-    planted = (
+    return (
         "coalesce(text, '') || ' reach user' || CAST(doc_id AS STRING)"
         " || '@example.com or 555-867-5309 from 10.0.'"
         " || CAST(doc_id % 256 AS STRING) || '.7'"
@@ -177,13 +191,50 @@ def _pii_sql(dialect: str) -> str:
         " || '@example.com or 555-867-5309 from 10.0.'"
         " || CAST(doc_id % 256 AS VARCHAR) || '.7'"
     )
-    return f"""
-WITH aug AS (
+
+
+def pii_aug_cte(dialect: str, prefix: str = "") -> str:
+    """``{prefix}aug(doc_id, text)``: the corpus with deterministic PII
+    planted on the % {_PII_MOD} residue class (the non-vacuity plant
+    both the standalone audit and the text_profile columns run on)."""
+    return f"""{prefix}aug AS (
   SELECT doc_id,
-         CASE WHEN doc_id % {_PII_MOD} = 0 THEN {planted}
+         CASE WHEN doc_id % {_PII_MOD} = 0 THEN {_pii_planted_expr(dialect)}
               ELSE coalesce(text, '') END AS text
   FROM documents
-)
+)"""
+
+
+def pii_counts_ctes(dialect: str, prefix: str) -> str:
+    """WITH-fragment ending in ``{prefix}pii(doc_id, pii_found,
+    residual_pii)`` — the audit core (match counts before and after the
+    canonical scrub chain), shared with text_profile's driver-hashed
+    decon/PII columns. residual_pii == 0 is the property that matters:
+    the scrubbed corpus carries nothing the patterns still match."""
+    scrubbed = scrub_expr(dialect, "text")
+    found = " + ".join(
+        _count_expr(dialect, "text", p) for p in _PII_PATTERNS.values()
+    )
+    residual = " + ".join(
+        _count_expr(dialect, scrubbed, p) for p in _PII_PATTERNS.values()
+    )
+    return f"""{pii_aug_cte(dialect, prefix)},
+{prefix}pii AS (
+  SELECT doc_id,
+         CAST({found} AS BIGINT) AS pii_found,
+         CAST({residual} AS BIGINT) AS residual_pii
+  FROM {prefix}aug
+)"""
+
+
+def _pii_sql(dialect: str) -> str:
+    scrubbed = scrub_expr(dialect, "text")
+
+    def count(col: str, pat: str) -> str:
+        return _count_expr(dialect, col, pat)
+
+    return f"""
+WITH {pii_aug_cte(dialect)}
 SELECT doc_id,
        CAST({count("text", _PII_PATTERNS["email"])} AS BIGINT) AS n_emails,
        CAST({count("text", _PII_PATTERNS["phone"])} AS BIGINT) AS n_phones,

@@ -31,7 +31,24 @@ from monday_etl_automation_spark.sources.tables import (
 
 _DIM = 64
 _TOPK = 5
-_QUERY_MOD = 50  # vec_id % 50 == 0 -> query set (1/50th of the table)
+_QUERY_MOD = 50  # query ids are spaced _QUERY_MOD apart (dense vec_ids)
+# FIXED-cardinality query set: the 40 ids {0, 50, ..., 1950} as a
+# literal IN-list (the BM25 _QUERIES pattern, search_ops.py). The old
+# predicate `vec_id % 50 = 0` made the query set 1/50 OF THE CORPUS,
+# so every top-k search was O(n^2/50) — measured 63.9x wall at 10x
+# data (round-12 verdict). A literal list is a pure pushed-down scan
+# predicate (no subquery, no extra pass), identical in both engines,
+# and decouples query count from corpus size: search work is O(k·n)
+# exact / O(k·probe) ANN no matter the corpus. At sf<=0.1 every id in
+# the residue class is <= 1950, so results are bit-identical to the
+# old predicate; past that the query set simply stops growing.
+_N_QUERIES = 40
+_QUERY_IDS = ", ".join(str(i) for i in range(0, _N_QUERIES * _QUERY_MOD, _QUERY_MOD))
+
+
+def _query_pred(col: str = "vec_id") -> str:
+    """Membership predicate of the fixed query-id set for ``col``."""
+    return f"{col} IN ({_QUERY_IDS})"
 
 
 def _dot(dialect: str, a: str, b: str) -> str:
@@ -58,7 +75,7 @@ def _cosine_topk_sql(dialect: str) -> str:
 WITH base AS (
   SELECT vec_id, label, embedding, {_norm(dialect, 'embedding')} AS norm FROM embeddings
 ),
-q AS (SELECT * FROM base WHERE vec_id % {_QUERY_MOD} = 0),
+q AS (SELECT * FROM base WHERE {_query_pred()}),
 scored AS (
   SELECT
     q.vec_id AS query_id,
@@ -197,7 +214,7 @@ buckets AS (
 ),
 qprobe AS (
   SELECT b.vec_id, b.s, {xor} AS probe
-  FROM (SELECT * FROM buckets WHERE vec_id % {_QUERY_MOD} = 0) b
+  FROM (SELECT * FROM buckets WHERE {_query_pred()}) b
   CROSS JOIN ({flip_src}) f
 ),
 cand AS (
@@ -525,7 +542,7 @@ cent0 AS ({_ivf_cent0_sql(dialect, "(SELECT step FROM meta)")}),
 asg{fin} AS (SELECT vec_id, cid FROM ranked{fin} WHERE rc = 1),
 qpick AS (
   SELECT vec_id, cid FROM ranked{fin}
-  WHERE vec_id % {_QUERY_MOD} = 0 AND rc <= {_IVF_NPROBE}
+  WHERE {_query_pred()} AND rc <= {_IVF_NPROBE}
 ),
 {_ivf_rerank_sql(dialect, 'qpick', f'asg{fin}')}
 """.strip()
@@ -701,7 +718,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH asgf AS (SELECT vec_id, cid FROM _ivf_ranked WHERE rc = 1),
 qpick AS (
   SELECT vec_id, cid FROM _ivf_ranked
-  WHERE vec_id % {_QUERY_MOD} = 0 AND rc <= {_IVF_NPROBE}
+  WHERE {_query_pred()} AND rc <= {_IVF_NPROBE}
 ),
 {_ivf_rerank_sql('spark', 'qpick', 'asgf')}
 """.strip()

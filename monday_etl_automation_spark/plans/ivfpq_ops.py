@@ -41,7 +41,7 @@ from monday_etl_automation_spark.plans.embed_ops import (
     _IVF_ITERS,
     _IVF_NCENT,
     _IVF_NPROBE,
-    _QUERY_MOD,
+    _query_pred,
     _TOPK,
     _dot,
     _ivf_cent0_sql,
@@ -131,10 +131,10 @@ def _ivfpq_tail_sql(
     cos = f"({dot}) / (q.norm * v.norm)"
     qpick_sql = qpick or (
         f"SELECT vec_id, cid FROM {ranked}"
-        f" WHERE vec_id % {_QUERY_MOD} = 0 AND rc <= {_NPROBE}"
+        f" WHERE {_query_pred()} AND rc <= {_NPROBE}"
     )
     q6_sql = q6 or (
-        f"SELECT vec_id, dim, xd6 FROM {e6} e WHERE vec_id % {_QUERY_MOD} = 0"
+        f"SELECT vec_id, dim, xd6 FROM {e6} e WHERE {_query_pred()}"
     )
     self_guard = "WHERE d2.qid <> d2.vec_id" if exclude_self else ""
     return f"""qpick AS ({qpick_sql}),

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from monday_etl_automation_spark.plans.embed_ops import (
     _DIM,
-    _QUERY_MOD,
+    _query_pred,
     _TOPK,
     _dot,
     _norm,
@@ -127,14 +127,14 @@ def _pq_search_sql(
     """ADC candidate generation + exact re-rank, given the trained
     codebook ``cent`` and the encoded corpus ``codes``. ``qex``
     overrides the query-side exploded relation (default: the
-    %{_QUERY_MOD} slice of ``ex``); ``qsrc``/``vsrc`` name the raw
+    fixed-id slice of ``ex``, embed_ops._query_pred); ``qsrc``/``vsrc`` name the raw
     vector relations for the exact re-rank; ``exclude_self`` guards
     the corpus-internal case where queries are corpus rows. ONE body
     serves the corpus search, the DuckDB twin, and the batch search
     (plans/embed_ingest.py) — the scoring math exists exactly once."""
     dot = _dot(dialect, "q.embedding", "v.embedding")
     cos = f"({dot}) / (q.norm * v.norm)"
-    qex_sql = qex or f"SELECT * FROM {ex} exq WHERE vec_id % {_QUERY_MOD} = 0"
+    qex_sql = qex or f"SELECT * FROM {ex} exq WHERE {_query_pred()}"
     self_guard = "WHERE d.qid <> d.vec_id" if exclude_self else ""
     return f"""qex AS ({qex_sql}),
 lut AS (

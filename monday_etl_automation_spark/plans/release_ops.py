@@ -142,7 +142,7 @@ def release_training_corpus(
             write_tokenized_shards,
         )
 
-        # merges beyond the fast-path threshold selects the vectorized
+        # any non-frozen merges table selects the vectorized
         # production-vocab tokenizer (functions/bpe_fast.py)
         seqs = packed_token_sequences(
             spark,

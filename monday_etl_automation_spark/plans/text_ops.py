@@ -301,6 +301,12 @@ _MIX_BUDGET = 4_000
 
 
 def _text_profile_sql(dialect: str) -> str:
+    from monday_etl_automation_spark.plans.decontam_ops import (
+        _BENCH_MOD,
+        _HIT_MIN,
+        overlap_flags_ctes,
+        pii_counts_ctes,
+    )
     from monday_etl_automation_spark.plans.sampling_ops import (
         _DUCK_GATE,
         _SPARK_GATE,
@@ -363,7 +369,9 @@ s AS (
 ),
 sh AS (SELECT *, {shingles} AS shingles FROM s),
 hs AS (SELECT *, {hashes} AS hashes FROM sh),
-{rates_ctes(dialect, _MIX_WEIGHTS, _MIX_BUDGET, prefix="mr_")}
+{rates_ctes(dialect, _MIX_WEIGHTS, _MIX_BUDGET, prefix="mr_")},
+{overlap_flags_ctes(dialect, prefix="dc_")},
+{pii_counts_ctes(dialect, prefix="pz_")}
 SELECT
   hs.doc_id, lang, hs.source, n_chars, hs.n_tokens, sum_token_len, n_stopwords, n_distinct_tokens,
   CAST(
@@ -376,6 +384,17 @@ SELECT
   hs.n_tokens AS n_ws_tokens,
   {fp_min} AS fp_min,
   {fp_xor} AS fp_xor,
+  -- decontamination + PII audit columns (round 13: the last major
+  -- pytest-only family brought under the driver hash; fragments shared
+  -- verbatim with plans/decontam_ops.py's standalone audits and the
+  -- release pipeline's scrub chain). decon_* are NULL for benchmark
+  -- docs (doc_id % 97 == 0) — they're the eval set, not candidates.
+  CASE WHEN hs.doc_id % {_BENCH_MOD} = 0 THEN CAST(NULL AS BIGINT)
+       ELSE CAST(coalesce(dfl.n_hits, 0) AS BIGINT) END AS decon_hits,
+  CASE WHEN hs.doc_id % {_BENCH_MOD} = 0 THEN CAST(NULL AS INT)
+       WHEN coalesce(dfl.n_hits, 0) >= {_HIT_MIN} THEN 1 ELSE 0 END AS decon_flag,
+  pz.pii_found,
+  pz.residual_pii,
   coalesce(r.keep_rate, CAST(0.0 AS DOUBLE)) AS mix_keep_rate,
   -- floor() explicitly: Spark's CAST(double AS BIGINT) truncates but
   -- DuckDB's ROUNDS — a keep_rate*1e6 with fraction >= 0.5 would give
@@ -384,6 +403,16 @@ SELECT
        THEN 1 ELSE 0 END AS INT) AS mix_kept
 FROM hs
 LEFT JOIN mr_rates r ON hs.source = r.source
+-- join dc_hits (hit docs only), NOT dc_flags: flags' all-corpus left
+-- join re-scans documents a 4th time just to emit its zeros — hs
+-- already enumerates every doc, so the zeros/bench-NULLs are CASE
+-- expressions here and the unreferenced dc_flags CTE is pruned by
+-- both engines. Join keys renamed so the gate/fp expressions'
+-- unqualified doc_id keeps resolving to hs alone.
+LEFT JOIN (SELECT dc_hits.doc_id AS dc_doc_id, n_hits FROM dc_hits) dfl
+  ON hs.doc_id = dfl.dc_doc_id
+JOIN (SELECT doc_id AS pz_doc_id, pii_found, residual_pii FROM pz_pii) pz
+  ON hs.doc_id = pz.pz_doc_id
 ORDER BY hs.doc_id
 """.strip()
 

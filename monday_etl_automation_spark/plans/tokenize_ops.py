@@ -30,10 +30,22 @@ from monday_etl_automation_spark.functions.bpe import (
 from monday_etl_automation_spark.sources.tables import register_views
 
 
-# above this many merges the expression chain is structurally wrong
-# (tens of thousands of nested replace nodes) — route to the Arrow
-# vectorized path (functions/bpe_fast.py)
-_FAST_VOCAB_THRESHOLD = 64
+def _use_fast_path(merges) -> bool:
+    """Tokenizer-path selection for a caller-supplied merges table:
+    None -> the frozen 48-merge expression chain (the cross-engine
+    oracle path); ANY other table -> the vectorized Arrow path
+    (functions/bpe_fast.py, which handles any vocab size). The old
+    rule (fast only above a size threshold) silently IGNORED a small
+    non-frozen table — tokenizing with the frozen chain while
+    eod_token_id() was computed from the passed table, so for
+    len(merges) < 48 the EOD id collided with real frozen-vocab ids
+    (round-12 advice, medium). Equality with the frozen table still
+    rides the expression chain so the oracle twin stays exact."""
+    if merges is None:
+        return False
+    from monday_etl_automation_spark.functions.bpe import _MERGES
+
+    return tuple(tuple(p) for p in merges) != _MERGES
 
 
 def eod_token_id(merges=None) -> int:
@@ -72,13 +84,13 @@ ORDER BY doc_id, pos
 
 
 def encode_documents(spark: SparkSession, sf_dir: str, merges=None) -> DataFrame:
-    """(doc_id, pos, token_id) long-format encoding. ``merges`` beyond
-    ``_FAST_VOCAB_THRESHOLD`` selects the vectorized Arrow path
+    """(doc_id, pos, token_id) long-format encoding. Any non-frozen
+    ``merges`` table selects the vectorized Arrow path
     (functions/bpe_fast.py) — identical output shape, production
     vocab; the default stays on the cross-engine expression chain the
     DuckDB oracle mirrors."""
     register_views(spark, sf_dir)
-    if merges is not None and len(merges) > _FAST_VOCAB_THRESHOLD:
+    if _use_fast_path(merges):
         from monday_etl_automation_spark.functions.bpe_fast import with_bpe_ids_fast
 
         docs = spark.table("documents").select("doc_id", "text")
@@ -120,9 +132,9 @@ def packed_token_sequences(
     packer's counter used — assignment and content cannot drift.
 
     ``merges`` selects the tokenizer path: None (default) uses the
-    frozen 48-merge expression chain; a table with more than
-    ``_FAST_VOCAB_THRESHOLD`` merges routes through the vectorized
-    Arrow path (functions/bpe_fast.py) — one tokenize pass computes
+    frozen 48-merge expression chain; any non-frozen table routes
+    through the vectorized Arrow path
+    (functions/bpe_fast.py) — one tokenize pass computes
     BOTH the packing budget counts and the ids, so budgets and content
     come from the same array and cannot drift at production vocab
     either.
@@ -138,7 +150,7 @@ def packed_token_sequences(
     from monday_etl_automation_spark.plans.packing_ops import pack_sequences
     from monday_etl_automation_spark.plans.text_ops import chunk_documents
 
-    fast = merges is not None and len(merges) > _FAST_VOCAB_THRESHOLD
+    fast = _use_fast_path(merges)
     if fast:
         from monday_etl_automation_spark.functions.bpe_fast import bpe_ids_udf
 
@@ -166,6 +178,19 @@ def packed_token_sequences(
     if doc_ids is not None:
         chunks = chunks.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
     chunks = chunks.localCheckpoint(eager=True)
+    if eod:
+        # fail with an EOD-aware message BEFORE the packer: a chunk
+        # whose token count already equals the budget is bumped past it
+        # by the terminator, and the packer's generic overflow error
+        # never mentions EOD (round-12 advice). One agg over the
+        # already-checkpointed chunks — no extra corpus pass.
+        mx = chunks.agg(F.max("n_chunk_tokens")).first()[0]
+        if mx is not None and mx > budget:
+            raise ValueError(
+                f"eod=True charges 1 budget slot per chunk: largest chunk has "
+                f"{mx - 1} text tokens + EOD > budget {budget}; raise budget or "
+                f"shrink chunk_size"
+            )
     packed = pack_sequences(
         spark, sf_dir, budget=budget, n_shards=n_shards, chunks=chunks
     )

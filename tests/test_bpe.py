@@ -206,10 +206,7 @@ def test_packed_token_sequences_eod(spark, sf_dir):
     budget = 512
     eid = eod_token_id()
     assert eid == 36 + 48 + 1
-    plain = {
-        (r.shard, r.seq_idx): list(r.token_ids)
-        for r in packed_token_sequences(spark, sf_dir, budget=budget).collect()
-    }
+    plain_rows = packed_token_sequences(spark, sf_dir, budget=budget).collect()
     seqs = packed_token_sequences(spark, sf_dir, budget=budget, eod=True).collect()
     assert seqs
     for r in seqs:
@@ -232,8 +229,9 @@ def test_packed_token_sequences_eod(spark, sf_dir):
             stripped.append(tuple(r.token_ids[c : c + n - 1]))
             c += n
     plain_chunks = []
-    for ids in plain.values():
-        plain_chunks.append(ids)
-    assert sorted(map(len, stripped)) and sum(map(len, stripped)) == sum(
-        map(len, plain_chunks)
-    )
+    for r in plain_rows:
+        c = 0
+        for n in r.doc_spans:
+            plain_chunks.append(tuple(r.token_ids[c : c + n]))
+            c += n
+    assert sorted(stripped) == sorted(plain_chunks)

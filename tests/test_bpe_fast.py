@@ -17,6 +17,7 @@
 
 from __future__ import annotations
 
+import os
 import random
 import string
 
@@ -187,7 +188,10 @@ def test_packed_token_sequences_fast_path_invariants(spark, sf_dir):
 @pytest.mark.parametrize("argv", [["--json"]])
 def test_train_bpe_json_flag_requires_value(argv, monkeypatch, capsys):
     import sys
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
     import train_bpe
 
     monkeypatch.setattr(sys, "argv", ["train_bpe.py", *argv])
@@ -228,3 +232,46 @@ def test_packed_token_sequences_eod_fast_path(spark, sf_dir):
         assert [i + 1 for i, t in enumerate(ids) if t == eid] == bounds
         # every non-EOD id stays inside the text vocab
         assert all(1 <= t <= 1036 for t in ids if t != eid)
+
+
+MERGES_8K = bpe_fast.load_merges(bpe_fast.MERGES_8K_PATH)
+
+
+def test_8k_merges_match_min_rank_encoder(sf_dir):
+    """Production-scale artifact (8,192 merges): the rank-order pass
+    equals the independent min-rank encoder — the vocab-dimension
+    scale pin (1k proved the algorithm; real vocabs are 32k-100k).
+    Valid because all merge products are distinct strings."""
+    products = [a + b for a, b in MERGES_8K]
+    assert len(MERGES_8K) == 8192
+    assert len(set(products)) == len(products)
+    cache: dict[str, tuple[str, ...]] = {}
+    for t in _corpus_texts(sf_dir) + _random_texts(300, seed=88) + [
+        "", None, "1409 1410 999999", "105788 105790 1057",
+        "0" * 40, "12345678901234567890",
+    ]:
+        assert bpe_fast.bpe_tokens_fast(t, MERGES_8K, cache) == (
+            bpe_fast.bpe_tokens_min_rank(t, MERGES_8K)
+        )
+
+
+def test_8k_udf_ids_in_bounds(spark, sf_dir):
+    """The Arrow path at the 8k vocab: map-only round trip, ids in
+    [1, 36+8192], and row-identical to the Python reference on a
+    sample (same shape pin as the 1k test — the point is the vocab
+    size changes nothing structurally)."""
+    from monday_etl_automation_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text").limit(200)
+    out = bpe_fast.with_bpe_ids_fast(docs, "text", "token_ids", merges=MERGES_8K)
+    rows = out.collect()
+    assert rows
+    vocab_hi = 36 + len(MERGES_8K)
+    cache: dict[str, tuple[str, ...]] = {}
+    ids_map = bpe_fast.vocab_ids(MERGES_8K)
+    for r in rows:
+        assert all(1 <= t <= vocab_hi for t in r.token_ids)
+        assert list(r.token_ids) == bpe_fast.bpe_token_ids_fast(
+            r.text, MERGES_8K, ids_map, cache
+        )

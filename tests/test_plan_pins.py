@@ -37,7 +37,10 @@ _PINS: dict[str, tuple[int, int, bool]] = {
     # group for the cumulative window (1 more, over ~150 rows)
     "quantile_stats": (2, 0, False),
     "dedup_exact": (1, 0, False),
-    "text_profile": (1, 4, True),
+    # r13: +3 exchanges from the decon columns (n-gram distinct +
+    # per-doc hit agg + hit join), all over gram-hash rows, broadcasts
+    # enforced on the bench-gram + rates + hits + pii joins
+    "text_profile": (4, 10, True),
     "semi_anti_customers": (1, 2, True),
     "temporal_joins": (3, 4, True),
     # includes the rrf shape (r12): fusion rides the persisted
@@ -87,3 +90,42 @@ def test_plan_pin(spark, sf_dir, name):
     )
     if need_pushdown:
         assert props["pushed"], f"{name}: parquet scan lost its PushedFilters"
+
+
+def _final_plan(spark, sf_dir, name):
+    df = registry.queries()[name](spark, sf_dir)
+    df.collect()
+    return (
+        df._jdf.queryExecution()  # noqa: SLF001
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+
+
+def test_cosine_topk_fixed_query_plan(spark, sf_dir):
+    """Post-r13 shape of the exact search (the quadratic fix): the
+    query side is the FIXED 40-id literal set, pushed to the parquet
+    scan as an In filter, broadcast against the corpus — O(k·n) by
+    construction. The <> join is the intended one broadcast
+    nested-loop of a 40-row side; a CartesianProduct (both sides
+    unbounded) or a shuffle join here means the fixed side stopped
+    being broadcast and the plan no longer caps work at k·n."""
+    plan = _final_plan(spark, sf_dir, "cosine_topk")
+    assert "CartesianProduct" not in plan
+    assert "In(vec_id" in plan, "fixed query-id IN list no longer pushed to the scan"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_vector_extra_corpus_scan_budget(spark, sf_dir):
+    """Driver-entry-level no-corpus-rescan pin (r13): vector_extra's
+    executed plan scans the documents table exactly for (a) the bm25i
+    ingest batch tokenize — the ONE O(batch) pass incremental
+    maintenance is allowed — and (b) the drift monitor's two snapshot
+    sides. BM25/bm25i scoring reads snapshot-persisted postings
+    checkpoints and rrf reads materialized rank lists: 0 corpus scans.
+    A higher count means an index build or retrieval subtree leaked
+    back into the per-query plan (what made r12's entry 5.8s warm)."""
+    plan = _final_plan(spark, sf_dir, "vector_extra")
+    n_docs = plan.count("documents.parquet")
+    assert n_docs <= 3, f"{n_docs} documents scans (pinned <= 3)"

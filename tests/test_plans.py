@@ -59,10 +59,14 @@ def test_merged_pipelines_scan_once_per_stage(spark, sf_dir):
     per-row preset refactor fixed); media_pipeline reads once per kind;
     text_profile computes every per-doc feature in ONE scan plus one
     compact per-source token-totals scan for the merged mixture-rate
-    columns (the rates side is weights-bounded and broadcast; a third
-    scan would mean the rates CTE chain re-expanded — the round-8
-    z-as-window fix in sampling_ops.rates_ctes)."""
-    for name, max_scans in (("binary_pipeline", 3), ("media_pipeline", 3), ("text_profile", 2)):
+    columns (the rates side is weights-bounded and broadcast; r8
+    z-as-window fix in sampling_ops.rates_ctes). r13 adds exactly 3
+    more column-pruned (doc_id, text) scans for the driver-hashed
+    decon/PII columns: corpus-side grams, bench-side grams, PII-aug —
+    the decontam job's own passes merged into this audit query. A 6th
+    scan would mean dc_flags' all-corpus left join stopped being
+    pruned (its zeros are CASE expressions over hs instead)."""
+    for name, max_scans in (("binary_pipeline", 3), ("media_pipeline", 3), ("text_profile", 5)):
         plan = _plan(spark, sf_dir, name)
         n = plan.count("Scan parquet")
         assert n <= max_scans, f"{name}: {n} parquet scans (max {max_scans})"

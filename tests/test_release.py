@@ -122,3 +122,47 @@ def test_release_bpe_tokenized_shards(spark, sf_dir, tmp_path_factory):
     for r in rows:
         assert len(r.token_ids) == r.n_tokens
         assert all(1 <= t <= vmax for t in r.token_ids)
+
+
+def test_release_bpe_1k_eod_end_to_end(spark, sf_dir, tmp_path_factory):
+    """Production-vocab + EOD release (round-12 verdict item 3): a full
+    release_training_corpus(tokenizer='bpe', merges=1k, eod=True) run
+    ships shards whose token_ids contain the 1k vocab's reserved EOD id
+    exactly AT every cumulative doc_span boundary and nowhere else, the
+    report reconciles with the shipped files, and every non-EOD id is
+    inside the 1k text vocab."""
+    from monday_etl_automation_spark.functions import bpe_fast
+    from monday_etl_automation_spark.plans.release_ops import release_training_corpus
+    from monday_etl_automation_spark.plans.tokenize_ops import eod_token_id
+    from monday_etl_automation_spark.sources.shard_writer import read_training_shards
+
+    merges_1k = bpe_fast.load_merges()
+    eid = eod_token_id(merges_1k)
+    assert eid == 36 + 1000 + 1
+    out = str(tmp_path_factory.mktemp("release_bpe_eod"))
+    report = {
+        r.stage: r.n
+        for r in release_training_corpus(
+            spark, sf_dir, out, pack_budget=512, tokenizer="bpe",
+            merges=merges_1k, eod=True,
+        ).collect()
+    }
+    rows = read_training_shards(spark, f"{out}/shards").collect()
+    assert rows
+    assert report["shard_tokens"] == sum(r.n_tokens for r in rows)
+    assert report["shard_files"] == len({(r.shard, r.file_seq) for r in rows})
+    n_eod = 0
+    for r in rows:
+        ids = list(r.token_ids)
+        assert len(ids) == r.n_tokens <= 512
+        assert sum(r.doc_spans) == r.n_tokens
+        bounds = []
+        c = 0
+        for n in r.doc_spans:
+            c += n
+            bounds.append(c)
+        # EOD ids in the SHIPPED artifact sit exactly on the span grid
+        assert [i + 1 for i, t in enumerate(ids) if t == eid] == bounds
+        n_eod += len(bounds)
+        assert all(1 <= t <= 1036 for t in ids if t != eid)
+    assert n_eod > 0
