@@ -39,13 +39,13 @@ from pyspark.sql import DataFrame, SparkSession
 from monday_etl_automation_spark.plans.embed_ops import (
     _IVF_NPROBE,
     _NEARDUP_COS,
-    _NEARDUP_PLANES,
     _PLANT_OFFSET,
     _ann_buckets_sql_spark,
-    _bucket_k,
     _ivf_ex_sql,
     _ivf_ranked_sql,
+    _nd_bucket_sql,
     _nd_ex_index,
+    _nd_meta_cte,
     _train_ivf,
 )
 from monday_etl_automation_spark.plans.pq_ops import (
@@ -126,15 +126,19 @@ def embed_near_dup_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) 
     register_views(spark, sf_dir)
     _nd_ex_index(spark, sf_dir).createOrReplaceTempView("_ing_nd_ex")
     _batch_view(spark, new_vecs, "_ing_batch")
-    bucket = _bucket_k("spark", "embedding", _NEARDUP_PLANES)
+    # batch buckets use the CORPUS-derived prefix divisor (ndm reads
+    # the embeddings count) — the persisted nd_ex index was built with
+    # the same divisor, so the equi-join keys line up at any width
+    bucket = _nd_bucket_sql("spark")
     return spark.sql(
         f"""
-WITH bex0 AS (
-  SELECT vec_id, bucket, posexplode(embedding) AS (dim, x)
-  FROM (SELECT vec_id, embedding, {bucket} AS bucket FROM _ing_batch)
+WITH {_nd_meta_cte('spark')},
+bex0 AS (
+  SELECT vec_id, bucket_full, posexplode(embedding) AS (dim, x)
+  FROM (SELECT vec_id, embedding, {bucket} AS bucket_full FROM _ing_batch)
 ),
 bex AS (
-  SELECT vec_id, bucket, dim,
+  SELECT vec_id, bucket_full DIV (SELECT d FROM ndm) AS bucket, dim,
          CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT) AS xd
   FROM bex0
 ),

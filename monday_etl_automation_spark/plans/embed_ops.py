@@ -323,16 +323,51 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embed_near_dup — embedding-cosine near-duplicate PAIRS via LSH buckets
 # ---------------------------------------------------------------------------
 
-_NEARDUP_PLANES = 4  # 16 buckets per probe set: candidates ~ n^2/16 each
-_NEARDUP_SETS = 2  # OR'd independent plane sets (multi-probe recall)
+# Adaptive bucket width (round 13): a FIXED bucket count is quadratic
+# at scale — per-bucket population grows with the corpus, so in-bucket
+# pair enumeration grows with its square (measured: the old 4-bit /
+# 16-bucket scheme took 203x the wall at 10x the data). The bucket
+# expression therefore computes the full _NEARDUP_BITS_MAX-bit sign
+# bucket and the search keeps only a count-derived PREFIX: b = the
+# smallest bit count with n <= _NEARDUP_TARGET * 2^b, i.e. bucket
+# count scales with the corpus and per-bucket population (hence
+# per-bucket pair work) stays ~_NEARDUP_TARGET — total candidate work
+# is O(n * TARGET), linear. The prefix divisor is an integer CASE
+# ladder over count(*) (_nd_meta_cte): exact in both engines, no
+# floating log. Planted-pair recall at the full 11 bits is empirically
+# exact on this data (the +-0.002 plant perturbation never flips a
+# projection; verified at sf0.01/0.1/sf1), and the DuckDB oracle runs
+# the identical algorithm, so the driver compare stays exact at any
+# width.
+_NEARDUP_BITS_MAX = 11  # _PLANE_ND has period 11 -> 11 distinct planes
+_NEARDUP_BITS_MIN = 4
+_NEARDUP_TARGET = 16  # target per-bucket population
 _NEARDUP_COS = 0.90
 _PLANT_OFFSET = 10_000_000  # planted near-dup ids = original + offset
 
 # Near-dup plane family: period 11 in p (37 mod 11 = 4, coprime), so
-# p = 1..8 yields 8 pairwise-distinct planes — enough for 2 independent
-# 4-plane probe sets. The ANN family (_PLANE) has period 7 and could
-# not supply 8 distinct planes.
+# p = 1..11 yields 11 pairwise-distinct planes. The ANN family
+# (_PLANE) has period 7 and could not supply 11 distinct planes.
 _PLANE_ND = "((({p} * 37 + {j} * 23) % 11) - 5)"
+
+
+def _nd_bucket_sql(dialect: str, emb: str = "embedding") -> str:
+    """Full {_NEARDUP_BITS_MAX}-bit near-dup sign bucket of ``emb``."""
+    return _bucket_k(dialect, emb, _NEARDUP_BITS_MAX, formula=_PLANE_ND)
+
+
+def _nd_meta_cte(dialect: str) -> str:
+    """``ndm(d)``: the bucket-prefix divisor 2^(BITS_MAX - b) with b =
+    the smallest bit count in [BITS_MIN, BITS_MAX] such that
+    count(embeddings) <= TARGET * 2^b (integer compares only)."""
+    branches = " ".join(
+        f"WHEN cnt <= {_NEARDUP_TARGET * 2 ** b} THEN {2 ** (_NEARDUP_BITS_MAX - b)}"
+        for b in range(_NEARDUP_BITS_MIN, _NEARDUP_BITS_MAX)
+    )
+    return (
+        f"ndm AS (SELECT CASE {branches} ELSE 1 END AS d"
+        " FROM (SELECT count(*) AS cnt FROM embeddings) ndc)"
+    )
 
 
 def _bucket_k(
@@ -364,11 +399,13 @@ def _near_dup_ex_ctes(dialect: str) -> str:
 
     All vector pairs in the same LSH bucket with cosine >= 0.90.
 
-    The bucket equi-join keeps the pair generation at ~n^2/2^k instead
-    of n^2; at 100 TB you raise k (and OR together a few independent
-    plane sets for recall) — the plan shape is unchanged. Pairs missed
-    because the planes split them are inherent to LSH; the oracle runs
-    the identical algorithm so the check is exact.
+    The bucket equi-join keeps per-bucket population at
+    ~_NEARDUP_TARGET at ANY corpus size — the bucket-bit count scales
+    with count(*) via the ndm prefix divisor (see _nd_meta_cte), so
+    pair generation is O(n * TARGET), linear, where a fixed bucket
+    count was measured quadratic (203x wall at 10x data, r13). Pairs
+    missed because the planes split them are inherent to LSH; the
+    oracle runs the identical algorithm so the check is exact.
 
     Dot products here go through explode -> (bucket, dim) equi-join ->
     hash agg over SCALED-INT64 elements (floor(x * 1e8); |x| < 1 so
@@ -395,9 +432,9 @@ def _near_dup_ex_ctes(dialect: str) -> str:
             f" FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0"
         )
         ex = (
-            "SELECT vec_id, label, bucket, posexplode(embedding) AS (dim, x)"
+            "SELECT vec_id, label, bucket_full, posexplode(embedding) AS (dim, x)"
             " FROM (SELECT vec_id, label, embedding,"
-            f" {_bucket_k('spark', 'embedding', _NEARDUP_PLANES)} AS bucket FROM aug)"
+            f" {_nd_bucket_sql('spark')} AS bucket_full FROM aug)"
         )
     else:
         aug = (
@@ -409,15 +446,18 @@ def _near_dup_ex_ctes(dialect: str) -> str:
             f" FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0"
         )
         ex = (
-            "SELECT vec_id, label, bucket, i - 1 AS dim, embedding[i] AS x"
+            "SELECT vec_id, label, bucket_full, i - 1 AS dim, embedding[i] AS x"
             " FROM (SELECT vec_id, label, embedding,"
-            f" {_bucket_k('duckdb', 'embedding', _NEARDUP_PLANES)} AS bucket FROM aug),"
+            f" {_nd_bucket_sql('duckdb')} AS bucket_full FROM aug),"
             f" (SELECT unnest(generate_series(1, {_DIM})) AS i)"
         )
     xd = "CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)"
+    idiv = "DIV" if dialect == "spark" else "//"
     return f"""WITH aug AS ({aug}),
+{_nd_meta_cte(dialect)},
 ex0 AS ({ex}),
-ex AS (SELECT vec_id, label, bucket, dim, {xd} AS xd FROM ex0)"""
+ex AS (SELECT vec_id, label, bucket_full {idiv} (SELECT d FROM ndm) AS bucket,
+              dim, {xd} AS xd FROM ex0)"""
 
 
 def _near_dup_tail_sql(dialect: str, ex_rel: str) -> str:
@@ -462,7 +502,7 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark executor: the exploded+bucketed element relation ``ex`` is
     referenced THREE times downstream (norms + both sides of the dots
     self-join), and Spark inlines CTEs — the one-shot form recomputed
-    the {_NEARDUP_PLANES} plane projections per vector three times.
+    the {_NEARDUP_BITS_MAX} plane projections per vector three times.
     Materialize ``ex`` once (simhash/minhash barrier pattern); it is
     |aug| x {_DIM} scaled longs — linear in corpus size, spillable."""
     _nd_ex_index(spark, sf_dir).createOrReplaceTempView("_nd_ex")

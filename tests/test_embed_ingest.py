@@ -123,7 +123,7 @@ def test_ingest_plans_never_scan_corpus(spark, sf_dir, batch):
 
 def test_embed_near_dup_batch(spark, sf_dir, batch):
     from monday_etl_automation_spark.plans.embed_ingest import embed_near_dup_batch
-    from monday_etl_automation_spark.plans.embed_ops import _NEARDUP_PLANES, _bucket_k
+    from monday_etl_automation_spark.plans.embed_ops import _nd_bucket_sql, _nd_meta_cte
 
     rows = {r.vec_id: r for r in embed_near_dup_batch(spark, sf_dir, batch).collect()}
     assert set(rows) == {v + _OFF for v in (_CLONE, _PERT, _FRESH, _TINY)}
@@ -136,13 +136,15 @@ def test_embed_near_dup_batch(spark, sf_dir, batch):
     # Whether the perturbed vector shares its source's bucket is a
     # property of the current (regenerating) testdata, so assert the
     # implication, not the collision.
-    bucket = _bucket_k("spark", "embedding", _NEARDUP_PLANES)
+    bucket = _nd_bucket_sql("spark")
     batch.createOrReplaceTempView("_ing_batch_t")
     b_bucket = spark.sql(
-        f"SELECT {bucket} AS b FROM _ing_batch_t WHERE vec_id = {_TINY + _OFF}"
+        f"WITH {_nd_meta_cte('spark')} SELECT {bucket} DIV (SELECT d FROM ndm) AS b"
+        f" FROM _ing_batch_t WHERE vec_id = {_TINY + _OFF}"
     ).collect()[0].b
     c_bucket = spark.sql(
-        f"SELECT {bucket} AS b FROM embeddings WHERE vec_id = {_TINY}"
+        f"WITH {_nd_meta_cte('spark')} SELECT {bucket} DIV (SELECT d FROM ndm) AS b"
+        f" FROM embeddings WHERE vec_id = {_TINY}"
     ).collect()[0].b
     r = rows[_TINY + _OFF]
     if b_bucket == c_bucket:
