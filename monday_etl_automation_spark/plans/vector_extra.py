@@ -4,7 +4,7 @@ driver's hard correctness oracle (SURVEY.md §2.12).
 PQ/ADC search, IVF-PQ search, BM25 ranked retrieval, and the snapshot
 drift monitor each have full DuckDB twins, but lived outside the
 driver's 50-entry correctness window as pytest-only twins. This module
-rides all four in ONE union-tagged relation (the ``tpch_extra``
+rides the whole family in ONE union-tagged relation (the ``tpch_extra``
 pattern, plans/relational_extra.py): disjoint shapes, per-shape NULL
 columns lose nothing, and the driver's rows+schema+hash compare covers
 the whole family under a single registry slot.

@@ -21,7 +21,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the r11 bench's top cost centers + the flagship + one family rep each
+# the bench's top cost centers + the flagship + one family rep each;
+# r13 adds the rest of the vector family — the r12 probe caught
+# cosine_topk's quadratic, and the r13 family sweep caught
+# embed_near_dup's (fixed-bucket) one, so the whole family stays
+# under measurement from now on
 PROBE = (
     "text_profile",
     "stateful_user_totals",
@@ -32,6 +36,9 @@ PROBE = (
     "minhash_lsh_candidates",
     "dedup_exact",
     "cosine_topk",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "embed_near_dup",
     "stream_tumbling_replay",
 )
 
