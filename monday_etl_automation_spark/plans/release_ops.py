@@ -42,6 +42,7 @@ from monday_etl_automation_spark.plans.decontam_ops import (
     _BENCH_MOD,
     _HIT_MIN,
     _NGRAM,
+    _gram_hash_array_sql,
     _ngram_hash_cte,
     scrub_expr,
 )
@@ -54,7 +55,9 @@ from monday_etl_automation_spark.sources.tables import register_views
 def _contaminated_ids(spark: SparkSession) -> DataFrame:
     """Corpus docs sharing >= {_HIT_MIN} distinct word-{_NGRAM}-grams
     with the eval slice — the real-text form of decontam_ops'
-    benchmark_overlap (same hash CTE, no planted sentinels)."""
+    benchmark_overlap (same hash family, no planted sentinels; r13:
+    same row-local array-intersect shape — the bench-gram set is
+    collected once and broadcast, the corpus side is map-only)."""
     return spark.sql(
         f"""
 WITH corpus AS (
@@ -65,12 +68,12 @@ bench AS (
   SELECT doc_id, coalesce(text, '') AS text FROM documents
   WHERE doc_id % {_BENCH_MOD} = 0
 ),
-{_ngram_hash_cte('spark', 'corpus', 'cg')},
 {_ngram_hash_cte('spark', 'bench', 'bg')},
+bset AS (SELECT collect_set(h) AS hs FROM bg),
+gha AS ({_gram_hash_array_sql('spark', 'corpus')}),
 hits AS (
-  SELECT cg.doc_id, count(DISTINCT cg.h) AS n_hits
-  FROM cg JOIN (SELECT DISTINCT h FROM bg) b ON cg.h = b.h
-  GROUP BY cg.doc_id
+  SELECT doc_id, coalesce(size(array_intersect(gh, hs)), 0) AS n_hits
+  FROM gha CROSS JOIN bset
 )
 SELECT doc_id FROM hits WHERE n_hits >= {_HIT_MIN}
 """.strip()

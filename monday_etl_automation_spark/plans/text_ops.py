@@ -302,8 +302,6 @@ _MIX_BUDGET = 4_000
 
 def _text_profile_sql(dialect: str) -> str:
     from monday_etl_automation_spark.plans.decontam_ops import (
-        _BENCH_MOD,
-        _HIT_MIN,
         overlap_flags_ctes,
         pii_counts_ctes,
     )
@@ -389,10 +387,8 @@ SELECT
   -- verbatim with plans/decontam_ops.py's standalone audits and the
   -- release pipeline's scrub chain). decon_* are NULL for benchmark
   -- docs (doc_id % 97 == 0) — they're the eval set, not candidates.
-  CASE WHEN hs.doc_id % {_BENCH_MOD} = 0 THEN CAST(NULL AS BIGINT)
-       ELSE CAST(coalesce(dfl.n_hits, 0) AS BIGINT) END AS decon_hits,
-  CASE WHEN hs.doc_id % {_BENCH_MOD} = 0 THEN CAST(NULL AS INT)
-       WHEN coalesce(dfl.n_hits, 0) >= {_HIT_MIN} THEN 1 ELSE 0 END AS decon_flag,
+  dfl.n_hits AS decon_hits,
+  dfl.is_contaminated AS decon_flag,
   pz.pii_found,
   pz.residual_pii,
   coalesce(r.keep_rate, CAST(0.0 AS DOUBLE)) AS mix_keep_rate,
@@ -403,13 +399,11 @@ SELECT
        THEN 1 ELSE 0 END AS INT) AS mix_kept
 FROM hs
 LEFT JOIN mr_rates r ON hs.source = r.source
--- join dc_hits (hit docs only), NOT dc_flags: flags' all-corpus left
--- join re-scans documents a 4th time just to emit its zeros — hs
--- already enumerates every doc, so the zeros/bench-NULLs are CASE
--- expressions here and the unreferenced dc_flags CTE is pruned by
--- both engines. Join keys renamed so the gate/fp expressions'
--- unqualified doc_id keeps resolving to hs alone.
-LEFT JOIN (SELECT dc_hits.doc_id AS dc_doc_id, n_hits FROM dc_hits) dfl
+-- dc_flags covers every NON-bench doc (row-local intersect, no
+-- corpus-side explode/join), so the left join gives bench docs NULL
+-- decon columns by construction. Join keys renamed so the gate/fp
+-- expressions' unqualified doc_id keeps resolving to hs alone.
+LEFT JOIN (SELECT doc_id AS dc_doc_id, n_hits, is_contaminated FROM dc_flags) dfl
   ON hs.doc_id = dfl.dc_doc_id
 JOIN (SELECT doc_id AS pz_doc_id, pii_found, residual_pii FROM pz_pii) pz
   ON hs.doc_id = pz.pz_doc_id

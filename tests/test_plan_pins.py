@@ -37,10 +37,12 @@ _PINS: dict[str, tuple[int, int, bool]] = {
     # group for the cumulative window (1 more, over ~150 rows)
     "quantile_stats": (2, 0, False),
     "dedup_exact": (1, 0, False),
-    # r13: +3 exchanges from the decon columns (n-gram distinct +
-    # per-doc hit agg + hit join), all over gram-hash rows, broadcasts
-    # enforced on the bench-gram + rates + hits + pii joins
-    "text_profile": (4, 10, True),
+    # r13: decon/PII columns added at ZERO new hash exchanges — the
+    # corpus side is a row-local gram-hash array intersect against the
+    # broadcast bench set (the exploded equi-join draft cost +3
+    # exchanges and 2.6x the wall); broadcasts enforced on the
+    # bench-set + rates + flags + pii joins
+    "text_profile": (1, 9, True),
     "semi_anti_customers": (1, 2, True),
     "temporal_joins": (3, 4, True),
     # includes the rrf shape (r12): fusion rides the persisted
