@@ -39,6 +39,15 @@ from pyspark.sql import DataFrame, SparkSession
 from monday_etl_automation_spark.sources.tables import register_views
 
 _BENCH_MOD = 97  # doc_id % 97 == 0 -> benchmark (eval-set stand-in)
+# FIXED eval-set extent: real benchmark suites are KB–MB and do not
+# grow with the training corpus, but the % 97 slice does — at 10x data
+# the bench-gram set is 10x larger and every corpus doc's collision
+# check pays for it (the same corpus-proportional-set trap as r12's
+# cosine query set; measured 22.9x wall at 10x data before the cap).
+# doc_id < 5000 covers every doc at the correctness SFs (sf0.001/0.01/
+# 0.1 ids are all < 5000 — values there are bit-identical with or
+# without the cap) and pins the eval set at 52 docs beyond them.
+_BENCH_CAP = 5000
 _PLANT_MOD = 31  # planted-contaminated corpus docs
 _NGRAM = 5  # word n-gram size (collision unit)
 _HIT_MIN = 3  # distinct shared n-grams to call a doc contaminated
@@ -151,7 +160,8 @@ def overlap_flags_ctes(dialect: str, prefix: str = "") -> str:
               ELSE coalesce(text, '') END AS text
   FROM documents
 ),
-{p}bench AS (SELECT doc_id, text FROM {p}aug WHERE doc_id % {_BENCH_MOD} = 0),
+{p}bench AS (SELECT doc_id, text FROM {p}aug
+             WHERE doc_id % {_BENCH_MOD} = 0 AND doc_id < {_BENCH_CAP}),
 {_ngram_hash_cte(dialect, f"{p}bench", f"{p}bg")},
 {p}bset AS (SELECT {bset} AS hs FROM {p}bg),
 {p}flags AS (

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from monday_etl_automation_spark.plans.corpus_ops import corpus_prep
 from monday_etl_automation_spark.plans.decontam_ops import (
+    _BENCH_CAP,
     _BENCH_MOD,
     _HIT_MIN,
     _NGRAM,
@@ -65,8 +66,11 @@ WITH corpus AS (
   WHERE doc_id % {_BENCH_MOD} <> 0
 ),
 bench AS (
+  -- the FIXED eval set (decontam_ops._BENCH_CAP): the gram table a
+  -- decontam job holds is benchmark-sized, not a corpus share; the
+  -- release EXCLUSION below still drops every % {_BENCH_MOD} doc
   SELECT doc_id, coalesce(text, '') AS text FROM documents
-  WHERE doc_id % {_BENCH_MOD} = 0
+  WHERE doc_id % {_BENCH_MOD} = 0 AND doc_id < {_BENCH_CAP}
 ),
 {_ngram_hash_cte('spark', 'bench', 'bg')},
 bset AS (SELECT collect_set(h) AS hs FROM bg),
