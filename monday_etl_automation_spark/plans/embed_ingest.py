@@ -45,7 +45,6 @@ from monday_etl_automation_spark.plans.embed_ops import (
     _ivf_ranked_sql,
     _nd_bucket_sql,
     _nd_ex_index,
-    _nd_meta_cte,
     _train_ivf,
 )
 from monday_etl_automation_spark.plans.pq_ops import (
@@ -124,21 +123,23 @@ def embed_near_dup_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) 
     Returns one row per batch vector:
     (vec_id, has_near_dup, nearest_corpus_vec_id, cosine)."""
     register_views(spark, sf_dir)
-    _nd_ex_index(spark, sf_dir).createOrReplaceTempView("_ing_nd_ex")
+    ndex, nd_d = _nd_ex_index(spark, sf_dir)
+    ndex.createOrReplaceTempView("_ing_nd_ex")
     _batch_view(spark, new_vecs, "_ing_batch")
-    # batch buckets use the CORPUS-derived prefix divisor (ndm reads
-    # the embeddings count) — the persisted nd_ex index was built with
-    # the same divisor, so the equi-join keys line up at any width
+    # batch buckets use the EXACT divisor the persisted nd_ex index was
+    # built with (cached alongside the index handle) — re-deriving it
+    # from the live embeddings view could silently misalign the
+    # equi-join keys after a test view-override or mid-session data
+    # change (r13 ADVICE)
     bucket = _nd_bucket_sql("spark")
     return spark.sql(
         f"""
-WITH {_nd_meta_cte('spark')},
-bex0 AS (
+WITH bex0 AS (
   SELECT vec_id, bucket_full, posexplode(embedding) AS (dim, x)
   FROM (SELECT vec_id, embedding, {bucket} AS bucket_full FROM _ing_batch)
 ),
 bex AS (
-  SELECT vec_id, bucket_full DIV (SELECT d FROM ndm) AS bucket, dim,
+  SELECT vec_id, bucket_full DIV {nd_d} AS bucket, dim,
          CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT) AS xd
   FROM bex0
 ),

@@ -102,11 +102,11 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Fixed pseudo-random hyperplanes; component j of plane p is a
 # deterministic small integer in [-3, 3] (identical in both engines).
-# Plane vectors repeat with period 7 in p (31 mod 7), so this legacy
-# family supports at most 7 independent planes — the ANN probe sets
-# below use the Knuth-mix family (_plane_mix, effectively unlimited
-# distinct planes) and the near-dup multi-probe sets use _PLANE_ND.
-_PLANE = "((({p} * 31 + {j} * 17) % 7) - 3)"
+# The legacy linear family ((p*31 + j*17) % 7 - 3) repeated with
+# period 7 in p, so it supported at most 7 independent planes — the
+# ANN probe sets AND (since round 14) the near-dup buckets both use
+# the Knuth-mix family (_plane_mix, effectively unlimited distinct
+# planes).
 _ANN_PLANES = 4  # per probe set: 16 buckets
 _ANN_SETS = 4  # OR'd independent plane sets (recall amplification)
 # IVF probes the query's 12 nearest k-means centroids (of _IVF_NCENT):
@@ -125,9 +125,9 @@ def _plane_mix(dialect: str, p: int) -> str:
     """Component j (0-based SQL variable ``{j}``) of hyperplane p from
     a Knuth-multiplicative mix: well-decorrelated across (p, j), value
     uniform in [-3, 3], pure BIGINT arithmetic so both engines agree
-    exactly. The legacy linear family (_PLANE) repeats with period 7
-    and its sign pattern is correlated across planes, which measurably
-    caps OR-amplified recall (0.76 vs 0.96 at 4x4 probe sets on the
+    exactly. The legacy linear family repeated with period 7 and its
+    sign pattern was correlated across planes, which measurably capped
+    OR-amplified recall (0.76 vs 0.96 at 4x4 probe sets on the
     synthetic embeddings)."""
     idiv = "DIV" if dialect == "spark" else "//"
     return (
@@ -334,26 +334,63 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-bucket pair work) stays ~_NEARDUP_TARGET — total candidate work
 # is O(n * TARGET), linear. The prefix divisor is an integer CASE
 # ladder over count(*) (_nd_meta_cte): exact in both engines, no
-# floating log. Planted-pair recall at the full 11 bits is empirically
-# exact on this data (the +-0.002 plant perturbation never flips a
-# projection; verified at sf0.01/0.1/sf1), and the DuckDB oracle runs
-# the identical algorithm, so the driver compare stays exact at any
-# width.
-_NEARDUP_BITS_MAX = 11  # _PLANE_ND has period 11 -> 11 distinct planes
+# floating log. The DuckDB oracle runs the identical algorithm, so the
+# driver compare stays exact at any width; planted-pair recall is
+# measured (not pinned exact — a plant CAN straddle a hyperplane):
+# 10/10 at sf0.01, 40/40 at sf0.1, 394/400 at 10x, 1189/1200 at 30x.
+#
+# Round 14: buckets now come from the _plane_mix Knuth-mix family
+# (unlimited pairwise-distinct planes) instead of the legacy 11-plane
+# _PLANE_ND linear family, so the ladder no longer saturates at 2^11
+# buckets (~33k vectors at TARGET=16, SCALE.md's documented cliff —
+# past it per-bucket population grew linearly again and pair work went
+# quadratic). _NEARDUP_BITS_MAX=24 caps capacity at ~2^24*16 = 268M
+# vectors; raising it further is a one-constant change because every
+# consumer (the one-shot oracle, the Spark index builder, the ingest
+# batch twin) derives both the bucket expression and the divisor
+# ladder from the same constants below.
+_NEARDUP_BITS_MAX = 24
 _NEARDUP_BITS_MIN = 4
 _NEARDUP_TARGET = 16  # target per-bucket population
 _NEARDUP_COS = 0.90
 _PLANT_OFFSET = 10_000_000  # planted near-dup ids = original + offset
 
-# Near-dup plane family: period 11 in p (37 mod 11 = 4, coprime), so
-# p = 1..11 yields 11 pairwise-distinct planes. The ANN family
-# (_PLANE) has period 7 and could not supply 11 distinct planes.
-_PLANE_ND = "((({p} * 37 + {j} * 23) % 11) - 5)"
+# Near-dup planes are _plane_mix planes _ND_PLANE_BASE..BASE+MAX-1 — a
+# range disjoint from the ANN probe sets (planes 1..16) so the two
+# bucketings stay decorrelated.
+_ND_PLANE_BASE = 101
 
 
 def _nd_bucket_sql(dialect: str, emb: str = "embedding") -> str:
-    """Full {_NEARDUP_BITS_MAX}-bit near-dup sign bucket of ``emb``."""
-    return _bucket_k(dialect, emb, _NEARDUP_BITS_MAX, formula=_PLANE_ND)
+    """Full {_NEARDUP_BITS_MAX}-bit near-dup sign bucket of ``emb``
+    (mix-planes BASE..BASE+MAX-1; bit i weights plane BASE+i by 2^i,
+    so the ndm prefix divisor keeps the HIGHEST-indexed planes)."""
+    bits = []
+    for i in range(_NEARDUP_BITS_MAX):
+        p = _ND_PLANE_BASE + i
+        bits.append(
+            f"(CASE WHEN {_proj_mix(dialect, emb, p)} > 0 THEN {2 ** i} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def _nd_ladder() -> list[tuple[int, int]]:
+    """(count-threshold, divisor) rungs of the adaptive prefix ladder —
+    the ONE source both the SQL CASE (_nd_meta_cte) and the Python
+    divisor (_nd_divisor, used to pin the cached index's divisor per
+    the snapshot-cache coupling rule) are generated from."""
+    return [
+        (_NEARDUP_TARGET * 2**b, 2 ** (_NEARDUP_BITS_MAX - b))
+        for b in range(_NEARDUP_BITS_MIN, _NEARDUP_BITS_MAX)
+    ]
+
+
+def _nd_divisor(cnt: int) -> int:
+    """Python twin of the ndm CASE ladder."""
+    for threshold, d in _nd_ladder():
+        if cnt <= threshold:
+            return d
+    return 1
 
 
 def _nd_meta_cte(dialect: str) -> str:
@@ -361,8 +398,7 @@ def _nd_meta_cte(dialect: str) -> str:
     the smallest bit count in [BITS_MIN, BITS_MAX] such that
     count(embeddings) <= TARGET * 2^b (integer compares only)."""
     branches = " ".join(
-        f"WHEN cnt <= {_NEARDUP_TARGET * 2 ** b} THEN {2 ** (_NEARDUP_BITS_MAX - b)}"
-        for b in range(_NEARDUP_BITS_MIN, _NEARDUP_BITS_MAX)
+        f"WHEN cnt <= {threshold} THEN {d}" for threshold, d in _nd_ladder()
     )
     return (
         f"ndm AS (SELECT CASE {branches} ELSE 1 END AS d"
@@ -370,32 +406,16 @@ def _nd_meta_cte(dialect: str) -> str:
     )
 
 
-def _bucket_k(
-    dialect: str, emb: str, n_planes: int, formula: str = _PLANE, start: int = 1
-) -> str:
-    """n_planes-bit sign-bucket id from planes start..start+n_planes-1
-    of the given plane family."""
-    bits = []
-    for i, p in enumerate(range(start, start + n_planes)):
-        if dialect == "spark":
-            proj = (
-                f"aggregate(zip_with({emb}, sequence(0, {_DIM - 1}),"
-                f" (x, j) -> CAST(x AS DOUBLE) * {formula.format(p=p, j='j')}),"
-                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            )
-        else:
-            proj = (
-                f"reduce([CAST({emb}[i] AS DOUBLE) * {formula.format(p=p, j='(i - 1)')}"
-                f" for i in range(1, {_DIM + 1})], (acc, v) -> acc + v)"
-            )
-        bits.append(f"(CASE WHEN {proj} > 0 THEN {2 ** i} ELSE 0 END)")
-    return " + ".join(bits)
-
-
-def _near_dup_ex_ctes(dialect: str) -> str:
+def _near_dup_ex_ctes(dialect: str, divisor: int | None = None) -> str:
     """WITH-chain producing ``ex`` — the planted+bucketed exploded
     element relation the near-dup search runs on (see _near_dup_sql
     for the algorithm contract).
+
+    ``divisor``: when given (the Spark index builder passes the
+    Python-computed ladder value so it can be CACHED alongside the
+    index handle — see _nd_ex_index), the prefix divisor is inlined as
+    a literal and the ndm CTE is dropped; the one-shot oracle leaves
+    it None and derives the identical value in-SQL from count(*).
 
     All vector pairs in the same LSH bucket with cosine >= 0.90.
 
@@ -453,10 +473,15 @@ def _near_dup_ex_ctes(dialect: str) -> str:
         )
     xd = "CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)"
     idiv = "DIV" if dialect == "spark" else "//"
+    if divisor is None:
+        meta = f"{_nd_meta_cte(dialect)},\n"
+        d_expr = "(SELECT d FROM ndm)"
+    else:
+        meta = ""
+        d_expr = str(int(divisor))
     return f"""WITH aug AS ({aug}),
-{_nd_meta_cte(dialect)},
-ex0 AS ({ex}),
-ex AS (SELECT vec_id, label, bucket_full {idiv} (SELECT d FROM ndm) AS bucket,
+{meta}ex0 AS ({ex}),
+ex AS (SELECT vec_id, label, bucket_full {idiv} {d_expr} AS bucket,
               dim, {xd} AS xd FROM ex0)"""
 
 
@@ -505,26 +530,37 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the {_NEARDUP_BITS_MAX} plane projections per vector three times.
     Materialize ``ex`` once (simhash/minhash barrier pattern); it is
     |aug| x {_DIM} scaled longs — linear in corpus size, spillable."""
-    _nd_ex_index(spark, sf_dir).createOrReplaceTempView("_nd_ex")
+    ex, _ = _nd_ex_index(spark, sf_dir)
+    ex.createOrReplaceTempView("_nd_ex")
     return spark.sql(f"WITH {_near_dup_tail_sql('spark', '_nd_ex')}")
 
 
-def _nd_ex_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The exploded+bucketed element relation — the ONE builder of the
+def _nd_ex_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """(element relation, prefix divisor) — the ONE builder of the
     ``nd_ex`` session artifact (shared by embed_near_dup and the batch
     near-dup screen in plans/embed_ingest.py; a second independent
     builder would let a format change in one silently poison the
-    other through the shared cache)."""
+    other through the shared cache).
+
+    The divisor is computed ONCE from the snapshot's count and cached
+    WITH the index handle: a consumer that re-derived it from the live
+    ``embeddings`` view (as embed_near_dup_batch did before round 14)
+    would silently bucket its batch against the wrong width whenever a
+    test view-override or mid-session data change diverged the view
+    from the snapshot the persisted index was built on."""
     register_views(spark, sf_dir)
     cache = session_artifact_cache(spark, "nd_ex")
     key = snapshot_key(sf_dir, "embeddings")
-    ex = cache.get(key)
-    if ex is None:
-        ex = spark.sql(f"{_near_dup_ex_ctes('spark')}\nSELECT * FROM ex").localCheckpoint(
-            eager=True
-        )
-        cache[key] = ex
-    return ex
+    hit = cache.get(key)
+    if hit is None:
+        cnt = spark.sql("SELECT count(*) FROM embeddings").collect()[0][0]
+        d = _nd_divisor(cnt)
+        ex = spark.sql(
+            f"{_near_dup_ex_ctes('spark', divisor=d)}\nSELECT * FROM ex"
+        ).localCheckpoint(eager=True)
+        hit = (ex, d)
+        cache[key] = hit
+    return hit
 
 
 # ---------------------------------------------------------------------------

@@ -222,3 +222,76 @@ def test_ivfpq_search_batch_finds_sources(spark, sf_dir, batch):
         per_q[r.query_id] = max(per_q.get(r.query_id, 0), r.rk)
     assert set(per_q) == {v + _OFF for v in (_CLONE, _PERT, _FRESH, _TINY)}
     assert all(v == 5 for v in per_q.values())
+
+
+# ---------------------------------------------------------------------------
+# round 14: the adaptive near-dup prefix ladder (mix-plane family)
+# ---------------------------------------------------------------------------
+
+
+def test_nd_ladder_python_sql_parity():
+    """The Python divisor (cached with the persisted index) and the
+    oracle's in-SQL CASE ladder must agree at every rung boundary —
+    they are generated from the same _nd_ladder() source, and this pin
+    keeps them that way."""
+    from monday_etl_automation_spark.plans.embed_ops import (
+        _NEARDUP_BITS_MAX,
+        _NEARDUP_BITS_MIN,
+        _NEARDUP_TARGET,
+        _nd_divisor,
+        _nd_meta_cte,
+    )
+
+    con = duckdb.connect()
+    probe = [1, 2]
+    for b in range(_NEARDUP_BITS_MIN, _NEARDUP_BITS_MAX + 1):
+        t = _NEARDUP_TARGET * 2**b
+        probe += [t - 1, t, t + 1]
+    for cnt in probe:
+        sql = (
+            f"WITH c AS (SELECT {cnt} AS cnt), "
+            + _nd_meta_cte("duckdb").replace(
+                "(SELECT count(*) AS cnt FROM embeddings) ndc", "c ndc"
+            )
+            + " SELECT d FROM ndm"
+        )
+        assert con.sql(sql).fetchone()[0] == _nd_divisor(cnt), cnt
+    con.close()
+
+
+def test_nd_ladder_extends_past_legacy_saturation():
+    """The r13 _PLANE_ND family had 11 distinct planes, so the ladder
+    saturated at 2^11 buckets (~33k vectors at TARGET=16) and pair
+    work went quadratic past it (SCALE.md). The mix-plane ladder must
+    keep widening: per-bucket population (cnt * divisor / 2^BITS_MAX)
+    stays <= TARGET until the 2^BITS_MAX capacity (~268M vectors)."""
+    from monday_etl_automation_spark.plans.embed_ops import (
+        _NEARDUP_BITS_MAX,
+        _NEARDUP_TARGET,
+        _nd_divisor,
+    )
+
+    assert _NEARDUP_BITS_MAX >= 20  # far past the legacy 11-bit cliff
+    for cnt in (33_000, 60_000, 200_000, 5_000_000, 100_000_000):
+        buckets = 2**_NEARDUP_BITS_MAX // _nd_divisor(cnt)
+        assert cnt / buckets <= _NEARDUP_TARGET, (cnt, buckets)
+    # legacy saturation point: 33k vectors now get > 2^11 buckets
+    assert 2**_NEARDUP_BITS_MAX // _nd_divisor(33_000) > 2**11
+
+
+def test_nd_index_divisor_matches_snapshot_count(spark, sf_dir):
+    """The divisor travels WITH the cached index handle and equals the
+    ladder value of the snapshot's own count — the coupling the batch
+    near-dup path relies on (r13 ADVICE: a live-view re-derivation
+    could silently misalign batch vs index bucket keys)."""
+    from monday_etl_automation_spark.plans.embed_ops import _nd_divisor, _nd_ex_index
+
+    ex, d = _nd_ex_index(spark, sf_dir)
+    cnt = spark.sql("SELECT count(*) FROM embeddings").collect()[0][0]
+    assert d == _nd_divisor(cnt)
+    # the persisted buckets are consistent with that divisor: every
+    # bucket id fits in 2^BITS_MAX / d
+    from monday_etl_automation_spark.plans.embed_ops import _NEARDUP_BITS_MAX
+
+    hi = ex.selectExpr("max(bucket) AS m").collect()[0].m
+    assert 0 <= hi < 2**_NEARDUP_BITS_MAX // d
