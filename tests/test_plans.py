@@ -117,3 +117,40 @@ def test_no_cartesian_product(spark, sf_dir, name):
     a bounded query/dim set — cosine/near-dup brute-force baselines.)"""
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_fuzzy_word_band_retention():
+    """The word-band blocking key drops only pairs whose EVERY name
+    word was edited — pin its measured pair retention vs the pure
+    (brand, size) blocking at sf0.01 (the pytest SF has zero fuzzy
+    pairs). Pure DuckDB: this is a data property of the blocking
+    design, not a Spark plan property. Measured 224/227 = 98.7% at
+    sf0.01 and 21438/21739 = 98.6% at sf0.1 (r14)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM '/root/testdata/sf0.01/part.parquet'"
+    )
+    n_exact, n_blocked = con.sql(
+        """
+WITH exact AS (
+  SELECT a.p_partkey pa, b.p_partkey pb FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4),
+k AS (SELECT p_partkey, p_brand, p_size, p_name,
+             unnest(string_split(p_name, ' ')) w FROM part),
+cand AS (
+  SELECT DISTINCT a.p_partkey pa, b.p_partkey pb FROM k a JOIN k b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.w = b.w
+   AND a.p_partkey < b.p_partkey),
+blocked AS (
+  SELECT c.* FROM cand c
+  JOIN part a ON c.pa = a.p_partkey JOIN part b ON c.pb = b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4)
+SELECT (SELECT count(*) FROM exact), (SELECT count(*) FROM blocked)
+"""
+    ).fetchone()
+    con.close()
+    assert n_exact > 0, "sf0.01 lost its fuzzy pairs — re-measure the blocking"
+    assert n_blocked / n_exact >= 0.95, f"retention {n_blocked}/{n_exact}"
