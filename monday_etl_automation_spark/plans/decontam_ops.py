@@ -61,6 +61,16 @@ _TOKS = {
     "duckdb": "regexp_split_to_array(trim(coalesce(text, '')), '\\s+')",
 }
 
+# the sentinel as a token array — for the pretokenized fragment path,
+# where augmentation happens at token level (toks || sentinel toks ==
+# tokens of (text || ' sentinel') whenever text has a non-whitespace
+# char, which the corpus always does — and BOTH engines run the same
+# token-level form, so the twin compare is exact regardless)
+_SENT_ARR = {
+    "spark": "array(" + ", ".join(f"'{w}'" for w in _SENTINEL.split()) + ")",
+    "duckdb": "[" + ", ".join(f"'{w}'" for w in _SENTINEL.split()) + "]",
+}
+
 
 def _ngram_hash_cte(dialect: str, src: str, out: str) -> str:
     """{out}(doc_id, h): the distinct {_NGRAM}-gram 60-bit hashes of
@@ -95,42 +105,83 @@ def _ngram_hash_cte(dialect: str, src: str, out: str) -> str:
 )"""
 
 
-def _gram_hash_array_sql(dialect: str, src: str) -> str:
-    """``SELECT doc_id, gh`` over ``{src}(doc_id, text)`` where ``gh``
-    is the ROW-LOCAL array of {_NGRAM}-gram 60-bit hashes — the same
-    hash family as _ngram_hash_cte, kept as an array instead of
-    exploded rows. At corpus scale the explode materializes ~|tokens|
-    string rows per doc through the shuffle machinery (measured 3s of
-    the 4s standalone overlap wall at sf0.1); the array form stays
-    inside the row and the collision check becomes one
-    array-intersect per doc against the broadcast bench-gram set."""
-    toks = _TOKS[dialect]
+def gram_hash_expr(dialect: str, toks_expr: str = "toks") -> str:
+    """The ROW-LOCAL {_NGRAM}-gram 60-bit hash ARRAY of a token-array
+    expression — the one gram+hash definition every decon surface
+    (standalone overlap, release scrub, text_profile's inline decon
+    columns) derives from."""
     if dialect == "spark":
         grams = (
-            f"CASE WHEN size(toks) >= {_NGRAM} THEN"
-            f" transform(sequence(0, size(toks) - {_NGRAM}),"
-            f" i -> concat_ws(' ', slice(toks, i + 1, {_NGRAM})))"
+            f"CASE WHEN size({toks_expr}) >= {_NGRAM} THEN"
+            f" transform(sequence(0, size({toks_expr}) - {_NGRAM}),"
+            f" i -> concat_ws(' ', slice({toks_expr}, i + 1, {_NGRAM})))"
             " ELSE array() END"
         )
-        gh = "transform(grams, g -> CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))"
-    else:
-        grams = (
-            f"CASE WHEN len(toks) >= {_NGRAM} THEN"
-            f" [array_to_string(toks[i:i + {_NGRAM} - 1], ' ')"
-            f" for i in range(1, len(toks) - {_NGRAM} + 2)]"
-            " ELSE [] END"
+        return (
+            f"transform({grams},"
+            " g -> CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))"
         )
-        gh = "list_transform(grams, g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))"
-    return f"""SELECT doc_id, {gh} AS gh
-  FROM (SELECT doc_id, {grams} AS grams
-        FROM (SELECT doc_id, {toks} AS toks FROM {src}) t0) t1"""
+    grams = (
+        f"CASE WHEN len({toks_expr}) >= {_NGRAM} THEN"
+        f" [array_to_string(({toks_expr})[i:i + {_NGRAM} - 1], ' ')"
+        f" for i in range(1, len({toks_expr}) - {_NGRAM} + 2)]"
+        " ELSE [] END"
+    )
+    return f"list_transform({grams}, g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))"
+
+
+def dc_corpus_toks_expr(dialect: str, toks: str = "toks") -> str:
+    """Sentinel augmentation at TOKEN level (r14): identical to
+    tokenizing the sentinel-appended text for any doc whose text has a
+    non-whitespace char, and mirrored verbatim by the oracle — lets a
+    caller that already tokenized the corpus (text_profile) reuse its
+    token pass instead of paying a second tokenize."""
+    concat = "concat" if dialect == "spark" else "list_concat"
+    return (
+        f"CASE WHEN doc_id % {_BENCH_MOD} = 0 OR doc_id % {_PLANT_MOD} = 0"
+        f" THEN {concat}({toks}, {_SENT_ARR[dialect]})"
+        f" ELSE {toks} END"
+    )
+
+
+def _gram_hash_array_sql(dialect: str, src: str) -> str:
+    """``SELECT doc_id, gh`` over ``{src}(doc_id, text)`` where ``gh``
+    is the ROW-LOCAL array of {_NGRAM}-gram 60-bit hashes
+    (gram_hash_expr), kept as an array instead of exploded rows. At
+    corpus scale the explode materializes ~|tokens| string rows per
+    doc through the shuffle machinery (measured 3s of the 4s
+    standalone overlap wall at sf0.1); the array form stays inside the
+    row and the collision check becomes one array-intersect per doc
+    against the broadcast bench-gram set."""
+    return f"""SELECT doc_id, {gram_hash_expr(dialect, "toks")} AS gh
+  FROM (SELECT doc_id, {_TOKS[dialect]} AS toks FROM {src}) t0"""
+
+
+def bench_set_ctes(dialect: str, prefix: str = "") -> str:
+    """WITH-fragment ending in ``{prefix}bset(hs)`` — the ONE-row,
+    one-array benchmark n-gram hash set (sentinel-augmented %
+    {_BENCH_MOD} docs under the fixed {_BENCH_CAP} cap). Benchmark
+    suites are KB–MB at any corpus scale, so this side is always
+    broadcast-sized; the doc_id filter pushes to the scan."""
+    p = prefix
+    bset = "collect_set(h)" if dialect == "spark" else "list(DISTINCT h)"
+    bench = f"""{p}bench AS (
+  SELECT doc_id, coalesce(text, '') || ' {_SENTINEL}' AS text
+  FROM documents
+  WHERE doc_id % {_BENCH_MOD} = 0 AND doc_id < {_BENCH_CAP}
+)"""
+    return f"""{bench},
+{_ngram_hash_cte(dialect, f"{p}bench", f"{p}bg")},
+{p}bset AS (SELECT {bset} AS hs FROM {p}bg)"""
 
 
 def overlap_flags_ctes(dialect: str, prefix: str = "") -> str:
     """WITH-fragment ending in ``{prefix}flags(doc_id, n_hits,
-    is_contaminated)`` — one row per NON-benchmark doc. Shared by the
-    standalone benchmark_overlap operator and the driver-registered
-    decon columns of text_profile (plans/text_ops.py), so the
+    is_contaminated)`` — one row per NON-benchmark doc. The corpus
+    side tokenizes ``documents`` itself (the standalone operator
+    path); text_profile (plans/text_ops.py) instead composes
+    bench_set_ctes + dc_corpus_toks_expr + gram_hash_expr inline over
+    its existing token pass — same building blocks, so the
     decontamination the driver hashes is the decontamination the
     release pipeline applies.
 
@@ -144,34 +195,31 @@ def overlap_flags_ctes(dialect: str, prefix: str = "") -> str:
     list_intersect both return distinct matches — verified) but ~4x
     cheaper at sf0.1 and map-only on the corpus side at 100 TB."""
     p = prefix
-    if dialect == "spark":
-        bset = "collect_set(h)"
-        n_hits = "coalesce(size(array_intersect(gh, hs)), 0)"
-    else:
-        bset = "list(DISTINCT h)"
-        # hs rides in as a CROSS JOIN column, not a scalar subquery —
-        # DuckDB's list_intersect is a lambda macro and rejects
-        # subqueries inside lambdas
-        n_hits = "coalesce(len(list_intersect(gh, hs)), 0)"
-    return f"""{p}aug AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % {_BENCH_MOD} = 0 OR doc_id % {_PLANT_MOD} = 0
+    n_hits = overlap_hits_expr(dialect)
+    corp = f"""SELECT doc_id,
+         CASE WHEN doc_id % {_PLANT_MOD} = 0
               THEN coalesce(text, '') || ' {_SENTINEL}'
               ELSE coalesce(text, '') END AS text
-  FROM documents
-),
-{p}bench AS (SELECT doc_id, text FROM {p}aug
-             WHERE doc_id % {_BENCH_MOD} = 0 AND doc_id < {_BENCH_CAP}),
-{_ngram_hash_cte(dialect, f"{p}bench", f"{p}bg")},
-{p}bset AS (SELECT {bset} AS hs FROM {p}bg),
+  FROM documents WHERE doc_id % {_BENCH_MOD} <> 0"""
+    return f"""{bench_set_ctes(dialect, p)},
 {p}flags AS (
   SELECT doc_id,
          CAST({n_hits} AS BIGINT) AS n_hits,
-         CAST(CASE WHEN {n_hits} >= {_HIT_MIN} THEN 1 ELSE 0 END AS INT)
+         CAST(CASE WHEN {n_hits} >= {_HIT_MIN} THEN 1 ELSE 0 END AS BIGINT)
            AS is_contaminated
-  FROM ({_gram_hash_array_sql(dialect, f"(SELECT doc_id, text FROM {p}aug WHERE doc_id % {_BENCH_MOD} <> 0) {p}corp")}) {p}gha
+  FROM ({_gram_hash_array_sql(dialect, f"({corp}) {p}corp")}) {p}gha
   CROSS JOIN {p}bset
 )"""
+
+
+def overlap_hits_expr(dialect: str, gh: str = "gh") -> str:
+    """Distinct shared-gram count of a gh array against the
+    cross-joined ``hs`` bench-set column. hs rides in as a CROSS JOIN
+    column, not a scalar subquery — DuckDB's list_intersect is a
+    lambda macro and rejects subqueries inside lambdas."""
+    if dialect == "spark":
+        return f"coalesce(size(array_intersect({gh}, hs)), 0)"
+    return f"coalesce(len(list_intersect({gh}, hs)), 0)"
 
 
 def _overlap_sql(dialect: str) -> str:
@@ -247,31 +295,44 @@ def _pii_planted_expr(dialect: str) -> str:
     )
 
 
+def pii_text_expr(dialect: str) -> str:
+    """The corpus text with deterministic PII planted on the %
+    {_PII_MOD} residue class (the non-vacuity plant every PII surface
+    — standalone audit, text_profile columns — runs on)."""
+    return (
+        f"CASE WHEN doc_id % {_PII_MOD} = 0 THEN {_pii_planted_expr(dialect)}"
+        " ELSE coalesce(text, '') END"
+    )
+
+
+def pii_counts_exprs(dialect: str, col: str = "text") -> tuple[str, str]:
+    """(pii_found, residual_pii) count expressions over ``col`` — the
+    audit core (match counts before and after the canonical scrub
+    chain). residual == 0 is the property that matters: the scrubbed
+    corpus carries nothing the patterns still match."""
+    scrubbed = scrub_expr(dialect, col)
+    found = " + ".join(_count_expr(dialect, col, p) for p in _PII_PATTERNS.values())
+    residual = " + ".join(
+        _count_expr(dialect, scrubbed, p) for p in _PII_PATTERNS.values()
+    )
+    return found, residual
+
+
 def pii_aug_cte(dialect: str, prefix: str = "") -> str:
-    """``{prefix}aug(doc_id, text)``: the corpus with deterministic PII
-    planted on the % {_PII_MOD} residue class (the non-vacuity plant
-    both the standalone audit and the text_profile columns run on)."""
+    """``{prefix}aug(doc_id, text)``: the corpus with the pii_text_expr
+    plant applied."""
     return f"""{prefix}aug AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % {_PII_MOD} = 0 THEN {_pii_planted_expr(dialect)}
-              ELSE coalesce(text, '') END AS text
+  SELECT doc_id, {pii_text_expr(dialect)} AS text
   FROM documents
 )"""
 
 
 def pii_counts_ctes(dialect: str, prefix: str) -> str:
     """WITH-fragment ending in ``{prefix}pii(doc_id, pii_found,
-    residual_pii)`` — the audit core (match counts before and after the
-    canonical scrub chain), shared with text_profile's driver-hashed
-    decon/PII columns. residual_pii == 0 is the property that matters:
-    the scrubbed corpus carries nothing the patterns still match."""
-    scrubbed = scrub_expr(dialect, "text")
-    found = " + ".join(
-        _count_expr(dialect, "text", p) for p in _PII_PATTERNS.values()
-    )
-    residual = " + ".join(
-        _count_expr(dialect, scrubbed, p) for p in _PII_PATTERNS.values()
-    )
+    residual_pii)`` — pii_counts_exprs over the planted-aug corpus
+    (the standalone relation-level form; text_profile inlines the same
+    expressions over its single corpus pass)."""
+    found, residual = pii_counts_exprs(dialect)
     return f"""{pii_aug_cte(dialect, prefix)},
 {prefix}pii AS (
   SELECT doc_id,

@@ -302,8 +302,14 @@ _MIX_BUDGET = 4_000
 
 def _text_profile_sql(dialect: str) -> str:
     from monday_etl_automation_spark.plans.decontam_ops import (
-        overlap_flags_ctes,
-        pii_counts_ctes,
+        _BENCH_MOD,
+        _HIT_MIN,
+        bench_set_ctes,
+        dc_corpus_toks_expr,
+        gram_hash_expr,
+        overlap_hits_expr,
+        pii_counts_exprs,
+        pii_text_expr,
     )
     from monday_etl_automation_spark.plans.sampling_ops import (
         _DUCK_GATE,
@@ -325,6 +331,7 @@ def _text_profile_sql(dialect: str) -> str:
     # pure length arithmetic on it
     bpe = bpe_count_from_units_expr(dialect, "bpe_u")
     bpe_u = bpe_unit_string_expr(dialect, "text")
+    pii_found, pii_residual = pii_counts_exprs(dialect, pii_text_expr(dialect))
     if spark:
         shingles = (
             "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3),"
@@ -368,46 +375,57 @@ s AS (
 sh AS (SELECT *, {shingles} AS shingles FROM s),
 hs AS (SELECT *, {hashes} AS hashes FROM sh),
 {rates_ctes(dialect, _MIX_WEIGHTS, _MIX_BUDGET, prefix="mr_")},
-{overlap_flags_ctes(dialect, prefix="dc_")},
-{pii_counts_ctes(dialect, prefix="pz_")}
+{bench_set_ctes(dialect, prefix="dc_")},
+-- decontamination + PII audit columns ride the SAME corpus pass as
+-- the fingerprints (round 14: one documents scan instead of three,
+-- no corpus-sized doc_id joins — at 100 TB the r13 dc_flags/pz_pii
+-- LEFT JOINs were corpus x corpus shuffles; now the only non-map
+-- work left is the tiny broadcast bench set and mr_rates). The
+-- expressions are the decontam_ops builders the standalone audits
+-- and the release pipeline share; the sentinel plant happens at
+-- TOKEN level, reusing the t-CTE token pass instead of a second
+-- tokenize.
+hx AS (
+  SELECT hs.*,
+         {gram_hash_expr(dialect, dc_corpus_toks_expr(dialect, "toks"))} AS dc_gh,
+         CAST({pii_found} AS BIGINT) AS pii_found,
+         CAST({pii_residual} AS BIGINT) AS residual_pii
+  FROM hs
+),
+hy AS (
+  SELECT hx.*, CAST({overlap_hits_expr(dialect, "dc_gh")} AS BIGINT) AS dc_n_hits
+  FROM hx CROSS JOIN dc_bset
+)
 SELECT
-  hs.doc_id, lang, hs.source, n_chars, hs.n_tokens, sum_token_len, n_stopwords, n_distinct_tokens,
+  hy.doc_id, lang, hy.source, n_chars, hy.n_tokens, sum_token_len, n_stopwords, n_distinct_tokens,
   CAST(
-    CASE WHEN hs.n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
-    + CASE WHEN hs.n_tokens > 0 AND sum_token_len * 10 BETWEEN hs.n_tokens * 30 AND hs.n_tokens * 80 THEN 30 ELSE 0 END
-    + CASE WHEN n_stopwords * 100 >= hs.n_tokens * 2 THEN 15 ELSE 0 END
-    + CASE WHEN n_distinct_tokens * 100 >= hs.n_tokens * 30 THEN 15 ELSE 0 END
+    CASE WHEN hy.n_tokens BETWEEN 20 AND 1000 THEN 40 ELSE 0 END
+    + CASE WHEN hy.n_tokens > 0 AND sum_token_len * 10 BETWEEN hy.n_tokens * 30 AND hy.n_tokens * 80 THEN 30 ELSE 0 END
+    + CASE WHEN n_stopwords * 100 >= hy.n_tokens * 2 THEN 15 ELSE 0 END
+    + CASE WHEN n_distinct_tokens * 100 >= hy.n_tokens * 30 THEN 15 ELSE 0 END
   AS INT) AS quality_score,
   n_bpe_tokens,
-  hs.n_tokens AS n_ws_tokens,
+  hy.n_tokens AS n_ws_tokens,
   {fp_min} AS fp_min,
   {fp_xor} AS fp_xor,
-  -- decontamination + PII audit columns (round 13: the last major
-  -- pytest-only family brought under the driver hash; fragments shared
-  -- verbatim with plans/decontam_ops.py's standalone audits and the
-  -- release pipeline's scrub chain). decon_* are NULL for benchmark
-  -- docs (doc_id % 97 == 0) — they're the eval set, not candidates.
-  dfl.n_hits AS decon_hits,
-  dfl.is_contaminated AS decon_flag,
-  pz.pii_found,
-  pz.residual_pii,
+  -- decon_* are NULL for benchmark docs (doc_id % {_BENCH_MOD} == 0)
+  -- — they're the eval set, not candidates
+  CASE WHEN hy.doc_id % {_BENCH_MOD} = 0 THEN CAST(NULL AS BIGINT)
+       ELSE dc_n_hits END AS decon_hits,
+  CASE WHEN hy.doc_id % {_BENCH_MOD} = 0 THEN CAST(NULL AS BIGINT)
+       ELSE CAST(CASE WHEN dc_n_hits >= {_HIT_MIN} THEN 1 ELSE 0 END AS BIGINT)
+       END AS decon_flag,
+  pii_found,
+  residual_pii,
   coalesce(r.keep_rate, CAST(0.0 AS DOUBLE)) AS mix_keep_rate,
   -- floor() explicitly: Spark's CAST(double AS BIGINT) truncates but
   -- DuckDB's ROUNDS — a keep_rate*1e6 with fraction >= 0.5 would give
   -- the two engines different gate thresholds (driver hash mismatch)
   CAST(CASE WHEN {mix_gate} < CAST(floor(coalesce(r.keep_rate, 0.0) * 1000000) AS BIGINT)
-       THEN 1 ELSE 0 END AS INT) AS mix_kept
-FROM hs
-LEFT JOIN mr_rates r ON hs.source = r.source
--- dc_flags covers every NON-bench doc (row-local intersect, no
--- corpus-side explode/join), so the left join gives bench docs NULL
--- decon columns by construction. Join keys renamed so the gate/fp
--- expressions' unqualified doc_id keeps resolving to hs alone.
-LEFT JOIN (SELECT doc_id AS dc_doc_id, n_hits, is_contaminated FROM dc_flags) dfl
-  ON hs.doc_id = dfl.dc_doc_id
-JOIN (SELECT doc_id AS pz_doc_id, pii_found, residual_pii FROM pz_pii) pz
-  ON hs.doc_id = pz.pz_doc_id
-ORDER BY hs.doc_id
+       THEN 1 ELSE 0 END AS BIGINT) AS mix_kept
+FROM hy
+LEFT JOIN mr_rates r ON hy.source = r.source
+ORDER BY hy.doc_id
 """.strip()
 
 

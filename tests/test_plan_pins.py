@@ -40,9 +40,11 @@ _PINS: dict[str, tuple[int, int, bool]] = {
     # r13: decon/PII columns added at ZERO new hash exchanges — the
     # corpus side is a row-local gram-hash array intersect against the
     # broadcast bench set (the exploded equi-join draft cost +3
-    # exchanges and 2.6x the wall); broadcasts enforced on the
-    # bench-set + rates + flags + pii joins
-    "text_profile": (1, 9, True),
+    # exchanges and 2.6x the wall). r14: the decon/PII doc_id LEFT
+    # JOINs are GONE (the columns ride the fingerprint pass's single
+    # corpus scan), so the broadcast floor drops 9 -> 5 (bench set +
+    # rates); the shuffle cap stays 1 — fewer joins, same exchanges.
+    "text_profile": (1, 5, True),
     "semi_anti_customers": (1, 2, True),
     "temporal_joins": (3, 4, True),
     # includes the rrf shape (r12): fusion rides the persisted
@@ -148,3 +150,28 @@ def test_vector_extra_corpus_scan_budget(spark, sf_dir):
     clear_artifact_caches(spark)
     assert n_docs <= 4, f"{n_docs} documents scans (pinned <= 4)"
     assert n_emb <= 10, f"{n_emb} embeddings scans (pinned <= 10)"
+
+
+def test_fuzzy_name_match_blocks_on_word_band(spark, sf_dir):
+    """r14: the candidate join's equi-key must include the name-derived
+    word band, not just (p_brand, p_size) — the fixed-cardinality key
+    alone gives 1,250 blocks forever, so candidate work (and the
+    levenshtein spend) grows n^2/1250 regardless of output size.
+    Sabotage-verified: dropping the `w` equality from the join
+    condition in plans/relational.py fails this test.
+
+    Runs at sf0.01, not the fixture SF: sf0.001 has zero fuzzy pairs,
+    and AQE's empty-relation propagation replaces the whole join
+    subtree with EmptyRelation — no Join node survives to inspect."""
+    plan = _final_plan(spark, "/root/testdata/sf0.01", "fuzzy_name_match")
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "p_brand#" in ln and "p_size#" in ln
+    ]
+    assert join_lines, "fuzzy self-join not found in plan"
+    for ln in join_lines:
+        assert "w#" in ln, (
+            "fuzzy_name_match joins on (brand, size) without the word band key:\n"
+            + ln
+        )
