@@ -124,27 +124,34 @@ def test_release_bpe_tokenized_shards(spark, sf_dir, tmp_path_factory):
         assert all(1 <= t <= vmax for t in r.token_ids)
 
 
-def test_release_bpe_1k_eod_end_to_end(spark, sf_dir, tmp_path_factory):
-    """Production-vocab + EOD release (round-12 verdict item 3): a full
-    release_training_corpus(tokenizer='bpe', merges=1k, eod=True) run
-    ships shards whose token_ids contain the 1k vocab's reserved EOD id
-    exactly AT every cumulative doc_span boundary and nowhere else, the
-    report reconciles with the shipped files, and every non-EOD id is
-    inside the 1k text vocab."""
+@pytest.mark.parametrize("vocab", ["1k", "8k"])
+def test_release_bpe_eod_end_to_end(spark, sf_dir, tmp_path_factory, vocab):
+    """Production-vocab + EOD release (round-12 verdict item 3; r14
+    extends the pin to the 8k artifact — the release path is vocab-
+    size-agnostic and this proves it at both shipped merge tables): a
+    full release_training_corpus(tokenizer='bpe', merges=…, eod=True)
+    run ships shards whose token_ids contain the vocab's reserved EOD
+    id exactly AT every cumulative doc_span boundary and nowhere else,
+    the report reconciles with the shipped files, and every non-EOD id
+    is inside the text vocab."""
     from monday_etl_automation_spark.functions import bpe_fast
     from monday_etl_automation_spark.plans.release_ops import release_training_corpus
     from monday_etl_automation_spark.plans.tokenize_ops import eod_token_id
     from monday_etl_automation_spark.sources.shard_writer import read_training_shards
 
-    merges_1k = bpe_fast.load_merges()
-    eid = eod_token_id(merges_1k)
-    assert eid == 36 + 1000 + 1
-    out = str(tmp_path_factory.mktemp("release_bpe_eod"))
+    n_merges = {"1k": 1000, "8k": 8192}[vocab]
+    merges = bpe_fast.load_merges(
+        bpe_fast.MERGES_1K_PATH if vocab == "1k" else bpe_fast.MERGES_8K_PATH
+    )
+    assert len(merges) == n_merges
+    eid = eod_token_id(merges)
+    assert eid == 36 + n_merges + 1
+    out = str(tmp_path_factory.mktemp(f"release_bpe_eod_{vocab}"))
     report = {
         r.stage: r.n
         for r in release_training_corpus(
             spark, sf_dir, out, pack_budget=512, tokenizer="bpe",
-            merges=merges_1k, eod=True,
+            merges=merges, eod=True,
         ).collect()
     }
     rows = read_training_shards(spark, f"{out}/shards").collect()
@@ -164,5 +171,5 @@ def test_release_bpe_1k_eod_end_to_end(spark, sf_dir, tmp_path_factory):
         # EOD ids in the SHIPPED artifact sit exactly on the span grid
         assert [i + 1 for i, t in enumerate(ids) if t == eid] == bounds
         n_eod += len(bounds)
-        assert all(1 <= t <= 1036 for t in ids if t != eid)
+        assert all(1 <= t <= 36 + n_merges for t in ids if t != eid)
     assert n_eod > 0
