@@ -37,7 +37,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from monday_etl_automation_spark.plans.embed_ops import (
-    _IVF_NPROBE,
     _NEARDUP_COS,
     _PLANT_OFFSET,
     _ann_buckets_sql_spark,
@@ -81,7 +80,9 @@ def ivf_assign_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> D
     this session, and resolving it here would silently encode the
     batch against the wrong quantizer."""
     register_views(spark, sf_dir)
-    _, cent = _train_ivf(spark, sf_dir)
+    # nprobe is the snapshot's cached ladder value (travels WITH the
+    # quantizer handles — the nd-divisor coupling rule)
+    _, cent, _, nprobe = _train_ivf(spark, sf_dir)
     cent.createOrReplaceTempView("_ing_ivf_cent")
     _batch_view(spark, new_vecs, "_ing_batch")
     bex = _ivf_ex_sql("spark").replace("FROM embeddings", "FROM _ing_batch")
@@ -89,7 +90,7 @@ def ivf_assign_batch(spark: SparkSession, sf_dir: str, new_vecs: DataFrame) -> D
         f"""
 WITH bex AS ({bex}),
 {_ivf_ranked_sql('spark', 'bex', '_ing_ivf_cent', 'b')}
-SELECT vec_id, cid, rc FROM rankedb WHERE rc <= {_IVF_NPROBE}
+SELECT vec_id, cid, rc FROM rankedb WHERE rc <= {nprobe}
 ORDER BY vec_id, rc
 """.strip()
     )
@@ -200,7 +201,7 @@ def ivfpq_encode_batch(
 
     register_views(spark, sf_dir)
     _, rcb, _ = _train_ivfpq(spark, sf_dir)
-    _, cent = _train_ivf(spark, sf_dir)
+    _, cent, _, _ = _train_ivf(spark, sf_dir)
     rcb.createOrReplaceTempView("_ing_ipq_rcb")
     cent.createOrReplaceTempView("_ing_ipq_cent")
     if asg is None:
@@ -229,7 +230,6 @@ def ivfpq_search_batch(spark: SparkSession, sf_dir: str, queries: DataFrame) -> 
     (ivfpq_ops._ivfpq_tail_sql) with the batch as the query side —
     corpus vectors touched only in the exact re-rank."""
     from monday_etl_automation_spark.plans.ivfpq_ops import (
-        _NPROBE,
         _e6_sql,
         _ivfpq_tail_sql,
         _train_ivfpq,
@@ -237,13 +237,16 @@ def ivfpq_search_batch(spark: SparkSession, sf_dir: str, queries: DataFrame) -> 
 
     register_views(spark, sf_dir)
     _, rcb, vparts = _train_ivfpq(spark, sf_dir)
-    _, cent = _train_ivf(spark, sf_dir)
+    # the snapshot's ladder nprobe — the same value ivf_assign_batch
+    # truncated at, so the batch probe budget can never diverge from
+    # the corpus path's
+    _, cent, _, nprobe = _train_ivf(spark, sf_dir)
     rcb.createOrReplaceTempView("_ing_ipq_rcb")
     cent.createOrReplaceTempView("_ing_ipq_cent")
     vparts.createOrReplaceTempView("_ing_ipq_vparts")
     qpick = (
         ivf_assign_batch(spark, sf_dir, queries)  # registers _ing_batch
-        .where(f"rc <= {_NPROBE}")
+        .where(f"rc <= {nprobe}")
         .drop("rc")
         .localCheckpoint(eager=True)
     )

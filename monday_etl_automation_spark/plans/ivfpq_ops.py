@@ -47,6 +47,7 @@ from monday_etl_automation_spark.plans.embed_ops import (
     _ivf_cent0_sql,
     _ivf_cent_next_sql,
     _ivf_ex_sql,
+    _ivf_meta_cte,
     _ivf_ranked_sql,
     _norm,
     _train_ivf,
@@ -70,16 +71,14 @@ from monday_etl_automation_spark.sources.tables import (
 # _IVF_NPROBE) and cand 100 -> 200. Measured recall@5 vs exact cosine
 # via the DuckDB twin: 0.960 (sf0.01) / 0.935 (sf0.1), up from
 # 0.940 / 0.830 — the floor in tests/test_ivfpq.py rises to 0.80 to
-# match the other ANN paths.
-_NPROBE = 12
+# match the other ANN paths. Round 14: the probe budget is no longer
+# a local constant — IVF-PQ probes exactly the plain-IVF capacity
+# ladder's nprobe (embed_ops._ivf_params / _ivf_meta_cte), so the
+# corpus path, the DuckDB twin, AND the batch path (which derives its
+# probe pick from ivf_assign_batch, itself ladder-truncated) all read
+# the same snapshot-derived value by construction — the divergence
+# the old `assert _NPROBE <= _IVF_NPROBE` guarded is unrepresentable.
 _CAND = 200
-
-# the batch search path derives its probe pick from ivf_assign_batch,
-# whose output is truncated at embed_ops._IVF_NPROBE — a larger local
-# probe budget would silently cap at the IVF constant there while the
-# corpus path (full ranking) honored it, diverging recall between the
-# two paths (see ivfpq_search_batch in plans/embed_ingest.py)
-assert _NPROBE <= _IVF_NPROBE, "IVF-PQ nprobe must not exceed the IVF probe set"
 
 # ONE definition of the 1e6 regrain — round(floor(x*1e8)/100) is NOT
 # always floor(x*1e6), so twin and executor must share this expression
@@ -118,6 +117,7 @@ def _ivfpq_tail_sql(
     q6: str | None = None,
     qsrc: str = "embeddings",
     exclude_self: bool = True,
+    nprobe: int | str = _IVF_NPROBE,
 ) -> str:
     """Search CTEs over trained relations: ``ranked(vec_id, cid, rc)``,
     ``cent(cid, dim, md)``, ``rcb(sub, code, d, md)`` (residual
@@ -131,7 +131,7 @@ def _ivfpq_tail_sql(
     cos = f"({dot}) / (q.norm * v.norm)"
     qpick_sql = qpick or (
         f"SELECT vec_id, cid FROM {ranked}"
-        f" WHERE {_query_pred()} AND rc <= {_NPROBE}"
+        f" WHERE {_query_pred()} AND rc <= {nprobe}"
     )
     q6_sql = q6 or (
         f"SELECT vec_id, dim, xd6 FROM {e6} e WHERE {_query_pred()}"
@@ -224,9 +224,9 @@ rcent{k + 1} AS ({_pq_cent_next_sql('rex', f'codesr{k}')})"""
         for k in range(_PQ_ITERS)
     )
     return f"""
-WITH meta AS (SELECT greatest(1, count(*) {idiv} {_IVF_NCENT}) AS step FROM embeddings),
+WITH {_ivf_meta_cte(dialect)},
 ex AS ({_ivf_ex_sql(dialect)}),
-cent0 AS ({_ivf_cent0_sql(dialect, "(SELECT step FROM meta)")}),
+cent0 AS ({_ivf_cent0_sql(dialect, "(SELECT step FROM meta)", ncent="(SELECT ncent FROM meta)")}),
 {ivf_rounds},
 {_ivf_ranked_sql(dialect, 'ex', f'cent{fin}', str(fin))},
 asgf AS (SELECT vec_id, cid FROM ranked{fin} WHERE rc = 1),
@@ -240,7 +240,7 @@ rcb AS (SELECT * FROM rcent{_PQ_ITERS}),
 vparts AS (
   SELECT a.vec_id, a.cid, k.sub, k.code FROM asgf a JOIN codesrf k ON a.vec_id = k.vec_id
 ),
-{_ivfpq_tail_sql(dialect, f'ranked{fin}', f'cent{fin}', 'rcb', 'vparts', 'e6')}
+{_ivfpq_tail_sql(dialect, f'ranked{fin}', f'cent{fin}', 'rcb', 'vparts', 'e6', nprobe='(SELECT nprobe FROM meta)')}
 """.strip()
 
 
@@ -259,7 +259,7 @@ def _train_ivfpq(
     if hit is not None:
         return hit
 
-    ranked, cent = _train_ivf(spark, sf_dir)
+    ranked, cent, _, _ = _train_ivf(spark, sf_dir)
     ranked.createOrReplaceTempView("_ipq_ranked")
     cent.createOrReplaceTempView("_ipq_cent")
 
@@ -308,11 +308,14 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked.createOrReplaceTempView("_ipq_ranked")
     rcb.createOrReplaceTempView("_ipq_rcb")
     vparts.createOrReplaceTempView("_ipq_vparts")
-    _, cent = _train_ivf(spark, sf_dir)
+    _, cent, _, nprobe = _train_ivf(spark, sf_dir)
     cent.createOrReplaceTempView("_ipq_cent")
     return spark.sql(
         f"WITH e6x AS ({_e6_sql('spark')}),\n"
-        + _ivfpq_tail_sql("spark", "_ipq_ranked", "_ipq_cent", "_ipq_rcb", "_ipq_vparts", "e6x")
+        + _ivfpq_tail_sql(
+            "spark", "_ipq_ranked", "_ipq_cent", "_ipq_rcb", "_ipq_vparts", "e6x",
+            nprobe=nprobe,
+        )
     )
 
 

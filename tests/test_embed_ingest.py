@@ -57,7 +57,7 @@ def test_frozen_quantizer_clone_identity(spark, sf_dir, batch):
     only on the persisted quantizer, never on a retrain."""
     want = sorted(
         (r.s, r.bucket)
-        for r in _ann_bucket_index(spark, sf_dir).where(f"vec_id = {_CLONE}").collect()
+        for r in _ann_bucket_index(spark, sf_dir)[0].where(f"vec_id = {_CLONE}").collect()
     )
     got = sorted(
         (r.s, r.bucket)
@@ -295,3 +295,124 @@ def test_nd_index_divisor_matches_snapshot_count(spark, sf_dir):
 
     hi = ex.selectExpr("max(bucket) AS m").collect()[0].m
     assert 0 <= hi < 2**_NEARDUP_BITS_MAX // d
+
+
+# ---------------------------------------------------------------------------
+# round 14: the ANN/IVF capacity ladders (r13 verdict item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_ladder_python_sql_parity():
+    """The Python (ncent, nprobe) twin (cached with the quantizer
+    handles) and the meta-CTE CASE ladders must agree at every rung
+    boundary."""
+    from monday_etl_automation_spark.plans.embed_ops import (
+        _ivf_ladder,
+        _ivf_meta_cte,
+        _ivf_params,
+    )
+
+    con = duckdb.connect()
+    probe = [1, 2]
+    for t, _, _ in _ivf_ladder():
+        probe += [t - 1, t, t + 1]
+    for cnt in probe:
+        sql = (
+            f"WITH c AS (SELECT {cnt} AS cnt), "
+            + _ivf_meta_cte("duckdb").replace(
+                "(SELECT count(*) AS cnt FROM embeddings) ivc", "c ivc"
+            )
+            + " SELECT ncent, nprobe, step FROM meta"
+        )
+        ncent, nprobe, step = con.sql(sql).fetchone()
+        assert (ncent, nprobe) == _ivf_params(cnt), cnt
+        assert step == max(1, cnt // ncent), cnt
+    con.close()
+
+
+def test_ann_ladder_python_sql_parity():
+    """Same pin for the ANN bucket modulus."""
+    from monday_etl_automation_spark.plans.embed_ops import (
+        _ann_ladder,
+        _ann_meta_cte,
+        _ann_modulus,
+    )
+
+    con = duckdb.connect()
+    probe = [1, 2]
+    for t, _ in _ann_ladder():
+        probe += [t - 1, t, t + 1]
+    for cnt in probe:
+        sql = (
+            f"WITH c AS (SELECT {cnt} AS cnt), "
+            + _ann_meta_cte("duckdb").replace(
+                "(SELECT count(*) AS cnt FROM embeddings) anc", "c anc"
+            )
+            + " SELECT m FROM am"
+        )
+        assert con.sql(sql).fetchone()[0] == _ann_modulus(cnt), cnt
+    con.close()
+
+
+def test_capacity_ladders_scale_and_keep_base_config():
+    """(a) Corpora at the pytest/driver SFs get EXACTLY the r13 fixed
+    config (bit-identical results, recall floors untouched); (b) past
+    the base rung ncent grows ~sqrt(n) and the probed corpus share
+    nprobe/ncent shrinks; (c) the ANN modulus keeps per-set bucket
+    population ~TARGET up to the 2^BITS_MAX capacity; (d) the ANN
+    extension planes never collide with the near-dup planes."""
+    from monday_etl_automation_spark.plans.embed_ops import (
+        _ANN_BITS_MAX,
+        _ANN_PLANES,
+        _ANN_SETS,
+        _ANN_TARGET,
+        _IVF_NCENT,
+        _IVF_NPROBE,
+        _ND_PLANE_BASE,
+        _NEARDUP_BITS_MAX,
+        _ann_modulus,
+        _ann_plane,
+        _ivf_params,
+    )
+
+    # (a) base-rung identity
+    for cnt in (200, 2000):
+        assert _ivf_params(cnt) == (_IVF_NCENT, _IVF_NPROBE)
+        assert _ann_modulus(cnt) == 2**_ANN_PLANES
+    # (b) sqrt growth, shrinking probe share
+    base_frac = _IVF_NPROBE / _IVF_NCENT
+    prev_ncent = _IVF_NCENT
+    for cnt in (20_000, 200_000, 2_000_000):
+        ncent, nprobe = _ivf_params(cnt)
+        assert ncent > prev_ncent
+        assert nprobe / ncent < base_frac
+        prev_ncent = ncent
+    # (c) per-set population bounded until capacity
+    for cnt in (20_000, 200_000, _ANN_TARGET * 2**_ANN_BITS_MAX):
+        assert cnt / _ann_modulus(cnt) <= _ANN_TARGET, cnt
+    # (d) plane-range disjointness
+    ann_planes = {
+        _ann_plane(s, i)
+        for s in range(1, _ANN_SETS + 1)
+        for i in range(_ANN_BITS_MAX)
+    }
+    nd_planes = set(range(_ND_PLANE_BASE, _ND_PLANE_BASE + _NEARDUP_BITS_MAX))
+    assert not ann_planes & nd_planes
+    assert len(ann_planes) == _ANN_SETS * _ANN_BITS_MAX  # pairwise distinct
+
+
+def test_ann_index_modulus_matches_snapshot_count(spark, sf_dir):
+    """The modulus travels WITH the cached bucket index and equals the
+    ladder value of the snapshot's own count (the nd-divisor coupling
+    rule); the stored buckets are FULL width — ladder-independent."""
+    from monday_etl_automation_spark.plans.embed_ops import (
+        _ANN_BITS_MAX,
+        _ann_bucket_index,
+        _ann_modulus,
+    )
+
+    idx, m = _ann_bucket_index(spark, sf_dir)
+    cnt = spark.sql("SELECT count(*) FROM embeddings").collect()[0][0]
+    assert m == _ann_modulus(cnt)
+    hi = idx.selectExpr("max(bucket) AS m").collect()[0].m
+    assert m <= hi < 2**_ANN_BITS_MAX  # full width stored, wider than any rung

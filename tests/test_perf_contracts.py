@@ -50,6 +50,7 @@ def test_persisted_indexes_memoize_and_invalidate(spark, sf_dir, tmp_path):
     a1 = _ann_bucket_index(spark, str(work))
     a2 = _ann_bucket_index(spark, str(work))
     assert a1 is a2, "unchanged snapshot must hit the cache"
+    assert isinstance(a1, tuple) and isinstance(a1[1], int)  # (index, modulus) travel together
     i1 = _train_ivf_ranked(spark, str(work))
     assert _train_ivf_ranked(spark, str(work)) is i1
     # content-identical rewrite still changes (mtime, size) key
