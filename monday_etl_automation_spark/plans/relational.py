@@ -616,15 +616,109 @@ ORDER BY l_returnflag
 
 QUANTILE_SQL = _quantile_fracs_sql({"q25": 0.25, "median": 0.5, "q75": 0.75})
 
+# the sketch section's error/merge contracts (r14, r13 verdict item 7:
+# the sketch family's driver-hashable columns, previously pytest-only
+# in tests/test_sketches.py)
+_HLL_REL_ERR = 0.05  # lg_k=12 -> ~1.6% RSE; 0.05 leaves redraw headroom
+_HLL_SHARDS = 8
+
 
 def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union: the exact rank-based quantiles (section
+    'quantile') plus the HLL sketch family's driver-hashable contract
+    rows (section 'hll', one per event_type).
+
+    Approximate answers can't hash-match an oracle, so the hll rows
+    carry (a) the EXACT distinct count (DuckDB-twinned value), (b)
+    est_ok = the DataSketches estimate landing within the published
+    {_HLL_REL_ERR} relative bound, and (c) merge_ok = the MERGE LAW —
+    the union of {_HLL_SHARDS} per-shard sketches estimating exactly
+    what the whole-table sketch estimates, the property that makes
+    sketches correct under partial aggregation, task retry, and AQE
+    re-planning. The oracle pins both flags at 1, so a sketch
+    regression driver-hash-mismatches instead of passing silently;
+    the same contracts are pytest-pinned in tests/test_sketches.py."""
+    from monday_etl_automation_spark.plans.sketch_ops import (
+        hll_sketch_per_group,
+        hll_union_estimate,
+    )
     from monday_etl_automation_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(QUANTILE_SQL)
+    dnull = F.lit(None).cast("double")
+    q = spark.sql(QUANTILE_SQL).select(
+        F.lit("quantile").alias("section"),
+        F.col("l_returnflag").alias("grp"),
+        "q25",
+        "median",
+        "q75",
+        "min_qty",
+        "max_qty",
+        F.lit(None).cast("bigint").alias("n_exact"),
+        F.lit(None).cast("bigint").alias("est_ok"),
+        F.lit(None).cast("bigint").alias("merge_ok"),
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    # estimate + exact in ONE grouping (one events scan); only the
+    # merge-law side needs its own (event_type, shard) grouping, and
+    # its input is the same single-projection scan
+    est = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"), F.lit(12))).alias(
+            "n_distinct_est"
+        ),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    shards = hll_sketch_per_group(
+        ev.withColumn("shard", F.pmod(F.col("user_id"), F.lit(_HLL_SHARDS))),
+        ["event_type", "shard"],
+        "user_id",
+    )
+    merged = hll_union_estimate(shards, ["event_type"]).withColumnRenamed(
+        "n_distinct_est", "merged_est"
+    )
+    hll = (
+        est.join(merged, "event_type")
+        .select(
+            F.lit("hll").alias("section"),
+            F.col("event_type").alias("grp"),
+            dnull.alias("q25"),
+            dnull.alias("median"),
+            dnull.alias("q75"),
+            dnull.alias("min_qty"),
+            dnull.alias("max_qty"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_exact"))
+                <= F.col("n_exact") * _HLL_REL_ERR
+            )
+            .cast("bigint")
+            .alias("est_ok"),
+            (F.col("merged_est") == F.col("n_distinct_est"))
+            .cast("bigint")
+            .alias("merge_ok"),
+        )
+    )
+    return q.unionByName(hll).orderBy("section", "grp")
 
 
-QUANTILE_ORACLE = QUANTILE_SQL
+QUANTILE_ORACLE = f"""
+WITH qx AS ({QUANTILE_SQL.replace("ORDER BY l_returnflag", "")})
+SELECT 'quantile' AS section, l_returnflag AS grp,
+       q25, median, q75, min_qty, max_qty,
+       CAST(NULL AS BIGINT) AS n_exact,
+       CAST(NULL AS BIGINT) AS est_ok,
+       CAST(NULL AS BIGINT) AS merge_ok
+FROM qx
+UNION ALL
+SELECT 'hll' AS section, event_type AS grp,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS est_ok,
+       CAST(1 AS BIGINT) AS merge_ok
+FROM events GROUP BY event_type
+ORDER BY section, grp
+""".strip()
 
 
 # ---------------------------------------------------------------------------

@@ -33,9 +33,13 @@ _PINS: dict[str, tuple[int, int, bool]] = {
     "ivf_topk": (2, 3, True),
     # quantile/dedup/profile scan derived relations or whole tables —
     # no pushable predicate, so pushdown is not required.
-    # quantile_stats: histogram agg (1 exchange) + re-partition by
-    # group for the cumulative window (1 more, over ~150 rows)
-    "quantile_stats": (2, 0, False),
+    # r14: + the hll sketch section — one (event_type) grouping
+    # carrying estimate AND exact distinct (countDistinct expands to
+    # two exchanges) plus the merge-law (event_type, shard) grouping
+    # and its event_type re-group (2 more); joins broadcast
+    # (the quantile half alone was (2, 0): histogram agg + the
+    # cumulative window's re-partition, over ~150 rows)
+    "quantile_stats": (6, 2, True),
     "dedup_exact": (1, 0, False),
     # r13: decon/PII columns added at ZERO new hash exchanges — the
     # corpus side is a row-local gram-hash array intersect against the
