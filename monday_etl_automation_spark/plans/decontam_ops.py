@@ -305,12 +305,21 @@ def pii_text_expr(dialect: str) -> str:
     )
 
 
-def pii_counts_exprs(dialect: str, col: str = "text") -> tuple[str, str]:
+def pii_counts_exprs(
+    dialect: str, col: str = "text", scrubbed: str | None = None
+) -> tuple[str, str]:
     """(pii_found, residual_pii) count expressions over ``col`` — the
     audit core (match counts before and after the canonical scrub
     chain). residual == 0 is the property that matters: the scrubbed
-    corpus carries nothing the patterns still match."""
-    scrubbed = scrub_expr(dialect, col)
+    corpus carries nothing the patterns still match.
+
+    ``scrubbed``: pass a COLUMN carrying scrub_expr(col) when the
+    caller can materialize it in its own projection layer (r14,
+    text_profile): inlining the scrub cascade here re-evaluates it
+    once per pattern — |patterns| x the regexp_replace chain per
+    row."""
+    if scrubbed is None:
+        scrubbed = scrub_expr(dialect, col)
     found = " + ".join(_count_expr(dialect, col, p) for p in _PII_PATTERNS.values())
     residual = " + ".join(
         _count_expr(dialect, scrubbed, p) for p in _PII_PATTERNS.values()

@@ -300,7 +300,7 @@ _MIX_WEIGHTS = {"src0": 6.0, "src1": 2.0, "src2": 1.0, "src3": 1.0, "ghost_sourc
 _MIX_BUDGET = 4_000
 
 
-def _text_profile_sql(dialect: str) -> str:
+def _text_profile_sql(dialect: str, corpus: str = "documents") -> str:
     from monday_etl_automation_spark.plans.decontam_ops import (
         _BENCH_MOD,
         _HIT_MIN,
@@ -310,6 +310,7 @@ def _text_profile_sql(dialect: str) -> str:
         overlap_hits_expr,
         pii_counts_exprs,
         pii_text_expr,
+        scrub_expr,
     )
     from monday_etl_automation_spark.plans.sampling_ops import (
         _DUCK_GATE,
@@ -331,7 +332,7 @@ def _text_profile_sql(dialect: str) -> str:
     # pure length arithmetic on it
     bpe = bpe_count_from_units_expr(dialect, "bpe_u")
     bpe_u = bpe_unit_string_expr(dialect, "text")
-    pii_found, pii_residual = pii_counts_exprs(dialect, pii_text_expr(dialect))
+    pii_found, pii_residual = pii_counts_exprs(dialect, 'pz_text', scrubbed='pz_scrub')
     if spark:
         shingles = (
             "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3),"
@@ -360,7 +361,7 @@ def _text_profile_sql(dialect: str) -> str:
 WITH t AS (
   SELECT doc_id, lang, source, n_chars, text, {toks} AS toks,
          {bpe_u} AS bpe_u
-  FROM documents
+  FROM {corpus}
 ),
 s AS (
   SELECT
@@ -385,15 +386,27 @@ hs AS (SELECT *, {hashes} AS hashes FROM sh),
 -- and the release pipeline share; the sentinel plant happens at
 -- TOKEN level, reusing the t-CTE token pass instead of a second
 -- tokenize.
-hx AS (
+hw AS (
+  -- helper columns MATERIALIZED as multi-referenced aliases so the
+  -- optimizer's project-collapse can't inline them into the lambdas
+  -- below (an inlined dc_toks re-evaluates the CASE+concat PER GRAM
+  -- inside the transform — measured +1.6s at sf0.1; same shape as the
+  -- r13 narrow-subtree form, without its extra scans/joins)
   SELECT hs.*,
-         {gram_hash_expr(dialect, dc_corpus_toks_expr(dialect, "toks"))} AS dc_gh,
-         CAST({pii_found} AS BIGINT) AS pii_found,
-         CAST({pii_residual} AS BIGINT) AS residual_pii
+         {dc_corpus_toks_expr(dialect, "toks")} AS dc_toks,
+         {pii_text_expr(dialect)} AS pz_text
   FROM hs
 ),
+hx AS (
+  SELECT hw.*,
+         {gram_hash_expr(dialect, "dc_toks")} AS dc_gh,
+         {scrub_expr(dialect, "pz_text")} AS pz_scrub,
+         CAST({pii_found} AS BIGINT) AS pii_found
+  FROM hw
+),
 hy AS (
-  SELECT hx.*, CAST({overlap_hits_expr(dialect, "dc_gh")} AS BIGINT) AS dc_n_hits
+  SELECT hx.*, CAST({overlap_hits_expr(dialect, "dc_gh")} AS BIGINT) AS dc_n_hits,
+         CAST({pii_residual} AS BIGINT) AS residual_pii
   FROM hx CROSS JOIN dc_bset
 )
 SELECT
@@ -430,8 +443,29 @@ ORDER BY hy.doc_id
 
 
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus rows are RANGE-REPARTITIONED on doc_id before any
+    derivation (r14): the query's one range exchange (it always ended
+    with ORDER BY doc_id) moves from after the heavy expressions to
+    before them, so the exchange carries the NARROW raw columns and
+    every expensive per-row expression (tokenize, shingle/gram hashing,
+    PII regex cascade, BPE unit build) runs on shuffle-partition-many
+    tasks — the SCALE.md "shuffle narrow, derive wide after" shape.
+    Locally this is the difference between 1 and 32 working cores: the
+    testdata parquet ships ONE row group, so the scan itself is
+    unsplittable and everything upstream of an exchange is a single
+    task (measured 6.7s -> ~2s warm at sf0.1). The final ORDER BY's
+    distribution requirement is already satisfied by the range
+    partitioning, so no second exchange appears; at 100 TB (many
+    splits) the plan is the same single corpus redistribution the
+    ORDER BY always cost."""
+    import os
+
     register_views(spark, sf_dir)
-    return spark.sql(_text_profile_sql("spark"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sql("SELECT doc_id, lang, source, n_chars, text FROM documents").repartitionByRange(
+        cpus, "doc_id"
+    ).createOrReplaceTempView("_tp_docs")
+    return spark.sql(_text_profile_sql("spark", corpus="_tp_docs"))
 
 
 # ---------------------------------------------------------------------------
