@@ -40,6 +40,10 @@ PROBE = (
     "ivf_topk",
     "embed_near_dup",
     "stream_tumbling_replay",
+    # r14: now that the word-band key bounds its candidate work,
+    # fuzzy_name_match gets a measured curve (it was "not probed,
+    # known output-bound" — the one top-line query without one)
+    "fuzzy_name_match",
 )
 
 
