@@ -26,9 +26,19 @@ def test_hll_estimate_within_bound(spark, sf_dir):
 
 
 def test_hll_merge_law(spark, sf_dir):
-    """Sketch-of-all == merge of per-shard sketches: store daily/shard
-    sketches, roll up later without rescanning — and the property that
-    guarantees partial aggregation can't change the answer."""
+    """Merge of per-shard sketches stays within the published error
+    bound of the exact answer: store daily/shard sketches, roll up
+    later without rescanning — the property that guarantees partial
+    aggregation can't change the answer's ACCURACY.
+
+    NOT pinned as merged == direct: the direct aggregation serves the
+    HIP estimator, which a union legitimately drops for the composite
+    estimator — the two agree only while both sides sit in exact
+    sparse mode (they do at this SF, asserted below as documentation;
+    the r14 sf0.1 driver spot-check caught them diverging at 1,500
+    distinct per group with accuracy intact, which is why the
+    driver-hashed merge_ok flag in quantile_stats pins the bound, not
+    equality)."""
     ev = load_table(spark, sf_dir, "events")
     sharded = ev.withColumn("shard", (F.col("event_id") % 16).cast("int"))
     per_shard = hll_sketch_per_group(sharded, ["event_type", "shard"], "user_id")
@@ -38,6 +48,15 @@ def test_hll_merge_law(spark, sf_dir):
             per_shard.withColumnRenamed("hll", "hll"), ["event_type"]
         ).collect()
     }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(merged[k] - n) <= n * 0.05, (k, merged[k], n)
+    # exact-sparse-mode equality at THIS cardinality only (see above)
     whole = {
         r.event_type: r.n_distinct_est
         for r in hll_distinct_per_group(ev, ["event_type"], "user_id").collect()
