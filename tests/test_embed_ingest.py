@@ -416,3 +416,68 @@ def test_ann_index_modulus_matches_snapshot_count(spark, sf_dir):
     assert m == _ann_modulus(cnt)
     hi = idx.selectExpr("max(bucket) AS m").collect()[0].m
     assert m <= hi < 2**_ANN_BITS_MAX  # full width stored, wider than any rung
+
+
+# ---------------------------------------------------------------------------
+# round 14: cross-engine exactness BEYOND the base rung. The driver's
+# correctness SFs never leave rung 0 (<= 2,500 vectors), so without
+# this pin a Spark/DuckDB divergence in the ladder arithmetic itself
+# (CASE boundaries, step clamp, modulus keep-bits) would only surface
+# at production scale. A 3,000-vector snapshot lands on IVF rung 1
+# (ncent 40, nprobe 24) and ANN modulus 32, and the twins must stay
+# value-identical there.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rung1_dir(spark, sf_dir, tmp_path_factory):
+    import os
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("rung1"))
+    for f in os.listdir(sf_dir):
+        if f != "embeddings.parquet":
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(d, f))
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM '/root/testdata/sf0.1/embeddings.parquet'
+  UNION ALL
+  SELECT vec_id + 2000 AS vec_id,
+         list_transform(embedding, x -> CAST(x + 0.003 AS FLOAT)) AS embedding,
+         label
+  FROM '/root/testdata/sf0.1/embeddings.parquet' WHERE vec_id < 1000
+) TO '{d}/embeddings.parquet' (FORMAT parquet)
+"""
+    )
+    con.close()
+    return d
+
+
+@pytest.mark.parametrize("op", ["ivf_topk", "ann_lsh_topk", "embed_near_dup"])
+def test_ladder_rung1_twin_exactness(spark, rung1_dir, op):
+    from monday_etl_automation_spark.plans import embed_ops as eo
+
+    assert eo._ivf_params(3000) == (40, 24)  # genuinely off the base rung
+    assert eo._ann_modulus(3000) == 32
+    fn, osql = {
+        "ivf_topk": (eo.ivf_topk, eo._ivf_sql("duckdb")),
+        "ann_lsh_topk": (eo.ann_lsh_topk, eo._ann_lsh_sql("duckdb")),
+        "embed_near_dup": (eo.embed_near_dup, eo._near_dup_sql("duckdb")),
+    }[op]
+    srows = [tuple(r) for r in fn(spark, rung1_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{rung1_dir}/embeddings.parquet'"
+    )
+    orows = con.sql(osql).fetchall()
+    con.close()
+
+    def norm(rows):
+        return [
+            tuple(round(v, 6) if isinstance(v, float) else v for v in r) for r in rows
+        ]
+
+    assert len(srows) == len(orows) and len(srows) > 0
+    assert norm(srows) == norm(orows)

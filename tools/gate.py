@@ -69,7 +69,7 @@ def main() -> int:
     steps = [
         ("driver_sim sf0.01", [sys.executable, f"{HERE}/driver_sim.py", "/root/testdata/sf0.01"], 900),
         ("strict_compare sf0.01", [sys.executable, f"{HERE}/strict_compare.py", "/root/testdata/sf0.01"], 900),
-        ("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], 900),
+        ("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], 1500),
     ]
     if full:
         steps += [
