@@ -16,9 +16,30 @@ with df.join in our engine").
                         the exact-result range-join shape that stays
                         an equi-join at 100 TB.
 
+- scd2_user_state      — (round 15, driver exposure for the SCD2
+                        family) versioned user-state dimension built
+                        THROUGH THE MERGE PATH: build from the
+                        even-event_id half of the change log, then
+                        scd2_merge the odd half — id parity interleaves
+                        timestamps, so every batch event is retroactive
+                        and the merge's _event_ts replay is exercised
+                        end-to-end. The oracle is a SINGLE-SHOT SQL
+                        build over the whole log, so merge ==
+                        rebuild-from-concatenated-log (the operator's
+                        associativity contract, tests/test_scd.py) sits
+                        under the driver hash, not just pytest.
+- range_stream         — (round 15) the stream-stream interval join
+                        (streaming/pipeline.py), replayed availableNow
+                        with the left side filtered to errors and
+                        aggregated to prior counts: the streaming twin
+                        of range_error_context under the driver hash.
+                        Inner-join semantics, so its oracle is the
+                        batch range section WHERE n_prior > 0.
+
 Oracles: DuckDB computes the same semantics directly (correlated
-scalar subquery for the as-of; a theta left join for the range) —
-independent formulations, same answers.
+scalar subquery for the as-of; a theta left join for the range; the
+lag/running-sum/lead version chain for the SCD2 build) — independent
+formulations, same answers.
 """
 
 from __future__ import annotations
@@ -27,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from monday_etl_automation_spark.operators.joins import asof_join_backward, bucketed_range_join
+from monday_etl_automation_spark.operators.scd import scd2_from_changelog, scd2_merge
 from monday_etl_automation_spark.sources.tables import load_table
 
 
@@ -116,11 +138,79 @@ ORDER BY e.event_id
 """.strip()
 
 
+# every 10th user keeps the section's output (and the driver compare)
+# bounded while still exercising full multi-version chains — the SCD2
+# build is keyed work, so per-user cost is identical at any cut
+_SCD2_USER_MOD = 10
+_SCD2_USER_REM = 7
+
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned event_type state per user, built via build + merge
+    (see module docstring). Serving projection drops the internal
+    ``_event_ts`` replay column; timestamps go out NTZ (driver-safe).
+
+    The base dimension is localCheckpointed before the merge: the
+    merge references it three times (semi, anti, _event_ts explode),
+    and an unmaterialized window chain would re-evaluate per reference
+    (CLAUDE.md materialize-before-self-join rule)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % _SCD2_USER_MOD == _SCD2_USER_REM
+    )
+    base = scd2_from_changelog(
+        ev.where(F.col("event_id") % 2 == 0), "user_id", ["event_type"], "ts"
+    ).localCheckpoint(eager=True)
+    merged = scd2_merge(
+        base, ev.where(F.col("event_id") % 2 == 1), "user_id", ["event_type"], "ts"
+    )
+    return merged.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+        # BIGINT 0/1 at the driver edge: an all-NULL BOOLEAN column
+        # stringifies as None in one engine and nan in the other under
+        # strict_compare's pandas layer (same convention as
+        # quantile_stats' est_ok/merge_ok flags)
+        F.col("is_current").cast("bigint").alias("is_current"),
+    )
+
+
+SCD2_ORACLE = f"""
+WITH scd_log AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE user_id % {_SCD2_USER_MOD} = {_SCD2_USER_REM}
+),
+scd_flag AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_type ASC)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM scd_log
+),
+scd_vid AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_type ASC
+                        ROWS UNBOUNDED PRECEDING) AS vid
+  FROM scd_flag
+),
+scd_ver AS (
+  SELECT user_id, min(event_type) AS state, min(ts) AS valid_from
+  FROM scd_vid GROUP BY user_id, vid
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from ASC, state ASC) AS valid_to,
+       CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from ASC, state ASC) IS NULL AS BIGINT) AS is_current
+FROM scd_ver
+ORDER BY user_id, valid_from, state
+""".strip()
+
+
 def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of + range join in one relation (merged so both temporal
-    operators sit inside the driver's 50-entry correctness window).
-    The probe sets are disjoint (purchases vs errors), so a tagged
-    union with per-kind NULL columns loses nothing."""
+    """As-of + range join + SCD2 merge + streaming interval join in
+    one relation (merged so all four temporal operators sit inside the
+    driver's 50-entry correctness window). The sections are disjoint
+    (tagged by join_kind), so a union with per-kind NULL columns loses
+    nothing."""
     asof = asof_last_click(spark, sf_dir).select(
         F.lit("asof").alias("join_kind"),
         "event_id",
@@ -130,6 +220,9 @@ def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         F.lit(None).cast("bigint").alias("n_prior"),
         F.lit(None).cast("bigint").alias("n_prior_errors"),
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(None).cast("bigint").alias("is_current"),
     )
     rng = range_error_context(spark, sf_dir).select(
         F.lit("range").alias("join_kind"),
@@ -140,21 +233,72 @@ def temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("click_ts"),
         "n_prior",
         "n_prior_errors",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(None).cast("bigint").alias("is_current"),
     )
-    return asof.unionByName(rng).orderBy("join_kind", "event_id")
+    scd = scd2_user_state(spark, sf_dir).select(
+        F.lit("scd2").alias("join_kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(None).cast("bigint").alias("click_event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        F.lit(None).cast("bigint").alias("n_prior"),
+        F.lit(None).cast("bigint").alias("n_prior_errors"),
+        "state",
+        "valid_to",
+        "is_current",
+    )
+    # the stream-stream interval join, replayed to completion: same
+    # predicate as the batch range section, inner semantics — its
+    # oracle is the range section's rows WHERE n_prior > 0 (round 15,
+    # driver exposure for the last pytest-only streaming operator)
+    from monday_etl_automation_spark.streaming.pipeline import run_error_context_replay
+
+    rngs = run_error_context_replay(spark, sf_dir, _LOOKBACK_S).select(
+        F.lit("range_stream").alias("join_kind"),
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.lit(None).cast("bigint").alias("click_event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        "n_prior",
+        "n_prior_errors",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(None).cast("bigint").alias("is_current"),
+    )
+    return asof.unionByName(rng).unionByName(scd).unionByName(rngs).orderBy(
+        "join_kind", "event_id", "user_id", "ts", "state"
+    )
 
 
 TEMPORAL_ORACLE = f"""
 WITH asof_res AS ({ASOF_ORACLE.replace("ORDER BY p.event_id", "")}),
-rng AS ({RANGE_ORACLE.replace("ORDER BY e.event_id", "")})
+rng AS ({RANGE_ORACLE.replace("ORDER BY e.event_id", "")}),
+scd AS ({SCD2_ORACLE.replace("ORDER BY user_id, valid_from, state", "")})
 SELECT 'asof' AS join_kind, event_id, user_id, ts, click_event_id, click_ts,
-       CAST(NULL AS BIGINT) AS n_prior, CAST(NULL AS BIGINT) AS n_prior_errors
+       CAST(NULL AS BIGINT) AS n_prior, CAST(NULL AS BIGINT) AS n_prior_errors,
+       CAST(NULL AS VARCHAR) AS state, CAST(NULL AS TIMESTAMP) AS valid_to,
+       CAST(NULL AS BIGINT) AS is_current
 FROM asof_res
 UNION ALL
 SELECT 'range', event_id, user_id, ts, CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
-       n_prior, n_prior_errors
+       n_prior, n_prior_errors, CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS BIGINT)
 FROM rng
-ORDER BY join_kind, event_id
+UNION ALL
+SELECT 'scd2', CAST(NULL AS BIGINT), user_id, valid_from, CAST(NULL AS BIGINT),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       state, valid_to, is_current
+FROM scd
+UNION ALL
+SELECT 'range_stream', event_id, user_id, ts, CAST(NULL AS BIGINT),
+       CAST(NULL AS TIMESTAMP), n_prior, n_prior_errors, CAST(NULL AS VARCHAR),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT)
+FROM rng WHERE n_prior > 0
+ORDER BY join_kind, event_id, user_id, ts, state
 """.strip()
 
 

@@ -122,31 +122,43 @@ _ANN_SETS = 4  # OR'd independent plane sets (recall amplification)
 # corpus <= 2,000 vectors — both pytest SFs) buckets, probes, and
 # results are bit-identical to r13. TARGET=125 is the measured r13
 # sf0.1 per-bucket population (2,000/16), i.e. the recall design point
-# the 0.80 floors were set at. Capacity: TARGET * 2^BITS_MAX ~ 8.2M
-# vectors; past it the ladder pins b=BITS_MAX and per-query work
-# degrades LINEARLY (population grows with n; the query set is fixed)
-# — a dial, not a cliff (unlike near-dup, whose in-bucket PAIR work
-# was quadratic past saturation). Raising BITS_MAX is a one-constant
-# change; every consumer derives bucket bits, flips, and modulus from
-# the constants below, and the batch/streaming index rows are
-# full-width (divisor-independent), so stored indexes survive the
-# raise unchanged.
-_ANN_BITS_MAX = 16
+# the 0.80 floors were set at. Capacity: TARGET * 2^BITS_MAX ~ 2.1G
+# vectors (raised from 2^16 ~ 8.2M in round 15 — the last documented
+# capacity bound below 100-TB scale); past it the ladder pins
+# b=BITS_MAX and per-query work degrades LINEARLY (population grows
+# with n; the query set is fixed) — a dial, not a cliff (unlike
+# near-dup, whose in-bucket PAIR work was quadratic past saturation).
+# Raising BITS_MAX further is a one-constant change; every consumer
+# derives bucket bits, flips, and modulus from the constants below,
+# and the batch/streaming index rows are full-width
+# (divisor-independent), so stored indexes survive the raise
+# unchanged — GUARANTEED only because the per-set plane stride below
+# (_ANN_EXT_STRIDE) is a fixed constant, NOT derived from BITS_MAX:
+# the r14 stride was (BITS_MAX - PLANES), under which a raise silently
+# reassigned the extension planes of probe sets 2..4 and invalidated
+# every stored bucket's high bits. Frozen plane ids are pinned in
+# tests/test_embed_ingest.py (test_ann_plane_ids_are_frozen).
+_ANN_BITS_MAX = 24
 _ANN_TARGET = 125
 # extension planes (bits _ANN_PLANES.._ANN_BITS_MAX-1) come from a
 # range disjoint from both the legacy ANN planes (1..16) and the
 # near-dup planes (101..124)
 _ANN_EXT_BASE = 201
+# fixed per-set stride in the extension range: supports BITS_MAX up to
+# _ANN_PLANES + 32 = 36 without ever moving an already-assigned plane
+_ANN_EXT_STRIDE = 32
 
 
 def _ann_plane(set_id: int, i: int) -> int:
     """Mix-plane id of bit i (0-based) in probe set set_id (1-based).
     Bits below _ANN_PLANES keep the legacy numbering (so the ladder
     floor is bit-identical to the pre-ladder index); higher bits map
-    into the disjoint extension range."""
+    into the disjoint extension range at a FIXED stride, so the
+    (set_id, i) -> plane map is invariant under _ANN_BITS_MAX raises
+    and full-width indexes stored before a raise stay valid."""
     if i < _ANN_PLANES:
         return (set_id - 1) * _ANN_PLANES + i + 1
-    return _ANN_EXT_BASE + (set_id - 1) * (_ANN_BITS_MAX - _ANN_PLANES) + (i - _ANN_PLANES)
+    return _ANN_EXT_BASE + (set_id - 1) * _ANN_EXT_STRIDE + (i - _ANN_PLANES)
 
 
 def _ann_ladder() -> list[tuple[int, int]]:
@@ -326,6 +338,13 @@ def _ann_lsh_sql(dialect: str, modulus: int | None = None) -> str:
     sit at cosine ~0.35, which is the hard case."""
     dot = _dot(dialect, "q.embedding", "v.embedding")
     cos = f"({dot}) / (q.norm * v.norm)"
+    # The Spark executor always searches a PERSISTED index whose ladder
+    # modulus travels with the handle, so flips can be compile-time
+    # literals; a spark call without one would emit dead Hamming probes
+    # for every bit >= the rung (the in-SQL flip < m filter exists only
+    # in the oracle branch) — refuse rather than silently over-probe.
+    if dialect == "spark" and modulus is None:
+        raise ValueError("spark dialect requires the index's cached ladder modulus")
     all_flips = [0] + [2**i for i in range(_ANN_BITS_MAX)]
     if modulus is None:
         meta = f"{_ann_meta_cte(dialect)},\n"

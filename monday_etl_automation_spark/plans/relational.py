@@ -750,7 +750,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     no matter how diverse the names are. Adding each name word as a
     band key makes the block key high-cardinality whenever names are
     (the production case), bounding candidate work; on this data it
-    cuts candidates 4.2x (388 -> 1,639 at sf0.01) while retaining
+    cuts candidates 4.2x (1,639 -> 388 at sf0.01) while retaining
     98.6-98.7% of the true pairs (a pair is only dropped when EVERY
     word was edited — rare within a 4-edit budget on 2-word names;
     retention pinned >= 0.95 in tests/test_plans.py). The oracle

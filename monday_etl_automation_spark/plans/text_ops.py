@@ -458,12 +458,14 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, so no second exchange appears; at 100 TB (many
     splits) the plan is the same single corpus redistribution the
     ORDER BY always cost."""
-    import os
-
     register_views(spark, sf_dir)
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # width = the session's shuffle-partition setting (self-tuning on a
+    # cluster; 32 locally via session.py), never < 1 (r14 ADVICE: a raw
+    # SPARK_GRAFT_CPUS=0 would fail this one query while the rest of
+    # the engine kept working)
+    width = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     spark.sql("SELECT doc_id, lang, source, n_chars, text FROM documents").repartitionByRange(
-        cpus, "doc_id"
+        width, "doc_id"
     ).createOrReplaceTempView("_tp_docs")
     return spark.sql(_text_profile_sql("spark", corpus="_tp_docs"))
 

@@ -236,6 +236,47 @@ def run_interval_join_replay(
     return spark.table(sink).orderBy("l_event_id", "r_event_id")
 
 
+def run_error_context_replay(
+    spark: SparkSession, sf_dir: str, window_seconds: int = 600
+) -> DataFrame:
+    """availableNow replay of the stream-stream interval join with the
+    LEFT side filtered to error events, aggregated to per-error prior
+    counts — the exact streaming twin of
+    plans/advanced_joins.range_error_context (identical predicate;
+    inner join semantics, so only errors with >= 1 prior event emit a
+    row — the oracle is the batch range section WHERE n_prior > 0).
+    Round 15: this puts the stream-stream interval join under the
+    driver hash (it was pytest-only), union-tagged into
+    temporal_joins."""
+    sink = f"ssctx_{uuid.uuid4().hex[:8]}"
+    left = event_stream(spark, sf_dir).where(F.col("event_type") == "error")
+    joined = stream_stream_interval_join(left, event_stream(spark, sf_dir), window_seconds)
+    with _replay_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssc_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy(
+            F.col("l_event_id").alias("event_id"),
+            F.col("l_user_id").alias("user_id"),
+            F.col("l_ts").alias("ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_prior"),
+            F.sum(F.when(F.col("r_event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_prior_errors"),
+        )
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Webhook-retry suppression: drop duplicate event_ids while their
     watermark window is open (at-least-once -> effectively-once)."""

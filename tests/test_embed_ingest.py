@@ -481,3 +481,110 @@ def test_ladder_rung1_twin_exactness(spark, rung1_dir, op):
 
     assert len(srows) == len(orows) and len(srows) > 0
     assert norm(srows) == norm(orows)
+
+
+# ---------------------------------------------------------------------------
+# round 15: the ANN capacity raise (BITS_MAX 16 -> 24) and the frozen
+# plane map that makes "stored indexes survive the raise" actually
+# true. The r14 extension stride was (BITS_MAX - PLANES), so raising
+# the constant would have silently reassigned the extension planes of
+# probe sets 2..4 and invalidated every stored bucket's high bits —
+# the stride is now the fixed _ANN_EXT_STRIDE and these pins freeze
+# the (set, bit) -> plane map and the deep-bit cross-engine values.
+# ---------------------------------------------------------------------------
+
+
+def test_ann_plane_ids_are_frozen():
+    """Literal (set, bit) -> plane pins. These values are FROZEN: a
+    stored full-width index encodes them physically, so any change —
+    including reintroducing a BITS_MAX-derived stride — invalidates
+    persisted indexes and must fail here loudly."""
+    from monday_etl_automation_spark.plans.embed_ops import (
+        _ANN_BITS_MAX,
+        _ANN_PLANES,
+        _ANN_SETS,
+        _ann_plane,
+    )
+
+    # legacy bits (the r13 fixed-width index, bit-identical forever)
+    assert _ann_plane(1, 0) == 1
+    assert _ann_plane(1, 3) == 4
+    assert _ann_plane(2, 0) == 5
+    assert _ann_plane(4, 3) == 16
+    # extension bits at the fixed stride of 32
+    assert _ann_plane(1, 4) == 201
+    assert _ann_plane(1, 23) == 220
+    assert _ann_plane(2, 4) == 233
+    assert _ann_plane(3, 10) == 271
+    assert _ann_plane(4, 23) == 316
+    # the map must not depend on BITS_MAX: every plane id fits inside
+    # the per-set stride window regardless of how many bits are in use
+    assert _ANN_BITS_MAX - _ANN_PLANES <= 32
+    for s in range(1, _ANN_SETS + 1):
+        for i in range(_ANN_PLANES, _ANN_BITS_MAX):
+            assert _ann_plane(s, i) == 201 + (s - 1) * 32 + (i - _ANN_PLANES)
+
+
+@pytest.mark.parametrize("modulus", [256, 2**20])
+def test_ann_deep_rung_twin_exactness(spark, rung1_dir, modulus):
+    """Cross-engine exactness at rungs far above the corpus's own
+    (3,000 vectors -> natural rung m=32): Spark searches the PERSISTED
+    full-width index reduced to the deep modulus; DuckDB recomputes
+    every projection inline at the same modulus. Equality proves the
+    stored high bits (incl. bits 16..19, beyond the r14 width) are
+    exactly the oracle's — i.e. an index stored before a BITS_MAX
+    raise keeps answering correctly after it."""
+    from monday_etl_automation_spark.plans import embed_ops as eo
+
+    idx, _ = eo._ann_bucket_index(spark, rung1_dir)
+    idx.createOrReplaceTempView("_ann_buckets")
+    srows = [tuple(r) for r in spark.sql(eo._ann_lsh_sql("spark", modulus=modulus)).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{rung1_dir}/embeddings.parquet'"
+    )
+    orows = con.sql(eo._ann_lsh_sql("duckdb", modulus=modulus)).fetchall()
+    con.close()
+
+    def norm(rows):
+        return sorted(
+            tuple(round(v, 6) if isinstance(v, float) else v for v in r) for r in rows
+        )
+
+    assert len(srows) == len(orows)
+    if modulus == 256:
+        # ~12 vectors/bucket/set here: candidate sets are non-trivial
+        assert len(srows) > 0
+    assert norm(srows) == norm(orows)
+
+
+def test_ann_stored_index_survives_bits_raise(spark, rung1_dir):
+    """A pre-raise deployment stored 16-bit buckets; those rows are
+    exactly today's full-width rows mod 2^16, and every search keeps
+    LOW bits (bucket % m) — so search results at any rung m <= 2^16
+    must be identical whether the stored index is 16- or 24-bit wide.
+    Guards the low-bits-keep convention itself (a switch to the
+    near-dup ladder's high-bits DIV would break stored indexes)."""
+    from monday_etl_automation_spark.plans import embed_ops as eo
+
+    idx, m = eo._ann_bucket_index(spark, rung1_dir)
+    assert m <= 2**16
+    idx.createOrReplaceTempView("_ann_buckets")
+    full = [tuple(r) for r in spark.sql(eo._ann_lsh_sql("spark", modulus=m)).collect()]
+    idx.selectExpr("vec_id", "s", "bucket % 65536 AS bucket").createOrReplaceTempView(
+        "_ann_buckets"
+    )
+    legacy = [tuple(r) for r in spark.sql(eo._ann_lsh_sql("spark", modulus=m)).collect()]
+    idx.createOrReplaceTempView("_ann_buckets")  # restore for later tests
+    assert len(full) > 0
+    assert sorted(full) == sorted(legacy)
+
+
+def test_ann_lsh_spark_requires_cached_modulus():
+    """ADVICE r14: the spark dialect without a modulus would emit dead
+    Hamming probes for bits >= the rung (the flip < m filter is
+    oracle-only) — it must refuse instead."""
+    from monday_etl_automation_spark.plans import embed_ops as eo
+
+    with pytest.raises(ValueError):
+        eo._ann_lsh_sql("spark", modulus=None)

@@ -50,7 +50,13 @@ _PINS: dict[str, tuple[int, int, bool]] = {
     # rates); the shuffle cap stays 1 — fewer joins, same exchanges.
     "text_profile": (1, 5, True),
     "semi_anti_customers": (1, 2, True),
-    "temporal_joins": (3, 4, True),
+    # r15: +3 exchanges, deliberately — the scd2 section (touched-key
+    # distinct + the rebuilt changelog's user_id window shuffle; the
+    # base build is materialized behind its localCheckpoint) and the
+    # range_stream section's count agg over the replayed memory sink.
+    # Broadcast floor 4 -> 8: the merge's semi/anti joins against the
+    # small touched-key set broadcast, as they should.
+    "temporal_joins": (6, 8, True),
     # includes the rrf shape (r12): fusion rides the persisted
     # postings/IVF artifacts, so no new hash exchange entered the plan
     "vector_extra": (4, 7, True),

@@ -119,18 +119,21 @@ def test_no_cartesian_product(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
 
 
-def test_fuzzy_word_band_retention():
+@pytest.mark.parametrize("sf", ["sf0.01", "sf0.1"])
+def test_fuzzy_word_band_retention(sf):
     """The word-band blocking key drops only pairs whose EVERY name
     word was edited — pin its measured pair retention vs the pure
-    (brand, size) blocking at sf0.01 (the pytest SF has zero fuzzy
-    pairs). Pure DuckDB: this is a data property of the blocking
-    design, not a Spark plan property. Measured 224/227 = 98.7% at
-    sf0.01 and 21438/21739 = 98.6% at sf0.1 (r14)."""
+    (brand, size) blocking (the pytest SF has zero fuzzy pairs).
+    Pure DuckDB: this is a data property of the blocking design, not
+    a Spark plan property. Measured 224/227 = 98.7% at sf0.01 and
+    21438/21739 = 98.6% at sf0.1 (r14). Parametrized over BOTH driver
+    SFs in r15 (verdict item 4): the repo's history has one bug that
+    only ever reproduced at sf0.1."""
     import duckdb
 
     con = duckdb.connect()
     con.execute(
-        "CREATE VIEW part AS SELECT * FROM '/root/testdata/sf0.01/part.parquet'"
+        f"CREATE VIEW part AS SELECT * FROM '/root/testdata/{sf}/part.parquet'"
     )
     n_exact, n_blocked = con.sql(
         """
@@ -152,5 +155,5 @@ SELECT (SELECT count(*) FROM exact), (SELECT count(*) FROM blocked)
 """
     ).fetchone()
     con.close()
-    assert n_exact > 0, "sf0.01 lost its fuzzy pairs — re-measure the blocking"
+    assert n_exact > 0, f"{sf} lost its fuzzy pairs — re-measure the blocking"
     assert n_blocked / n_exact >= 0.95, f"retention {n_blocked}/{n_exact}"
