@@ -106,6 +106,43 @@ def _rex_sql(dialect: str, e6: str, asg: str, cent: str) -> str:
   JOIN {cent} c ON a.cid = c.cid AND e.dim = c.dim"""
 
 
+def _qc_body(cent: str) -> str:
+    return f"""SELECT q.vec_id AS qid, c.cid, CAST(sum(q.xd6 * c.md) AS BIGINT) AS dot_qc
+  FROM q6 q JOIN {cent} c ON q.dim = c.dim GROUP BY q.vec_id, c.cid"""
+
+
+def _lut_body(rcb: str, idiv: str) -> str:
+    return f"""SELECT q.vec_id AS qid, r.sub, r.code, CAST(sum(q.xd6 * r.md) AS BIGINT) AS pdot
+  FROM q6 q JOIN {rcb} r ON CAST(q.dim {idiv} {_SUBDIM} AS INT) = r.sub
+                         AND CAST(q.dim % {_SUBDIM} AS INT) = r.d
+  GROUP BY q.vec_id, r.sub, r.code"""
+
+
+def _cc2_body(cent: str) -> str:
+    return f"SELECT cid, CAST(sum(md * md) AS BIGINT) AS n2 FROM {cent} GROUP BY cid"
+
+
+def _rr2_body(rcb: str) -> str:
+    return f"SELECT sub, code, CAST(sum(md * md) AS BIGINT) AS n2 FROM {rcb} GROUP BY sub, code"
+
+
+def _cr_body(cent: str, rcb: str, idiv: str) -> str:
+    return f"""SELECT c.cid, r.sub, r.code, CAST(sum(c.md * r.md) AS BIGINT) AS x
+  FROM {cent} c JOIN {rcb} r ON CAST(c.dim {idiv} {_SUBDIM} AS INT) = r.sub
+                             AND CAST(c.dim % {_SUBDIM} AS INT) = r.d
+  GROUP BY c.cid, r.sub, r.code"""
+
+
+def _vstats_body(vparts: str) -> str:
+    return f"""SELECT v.vec_id, v.cid,
+         CAST(sum(rr2.n2) AS BIGINT) AS rr_sum,
+         CAST(sum(cr.x) AS BIGINT) AS cr_sum
+  FROM {vparts} v
+  JOIN rr2 ON v.sub = rr2.sub AND v.code = rr2.code
+  JOIN cr ON v.cid = cr.cid AND v.sub = cr.sub AND v.code = cr.code
+  GROUP BY v.vec_id, v.cid"""
+
+
 def _ivfpq_tail_sql(
     dialect: str,
     ranked: str,
@@ -118,6 +155,7 @@ def _ivfpq_tail_sql(
     qsrc: str = "embeddings",
     exclude_self: bool = True,
     nprobe: int | str = _IVF_NPROBE,
+    pre: dict[str, str] | None = None,
 ) -> str:
     """Search CTEs over trained relations: ``ranked(vec_id, cid, rc)``,
     ``cent(cid, dim, md)``, ``rcb(sub, code, d, md)`` (residual
@@ -125,47 +163,53 @@ def _ivfpq_tail_sql(
     list id per vector), ``e6`` (1e6 elements, for the query side).
     ``qpick``/``q6``/``qsrc``/``exclude_self`` override the query side
     for batch (non-corpus) queries — one body serves the corpus
-    search, the twin, and the batch path."""
+    search, the twin, and the batch path.
+
+    ``pre`` maps CTE names in {{qpick, qc, lut, cc2, vstats}} to
+    PERSISTED view names (r15, the fixed-query executor path): every
+    one of them is snapshot-derived index metadata, and deriving them
+    inline made each EXECUTION redo corpus-wide aggregations (vstats)
+    and query-side explodes, plus Catalyst re-analysis of the full
+    chain. CTE bodies are shared helpers (_qc_body etc.) so the
+    builder and the inline twin can never drift; unreferenced upstream
+    CTEs (q6, rr2, cr) are omitted when their consumers are
+    pre-computed. The DuckDB twin keeps deriving everything inline."""
+    pre = pre or {}
     idiv = "DIV" if dialect == "spark" else "//"
     dot = _dot(dialect, "q.embedding", "v.embedding")
     cos = f"({dot}) / (q.norm * v.norm)"
-    qpick_sql = qpick or (
-        f"SELECT vec_id, cid FROM {ranked}"
-        f" WHERE {_query_pred()} AND rc <= {nprobe}"
-    )
+    if "qpick" in pre:
+        qpick_sql = f"SELECT * FROM {pre['qpick']}"
+    else:
+        qpick_sql = qpick or (
+            f"SELECT vec_id, cid FROM {ranked} WHERE {_query_pred()} AND rc <= {nprobe}"
+        )
     q6_sql = q6 or (
         f"SELECT vec_id, dim, xd6 FROM {e6} e WHERE {_query_pred()}"
     )
     self_guard = "WHERE d2.qid <> d2.vec_id" if exclude_self else ""
-    return f"""qpick AS ({qpick_sql}),
-q6 AS ({q6_sql}),
-qc AS (
-  SELECT q.vec_id AS qid, c.cid, CAST(sum(q.xd6 * c.md) AS BIGINT) AS dot_qc
-  FROM q6 q JOIN {cent} c ON q.dim = c.dim GROUP BY q.vec_id, c.cid
-),
-lut AS (
-  SELECT q.vec_id AS qid, r.sub, r.code, CAST(sum(q.xd6 * r.md) AS BIGINT) AS pdot
-  FROM q6 q JOIN {rcb} r ON CAST(q.dim {idiv} {_SUBDIM} AS INT) = r.sub
-                         AND CAST(q.dim % {_SUBDIM} AS INT) = r.d
-  GROUP BY q.vec_id, r.sub, r.code
-),
-cc2 AS (SELECT cid, CAST(sum(md * md) AS BIGINT) AS n2 FROM {cent} GROUP BY cid),
-rr2 AS (SELECT sub, code, CAST(sum(md * md) AS BIGINT) AS n2 FROM {rcb} GROUP BY sub, code),
-cr AS (
-  SELECT c.cid, r.sub, r.code, CAST(sum(c.md * r.md) AS BIGINT) AS x
-  FROM {cent} c JOIN {rcb} r ON CAST(c.dim {idiv} {_SUBDIM} AS INT) = r.sub
-                             AND CAST(c.dim % {_SUBDIM} AS INT) = r.d
-  GROUP BY c.cid, r.sub, r.code
-),
-vstats AS (
-  SELECT v.vec_id, v.cid,
-         CAST(sum(rr2.n2) AS BIGINT) AS rr_sum,
-         CAST(sum(cr.x) AS BIGINT) AS cr_sum
-  FROM {vparts} v
-  JOIN rr2 ON v.sub = rr2.sub AND v.code = rr2.code
-  JOIN cr ON v.cid = cr.cid AND v.sub = cr.sub AND v.code = cr.code
-  GROUP BY v.vec_id, v.cid
-),
+    parts = [f"qpick AS ({qpick_sql})"]
+    if "qc" not in pre or "lut" not in pre:
+        parts.append(f"q6 AS ({q6_sql})")
+    parts.append(
+        f"qc AS (SELECT * FROM {pre['qc']})" if "qc" in pre else f"qc AS (\n  {_qc_body(cent)}\n)"
+    )
+    parts.append(
+        f"lut AS (SELECT * FROM {pre['lut']})"
+        if "lut" in pre
+        else f"lut AS (\n  {_lut_body(rcb, idiv)}\n)"
+    )
+    parts.append(
+        f"cc2 AS (SELECT * FROM {pre['cc2']})" if "cc2" in pre else f"cc2 AS ({_cc2_body(cent)})"
+    )
+    if "vstats" in pre:
+        parts.append(f"vstats AS (SELECT * FROM {pre['vstats']})")
+    else:
+        parts.append(f"rr2 AS ({_rr2_body(rcb)})")
+        parts.append(f"cr AS (\n  {_cr_body(cent, rcb, idiv)}\n)")
+        parts.append(f"vstats AS (\n  {_vstats_body(vparts)}\n)")
+    head = ",\n".join(parts)
+    return f"""{head},
 vadc AS (
   SELECT l.qid, v.vec_id, CAST(sum(l.pdot) AS BIGINT) AS radot
   FROM {vparts} v JOIN lut l ON v.sub = l.sub AND v.code = l.code
@@ -299,6 +343,47 @@ def _train_ivfpq(
     return ranked, rcb, vparts
 
 
+def _ivfpq_search_meta(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Persisted search metadata for the fixed query set (r15): qpick
+    (probed lists per query), qc (query-centroid dots), lut (residual
+    LUT), cc2 (centroid norms), vstats (per-vector code-norm stats) —
+    each derived ONCE per (session, data snapshot) from the SAME body
+    helpers the inline tail uses, checkpointed, cached together with
+    the quantizer handles. Own view names per the CLAUDE.md
+    consumer-handle rule."""
+    bind_table(spark, sf_dir, "embeddings")
+    cache = session_artifact_cache(spark, "ivfpq_searchmeta")
+    key = snapshot_key(sf_dir, "embeddings")
+    hit = cache.get(key)
+    if hit is None:
+        ranked, rcb, vparts = _train_ivfpq(spark, sf_dir)
+        _, cent, _, nprobe = _train_ivf(spark, sf_dir)
+        ranked.createOrReplaceTempView("_ipqm_ranked")
+        rcb.createOrReplaceTempView("_ipqm_rcb")
+        vparts.createOrReplaceTempView("_ipqm_vparts")
+        cent.createOrReplaceTempView("_ipqm_cent")
+        q6 = f"SELECT vec_id, dim, xd6 FROM ({_e6_sql('spark')}) e WHERE {_query_pred()}"
+
+        def ck(sql: str) -> DataFrame:
+            return spark.sql(sql).localCheckpoint(eager=True)
+
+        hit = {
+            "qpick": ck(
+                f"SELECT vec_id, cid FROM _ipqm_ranked WHERE {_query_pred()} AND rc <= {nprobe}"
+            ),
+            "qc": ck(f"WITH q6 AS ({q6})\n{_qc_body('_ipqm_cent')}"),
+            "lut": ck(f"WITH q6 AS ({q6})\n{_lut_body('_ipqm_rcb', 'DIV')}"),
+            "cc2": ck(_cc2_body("_ipqm_cent")),
+            "vstats": ck(
+                f"WITH rr2 AS ({_rr2_body('_ipqm_rcb')}),\n"
+                f"cr AS (\n  {_cr_body('_ipqm_cent', '_ipqm_rcb', 'DIV')}\n)\n"
+                + _vstats_body("_ipqm_vparts")
+            ),
+        }
+        cache[key] = hit
+    return hit
+
+
 def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search against the persisted index: per-query work is the
     20-row centroid lookup, the 16x16 residual LUT, the probed-list
@@ -310,11 +395,17 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vparts.createOrReplaceTempView("_ipq_vparts")
     _, cent, _, nprobe = _train_ivf(spark, sf_dir)
     cent.createOrReplaceTempView("_ipq_cent")
+    meta = _ivfpq_search_meta(spark, sf_dir)
+    pre = {}
+    for name, df in meta.items():
+        view = f"_ipq_pre_{name}"
+        df.createOrReplaceTempView(view)
+        pre[name] = view
     return spark.sql(
-        f"WITH e6x AS ({_e6_sql('spark')}),\n"
+        "WITH "
         + _ivfpq_tail_sql(
             "spark", "_ipq_ranked", "_ipq_cent", "_ipq_rcb", "_ipq_vparts", "e6x",
-            nprobe=nprobe,
+            nprobe=nprobe, pre=pre,
         )
     )
 

