@@ -472,27 +472,206 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 
 # ---------------------------------------------------------------------------
-# distinct counts (SURVEY A4/A5 as a first-class query)
+# distinct counts (SURVEY A4/A5 as a first-class query) + the skew and
+# layout contracts (§2.12), union-tagged into the same entry so the
+# whole family sits inside the driver's 50-entry correctness window
+# (r15 — the quantile_stats-hll pattern; verdict item: "driver-expose
+# the skew-lever equality contract").
+#
+# What the driver hash now pins, per section:
+#   exact           the original four COUNT DISTINCTs over lineitem.
+#   salted_distinct operators/skew.py:salted_distinct_count — exact
+#                   per-key COUNT DISTINCT via the two-level rewrite;
+#                   the oracle computes the PLAIN count(DISTINCT), so
+#                   the hash IS the "salt is internal plumbing" law.
+#   salted_agg      operators/skew.py:salted_aggregate — two-phase
+#                   partial/merge aggregation over a deterministic
+#                   xxhash64 salt vs the plain GROUP BY oracle.
+#   salted_join     operators/skew.py:salted_join_hot_only — the
+#                   two-path (hot keys salted+replicated, cold keys
+#                   plain) join, hot set from the hot_keys frequency
+#                   probe, vs the plain join+aggregate oracle.
+#   zorder          sources/clustering.py's bit-interleave z-value
+#                   (the clustered-write key) — the SAME SQL text runs
+#                   on both engines, pinning the bucket quantization
+#                   and the shift/mask interleave cross-engine
+#                   (count + max zval per coarse z-range).
+#
+# The hot-key SPREADING behavior (the point of salting) stays pinned by
+# tests/test_skew.py on synthetically skewed data; what belongs under
+# the driver hash is the exactness law on real tables, which is what a
+# user relies on before flipping the lever at 100 TB.
 # ---------------------------------------------------------------------------
+
+_ZBITS = 10  # buckets per dimension, matches sources/clustering.py
+
+
+def _zorder_sql(corpus: str = "part") -> str:
+    """One SQL text, two engines (the quantile_stats trick): quantize
+    (p_size, p_retailprice) to 2^{_ZBITS} buckets from their (min, max)
+    via the explicit floor formula (width_bucket semantics, spelled out
+    so neither engine's builtin is load-bearing), interleave the bucket
+    bits with fully-parenthesized shift/mask terms, and aggregate per
+    coarse z-range. Double math is IEEE-identical cross-engine (same
+    operation order); every bit term is parenthesized so operator
+    precedence never differs."""
+    terms = []
+    for k, b in enumerate(("b1", "b2")):
+        for i in range(_ZBITS):
+            terms.append(f"((({b} >> {i}) & 1) << {i * 2 + k})")
+    interleave = " + ".join(terms)
+    # nested subqueries, not CTEs: this text is UNION-ALL'd into the
+    # oracle, where a mid-statement WITH is a parse error on both engines
+    return f"""
+SELECT 'zorder' AS section, CAST((zval >> 14) AS STRING) AS k,
+       CAST(count(*) AS BIGINT) AS n, CAST(max(zval) AS DOUBLE) AS v
+FROM (
+  SELECT {interleave} AS zval
+  FROM (
+    SELECT
+      least(CAST({2**_ZBITS - 1} AS BIGINT),
+            CAST(floor((CAST(p_size AS DOUBLE) - lo1) * {2**_ZBITS}.0 / (hi1 - lo1)) AS BIGINT)) AS b1,
+      least(CAST({2**_ZBITS - 1} AS BIGINT),
+            CAST(floor((CAST(p_retailprice AS DOUBLE) - lo2) * {2**_ZBITS}.0 / (hi2 - lo2)) AS BIGINT)) AS b2
+    FROM {corpus}, (
+      SELECT CAST(min(p_size) AS DOUBLE) AS lo1, CAST(max(p_size) AS DOUBLE) AS hi1,
+             min(CAST(p_retailprice AS DOUBLE)) AS lo2, max(CAST(p_retailprice AS DOUBLE)) AS hi2
+      FROM {corpus}
+    ) zstats
+  ) zb
+) zv
+GROUP BY (zval >> 14)
+""".strip()
 
 
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
+    """Memoized per (session, snapshot) like tpch_extra: the hot_keys
+    probe inside is EAGER (localCheckpoint + a metadata collect), so
+    re-building the plan per call would re-pay it; a DataFrame is an
+    immutable logical plan, so re-serving one is free and safe."""
+    from monday_etl_automation_spark.sources.tables import (
+        session_artifact_cache,
+        snapshot_key,
     )
 
+    cache = session_artifact_cache(spark, "distinct_counts_plan")
+    key = tuple(snapshot_key(sf_dir, t) for t in ("lineitem", "supplier", "part"))
+    hit = cache.get(key)
+    if hit is None:
+        hit = _build_distinct_counts(spark, sf_dir)
+        cache[key] = hit
+    return hit
 
-DISTINCT_ORACLE = """
-SELECT
-  count(DISTINCT l_orderkey) AS n_orders,
-  count(DISTINCT l_partkey) AS n_parts,
-  count(DISTINCT l_suppkey) AS n_suppliers,
-  count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
-FROM lineitem
+
+def _build_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from monday_etl_automation_spark.operators.skew import (
+        hot_keys,
+        salted_aggregate,
+        salted_distinct_count,
+        salted_join_hot_only,
+    )
+    from monday_etl_automation_spark.sources.tables import register_views
+
+    l = _t(spark, sf_dir, "lineitem")
+    nul_d = F.lit(None).cast("double")
+
+    # exact: one scan, four distincts (Expand), unpivoted to rows
+    exact = (
+        l.agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
+        )
+        .select(
+            F.expr(
+                "stack(4, 'n_orders', n_orders, 'n_parts', n_parts,"
+                " 'n_suppliers', n_suppliers, 'n_flag_status', n_flag_status)"
+                " AS (k, n)"
+            )
+        )
+        .select(F.lit("exact").alias("section"), "k", F.col("n").cast("bigint").alias("n"), nul_d.alias("v"))
+    )
+
+    # salted_distinct: exact COUNT(DISTINCT l_suppkey) per returnflag
+    # via the (keys, x)-distinct two-level rewrite
+    s_dist = salted_distinct_count(l, ["l_returnflag"], "l_suppkey").select(
+        F.lit("salted_distinct").alias("section"),
+        F.col("l_returnflag").alias("k"),
+        F.col("n_distinct").cast("bigint").alias("n"),
+        nul_d.alias("v"),
+    )
+
+    # salted_agg: two-phase partial/merge over a deterministic salt;
+    # decimal internally, DOUBLE at the edge (CLAUDE.md type rule)
+    s_agg = salted_aggregate(
+        l,
+        ["l_linestatus"],
+        {
+            "n_rows": ("count", F.lit(1)),
+            "sum_qty": ("sum", F.col("l_quantity").cast(DEC)),
+        },
+        n_salts=8,
+    ).select(
+        F.lit("salted_agg").alias("section"),
+        F.col("l_linestatus").alias("k"),
+        F.col("n_rows").cast("bigint").alias("n"),
+        F.col("sum_qty").cast("double").alias("v"),
+    )
+
+    # salted_join: two-path hot-only salted join lineitem⋈supplier,
+    # hot set from the frequency probe (metadata-sized), then the
+    # revenue rollup per supplier nation — oracle is the PLAIN join
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(4,2)")
+    li = l.select("l_suppkey", (price * (one - disc)).cast("decimal(18,4)").alias("rev"))
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    hot = hot_keys(li.select("l_suppkey"), ["l_suppkey"], min_share=0.002)
+    s_join = (
+        salted_join_hot_only(li, sup, ["l_suppkey"], hot, n_salts=4)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("rev"))
+        .select(
+            F.lit("salted_join").alias("section"),
+            F.col("s_nationkey").cast("string").alias("k"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rev").cast("double").alias("v"),
+        )
+    )
+
+    # zorder: shared SQL text over the part view. Full registration,
+    # never a names=("part",) subset: register_views marks the WHOLE
+    # sf_dir as registered, so a partial call would leave every other
+    # view unregistered for the rest of the session.
+    register_views(spark, sf_dir)
+    zorder = spark.sql(_zorder_sql("part"))
+
+    return exact.unionByName(s_dist).unionByName(s_agg).unionByName(s_join).unionByName(zorder)
+
+
+DISTINCT_ORACLE = f"""
+SELECT 'exact' AS section, 'n_orders' AS k, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v FROM lineitem
+UNION ALL
+SELECT 'exact', 'n_parts', CAST(count(DISTINCT l_partkey) AS BIGINT), NULL FROM lineitem
+UNION ALL
+SELECT 'exact', 'n_suppliers', CAST(count(DISTINCT l_suppkey) AS BIGINT), NULL FROM lineitem
+UNION ALL
+SELECT 'exact', 'n_flag_status', CAST(count(DISTINCT (l_returnflag, l_linestatus)) AS BIGINT), NULL FROM lineitem
+UNION ALL
+SELECT 'salted_distinct', l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT), NULL FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'salted_agg', l_linestatus, CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+FROM lineitem GROUP BY l_linestatus
+UNION ALL
+SELECT 'salted_join', CAST(s_nationkey AS STRING), CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE)
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_nationkey
+UNION ALL
+{_zorder_sql("part")}
 """.strip()
 
 

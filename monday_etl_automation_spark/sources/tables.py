@@ -203,6 +203,12 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         return
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    if tuple(names) != TABLES:
+        # a subset registration must NOT mark the sf_dir as fully
+        # registered — it would turn every later full call into a
+        # no-op and leave the remaining views unresolvable (r15 bug:
+        # a names=("part",) call broke every lineitem query after it)
+        return
     spark._mea_views_sf_dir = sf_dir  # noqa: SLF001 (own session tag)
     # base views changed — any fixture views derived from them are stale
     spark._mea_fixtures_sf_dir = None  # noqa: SLF001

@@ -41,6 +41,13 @@ _PINS: dict[str, tuple[int, int, bool]] = {
     # cumulative window's re-partition, over ~150 rows)
     "quantile_stats": (6, 2, True),
     "dedup_exact": (1, 0, False),
+    # r15: distinct_counts grew the skew + zorder contract sections —
+    # exact (Expand countDistinct), salted_distinct (distinct + regroup),
+    # salted_agg (partial/merge pair), salted_join (hot probe agg + the
+    # two-path join's cold-side shuffle), zorder (stats agg + z-range
+    # agg). Broadcasts: the hot-key semi/anti splits + the dim joins +
+    # the zstats scalar join all stay broadcast.
+    "distinct_counts": (8, 11, True),
     # r13: decon/PII columns added at ZERO new hash exchanges — the
     # corpus side is a row-local gram-hash array intersect against the
     # broadcast bench set (the exploded equi-join draft cost +3
