@@ -48,7 +48,28 @@ def build_file_cells(spark: SparkSession) -> DataFrame:
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the flagship selection pipeline over ``sf_dir``."""
+    """Run the flagship selection pipeline over ``sf_dir``.
+
+    Memoized per (session, snapshot) — the tpch_extra pattern:
+    analyzing the fold→parse→rules→window→join chain costs ~0.3s of
+    driver-side Catalyst work per build (measured r15), and a
+    DataFrame is an immutable logical plan, so re-serving one is free.
+    """
+    from monday_etl_automation_spark.sources.tables import (
+        session_artifact_cache,
+        snapshot_key,
+    )
+
+    cache = session_artifact_cache(spark, "flagship_plan")
+    key = tuple(snapshot_key(sf_dir, t) for t in ("lineitem", "part", "orders"))
+    hit = cache.get(key)
+    if hit is None:
+        hit = _build_flagship(spark, sf_dir)
+        cache[key] = hit
+    return hit
+
+
+def _build_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_fixture_views(spark, sf_dir)
     cells = build_file_cells(spark)
     files = parse_file_cells(cells)

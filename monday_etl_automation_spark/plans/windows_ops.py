@@ -108,18 +108,69 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming replay of the merge-on-gap session
     aggregation — the state shape where streaming diverges most from
-    batch, so replay==oracle is the strongest §2.10 evidence."""
-    return streaming.run_session_replay(spark, sf_dir)
+    batch, so replay==oracle is the strongest §2.10 evidence.
+
+    r15: + the ``timer`` section — the EXPLICIT-timer sessionizer
+    (``applyInPandasWithState`` + EventTimeTimeout,
+    streaming/pipeline.py:sessionize_with_timers) replayed through
+    time-ordered micro-batches, union-tagged so the last pytest-only
+    streaming operator rides the driver hash. Its oracle is the pure
+    gaps-and-islands computation RESTRICTED to sessions the watermark
+    provably closed: with a 0-second delay the final watermark is the
+    global max event time, so a user's final session is emitted iff
+    ``last_event + gap <= max(ts)`` — verified exact against the
+    replay at sf0.001/0.01/0.1 before wiring. Note the two sections'
+    gap conventions differ deliberately: session_window starts a new
+    session AT gap distance (>=), the timer state machine only after
+    a STRICT > gap silence — both pinned by their oracles."""
+    win = streaming.run_session_replay(spark, sf_dir)
+    # users_mod=7: deterministic 1-in-7 user slice — the replay's cost
+    # is per (group, micro-batch) state-protocol calls, so the slice
+    # bounds it at ~1/7 while every timer semantic still fires; the
+    # oracle filters the identical slice (full corpus stays covered by
+    # tests/test_streaming.py at the pytest SF)
+    # n_splits=3: the replay's fixed cost is per micro-batch (state
+    # server + store commits, ~1.3s each at sf0.1 measured r15) and 3
+    # batches already exercise every timer path (sessions spanning two
+    # boundaries, mid-stream fires, the final watermark pass); oracle
+    # exactness re-verified at 2/3/4/8 splits — the emitted set only
+    # depends on the final watermark, never the batch cut.
+    tim = streaming.run_timer_sessions_replay(
+        spark, sf_dir, gap_seconds=300, n_splits=3, users_mod=7
+    )
+    win_t = win.select(
+        F.lit("window").alias("section"),
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.lit(None).cast("bigint").alias("sum_micros"),
+    )
+    tim_t = tim.select(
+        F.lit("timer").alias("section"),
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        # the timer state machine tracks LAST EVENT time, not the
+        # window-close bound — session_end carries it as-is
+        F.col("session_last").cast("timestamp_ntz").alias("session_end"),
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.lit(None).cast("double").alias("sum_value"),
+        F.col("sum_micros").cast("bigint").alias("sum_micros"),
+    )
+    return win_t.unionByName(tim_t)
 
 
-# Gaps-and-islands: a session break is a gap > 5 min; session_end is
-# last event + 5 min (session_window's close semantics).
+# Gaps-and-islands, twice: the window section breaks at >= 5 min
+# (session_window's exclusive [start, last+gap) end) and reports
+# last + gap as session_end; the timer section breaks at > 5 min
+# (the state machine's strict-silence rule), reports the last event
+# itself, integer-exact micros sums, and keeps only sessions the
+# 0-delay watermark closed (last + gap <= global max ts).
 SESSION_ORACLE = """
 WITH marked AS (
   SELECT
     user_id, ts, value,
-    -- session_window's [start, last+gap) end is EXCLUSIVE: an event at
-    -- exactly gap distance starts a new session, hence >=
     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
          THEN 1 ELSE 0 END AS is_start
@@ -129,16 +180,49 @@ numbered AS (
   SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM marked
-)
+),
+t_marked AS (
+  SELECT
+    user_id, epoch_us(ts) AS ts_us,
+    CAST(floor(value * 1000000) AS BIGINT) AS val_us,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 300000000
+         OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WHERE user_id % 7 = 0
+),
+t_numbered AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM t_marked
+),
+t_sessions AS (
+  SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS last_us,
+         count(*) AS n_events, sum(val_us) AS sum_micros
+  FROM t_numbered GROUP BY user_id, session_id
+),
+t_max AS (SELECT max(epoch_us(ts)) AS max_us FROM events WHERE user_id % 7 = 0)
 SELECT
+  'window' AS section,
   min(ts) AS session_start,
   max(ts) + INTERVAL 5 MINUTE AS session_end,
   user_id,
   count(*) AS n_events,
-  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  CAST(NULL AS BIGINT) AS sum_micros
 FROM numbered
 GROUP BY user_id, session_id
-ORDER BY user_id, session_start
+UNION ALL
+SELECT
+  'timer',
+  make_timestamp(start_us),
+  make_timestamp(last_us),
+  user_id,
+  CAST(n_events AS BIGINT),
+  CAST(NULL AS DOUBLE),
+  CAST(sum_micros AS BIGINT)
+FROM t_sessions, t_max
+WHERE last_us + 300000000 <= max_us
 """.strip()
 
 

@@ -132,3 +132,24 @@ def test_normalize_ts_handles_all_known_encodings(spark):
         assert isinstance(out.schema["ts"].dataType, T.TimestampType)
         outs.append(out.select(F.col("ts").cast("timestamp_ntz")).collect()[0][0])
     assert outs == [base, base, base]
+
+
+def test_partial_register_views_does_not_mark_sf_dir_registered(spark, sf_dir):
+    """r15 regression: register_views(names=subset) used to set the
+    session's 'views registered for this sf_dir' tag, turning every
+    later FULL registration into a no-op — the first lineitem query
+    after a names=("part",) call failed with TABLE_OR_VIEW_NOT_FOUND."""
+    from monday_etl_automation_spark.sources.tables import register_views
+
+    saved = getattr(spark, "_mea_views_sf_dir", None)
+    try:
+        spark._mea_views_sf_dir = None
+        spark.catalog.dropTempView("lineitem")
+        register_views(spark, sf_dir, ("part",))
+        assert getattr(spark, "_mea_views_sf_dir", None) != sf_dir
+        register_views(spark, sf_dir)  # must NOT be a no-op
+        assert spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0][0] > 0
+    finally:
+        spark._mea_views_sf_dir = None
+        register_views(spark, sf_dir)
+        spark._mea_views_sf_dir = saved

@@ -32,9 +32,18 @@ def test_sliding_and_session_replays_equal_batch(spark, sf_dir):
     batch (VERDICT r1 task 6)."""
     from monday_etl_automation_spark.plans import windows_ops as w
 
+    def session_window_section(spark, sf_dir):
+        # r15: the driver entry union-tags the timer sessionizer in;
+        # the batch twin corresponds to the `window` section
+        return (
+            w.stream_session_replay(spark, sf_dir)
+            .where("section = 'window'")
+            .select("session_start", "session_end", "user_id", "n_events", "sum_value")
+        )
+
     for batch_fn, replay_fn in (
         (w.sliding_window_stats, w.stream_sliding_replay),
-        (w.session_window_stats, w.stream_session_replay),
+        (w.session_window_stats, session_window_section),
     ):
         b = sorted(map(tuple, batch_fn(spark, sf_dir).collect()))
         r = sorted(map(tuple, replay_fn(spark, sf_dir).collect()))

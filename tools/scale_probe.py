@@ -44,6 +44,9 @@ PROBE = (
     # fuzzy_name_match gets a measured curve (it was "not probed,
     # known output-bound" — the one top-line query without one)
     "fuzzy_name_match",
+    # r15: the skew-lever + zorder contract sections are new work —
+    # the salted two-path join and the z-range agg get a curve
+    "distinct_counts",
 )
 
 
