@@ -579,3 +579,22 @@ def test_status_upsert_multibatch_equals_latest_per_key(spark, sf_dir):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_timer_sessionization_split_invariant(spark, sf_dir):
+    """The driver oracle's core assumption (r15): the timer replay's
+    EMITTED SET depends only on the final watermark (global max ts),
+    never on where the micro-batch boundaries fall — a session either
+    closes mid-stream (strict-gap silence inside or across batches) or
+    via a timer once the watermark passes last+gap, and both paths
+    emit identical rows. Pin 2-split == 3-split == 8-split."""
+    from monday_etl_automation_spark.streaming.pipeline import run_timer_sessions_replay
+
+    runs = [
+        sorted(
+            map(tuple, run_timer_sessions_replay(spark, sf_dir, n_splits=n, users_mod=3).collect())
+        )
+        for n in (2, 3, 8)
+    ]
+    assert len(runs[0]) > 0
+    assert runs[0] == runs[1] == runs[2]
