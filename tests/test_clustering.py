@@ -67,3 +67,51 @@ def test_zorder_prunes_both_dimensions(spark, layouts):
     assert z_ok <= _N_FILES // 2
     assert z_pk < lin_pk
     assert z_pk <= _N_FILES * 3 // 4
+
+
+def test_driver_zorder_section_matches_width_bucket_formula(spark, sf_dir):
+    """Formula-sync pin (r15): the driver-hashed zorder section
+    (plans/relational.py:_zorder_sql) spells the quantization out as
+    floor((v - lo) * n / (hi - lo)) so ONE text runs on both engines,
+    while zorder_write (sources/clustering.py) uses Spark's
+    width_bucket. The two must assign identical buckets — if either
+    formula changes (or width_bucket's boundary behavior differs from
+    the multiply-then-divide spelling), this fails loudly instead of
+    the layouts silently diverging from the driver-pinned contract."""
+    from pyspark.sql import functions as F
+
+    from monday_etl_automation_spark.sources.tables import load_table, register_views
+
+    register_views(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    lo1, hi1, lo2, hi2 = part.agg(
+        F.min("p_size").cast("double"),
+        F.max("p_size").cast("double"),
+        F.min(F.col("p_retailprice").cast("double")),
+        F.max(F.col("p_retailprice").cast("double")),
+    ).collect()[0]
+    n = 1024
+    wb = part.select(
+        F.expr(
+            f"least(CAST({n - 1} AS BIGINT),"
+            f" width_bucket(CAST(p_size AS DOUBLE), {lo1}, {hi1}, {n}) - 1)"
+        ).alias("b1"),
+        F.expr(
+            f"least(CAST({n - 1} AS BIGINT),"
+            f" width_bucket(CAST(p_retailprice AS DOUBLE), {lo2}, {hi2}, {n}) - 1)"
+        ).alias("b2"),
+    )
+    explicit = part.select(
+        F.expr(
+            f"least(CAST({n - 1} AS BIGINT),"
+            f" CAST(floor((CAST(p_size AS DOUBLE) - {lo1}) * {n}.0 / ({hi1} - {lo1})) AS BIGINT))"
+        ).alias("b1"),
+        F.expr(
+            f"least(CAST({n - 1} AS BIGINT),"
+            f" CAST(floor((CAST(p_retailprice AS DOUBLE) - {lo2}) * {n}.0 / ({hi2} - {lo2})) AS BIGINT))"
+        ).alias("b2"),
+    )
+    a = sorted(map(tuple, wb.collect()))
+    b = sorted(map(tuple, explicit.collect()))
+    assert len(a) > 0
+    assert a == b

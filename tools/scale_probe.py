@@ -47,6 +47,9 @@ PROBE = (
     # r15: the skew-lever + zorder contract sections are new work —
     # the salted two-path join and the z-range agg get a curve
     "distinct_counts",
+    # r15: the timer-sessionizer section's cost is per-(group, batch)
+    # protocol calls — users scale with data, so it stays measured
+    "stream_session_replay",
 )
 
 
