@@ -537,8 +537,9 @@ def sessionize_with_timers(events: DataFrame, gap_seconds: int = 300) -> DataFra
 def _timer_replay_source(
     spark: SparkSession, sf_dir: str, ev: DataFrame, variant: tuple
 ) -> str:
-    """Prepare (once per session + events snapshot + n_splits) the
-    time-ordered file source the timer replay streams from.
+    """Prepare (once per session + events snapshot + (n_splits,
+    users_mod) variant) the time-ordered file source the timer replay
+    streams from.
 
     Contiguous time slices written SEQUENTIALLY: the parquet file
     stream source orders files by modification time, and a parallel
