@@ -123,21 +123,30 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap conventions differ deliberately: session_window starts a new
     session AT gap distance (>=), the timer state machine only after
     a STRICT > gap silence — both pinned by their oracles."""
-    win = streaming.run_session_replay(spark, sf_dir)
-    # users_mod=7: deterministic 1-in-7 user slice — the replay's cost
-    # is per (group, micro-batch) state-protocol calls, so the slice
-    # bounds it at ~1/7 while every timer semantic still fires; the
-    # oracle filters the identical slice (full corpus stays covered by
-    # tests/test_streaming.py at the pytest SF)
+    # The two replays are independent streams over independent sinks,
+    # so they run CONCURRENTLY (the dead_letter_counts pattern —
+    # Structured Streaming's normal multi-query mode): wall time is
+    # max(window, timer), not their sum.
+    # users_mod=7: deterministic 1-in-7 user slice — the timer
+    # replay's cost is per (group, micro-batch) state-protocol calls,
+    # so the slice bounds it at ~1/7 while every timer semantic still
+    # fires; the oracle filters the identical slice (full corpus
+    # stays covered by tests/test_streaming.py at the pytest SF).
     # n_splits=3: the replay's fixed cost is per micro-batch (state
     # server + store commits, ~1.3s each at sf0.1 measured r15) and 3
     # batches already exercise every timer path (sessions spanning two
     # boundaries, mid-stream fires, the final watermark pass); oracle
     # exactness re-verified at 2/3/4/8 splits — the emitted set only
     # depends on the final watermark, never the batch cut.
-    tim = streaming.run_timer_sessions_replay(
-        spark, sf_dir, gap_seconds=300, n_splits=3, users_mod=7
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_win = pool.submit(streaming.run_session_replay, spark, sf_dir)
+        f_tim = pool.submit(
+            streaming.run_timer_sessions_replay, spark, sf_dir, 300, 3, 7
+        )
+        win = f_win.result()
+        tim = f_tim.result()
     win_t = win.select(
         F.lit("window").alias("section"),
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
