@@ -50,6 +50,51 @@ PACKED_SCHEMA = (
 )
 
 
+def first_fit_assign(toks, budget: int) -> list[int]:
+    """First-fit bin assignment over an already-sorted size sequence,
+    via an implicit max-segment-tree over bin residuals: leaf b = open
+    sequence b's remaining budget, inner node = max of its children, so
+    "leftmost bin with room >= tok" is one root-to-leaf descent —
+    O(log n) per chunk instead of the linear bin scan (full bins are
+    never evicted from a first-fit bin list, so the naive scan is
+    O(n_bins) per chunk and a 100k-chunk shard pays ~n^2/2 probes;
+    r16). Assignments are IDENTICAL to the linear scan: same
+    leftmost-fit rule, same creation order — pinned against the
+    textbook reference in tests/test_release_extra.py — so determinism
+    and the FFD guarantee carry unchanged."""
+    n = len(toks)
+    cap = 1
+    while cap < max(1, n):
+        cap <<= 1
+    tree = [0] * (2 * cap)
+    n_bins = 0
+    out_seq = [0] * n
+    for j in range(n):
+        tok = int(toks[j])
+        if tok > budget:
+            raise ValueError(f"chunk of {tok} tokens exceeds budget {budget}")
+        if n_bins > 0 and tree[1] >= tok:
+            i = 1
+            while i < cap:
+                i <<= 1  # left child; +1 moves to the right sibling
+                if tree[i] < tok:
+                    i += 1
+            b = i - cap
+        else:
+            b = n_bins
+            n_bins += 1
+            i = cap + b
+            tree[i] = budget
+        tree[i] -= tok
+        i >>= 1
+        while i:
+            left, right = tree[2 * i], tree[2 * i + 1]
+            tree[i] = left if left >= right else right
+            i >>= 1
+        out_seq[j] = b
+    return out_seq
+
+
 def pack_sequences(
     spark: SparkSession,
     sf_dir: str,
@@ -83,19 +128,7 @@ def pack_sequences(
         pdf = pdf.sort_values(
             ["n_chunk_tokens", "doc_id", "chunk_idx"], ascending=[False, True, True]
         )
-        remaining: list[int] = []  # remaining budget per open sequence
-        out_seq = []
-        for tok in pdf["n_chunk_tokens"]:
-            if tok > budget:
-                raise ValueError(f"chunk of {tok} tokens exceeds budget {budget}")
-            for i, room in enumerate(remaining):  # first fit, creation order
-                if room >= tok:
-                    remaining[i] = room - tok
-                    out_seq.append(i)
-                    break
-            else:
-                remaining.append(budget - tok)
-                out_seq.append(len(remaining) - 1)
+        out_seq = first_fit_assign(pdf["n_chunk_tokens"].to_numpy(), budget)
         pdf = pdf.assign(seq_idx=pd.Series(out_seq, index=pdf.index, dtype="int32"))
         return pdf[["shard", "seq_idx", "doc_id", "chunk_idx", "n_chunk_tokens"]]
 

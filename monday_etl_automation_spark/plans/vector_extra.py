@@ -30,6 +30,11 @@ Shapes:
                 share delta and every other source's share RISES;
                 appearing/vanishing-source handling stays covered by
                 tests/test_drift.py)
+  - ``relr`` / ``pack`` / ``tokp`` — the packing → tokenized-shard →
+                release family (plans/release_extra.py, r16): the
+                release run report, per-shard FFD conservation +
+                theorem flags, and the shipped tokenized-shard
+                round-trip vs the oracle's BPE recomputation
 
 The DuckDB oracle wraps each family's one-shot twin (full training
 included) in its own derived table, so the per-family CTE namespaces
@@ -48,6 +53,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from monday_etl_automation_spark.plans.drift_ops import _drift_sql
+from monday_etl_automation_spark.plans.release_extra import (
+    PACK_ORACLE_BODY,
+    _report_sql,
+    _tokp_oracle_body,
+)
 from monday_etl_automation_spark.plans.ivfpq_ops import _ivfpq_sql, ivfpq_topk
 from monday_etl_automation_spark.plans.pq_ops import _pq_sql, pq_topk
 from monday_etl_automation_spark.plans.search_ops import (
@@ -142,12 +152,60 @@ def _build_vector_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         _D().alias("score"),
         _B().alias("rk"),
     )
+    from monday_etl_automation_spark.plans.release_extra import (
+        pack_summary,
+        release_report,
+        tokp_summary,
+    )
+
+    relr = release_report(spark, sf_dir).select(
+        F.lit("relr").alias("shape"),
+        F.col("stage").alias("qid"),
+        F.col("n").alias("i1"),
+        _B().alias("i2"),
+        _B().alias("i3"),
+        _B().alias("i4"),
+        _B().alias("i5"),
+        _B().alias("i6"),
+        _B().alias("i7"),
+        _D().alias("score"),
+        _B().alias("rk"),
+    )
+    pack = pack_summary(spark, sf_dir).select(
+        F.lit("pack").alias("shape"),
+        F.col("shard").cast("string").alias("qid"),
+        F.col("n_chunks").alias("i1"),
+        F.col("sum_tokens").alias("i2"),
+        F.col("checksum").alias("i3"),
+        F.col("lb_seqs").alias("i4"),
+        F.col("budget_ok").alias("i5"),
+        F.col("halffill_ok").alias("i6"),
+        _B().alias("i7"),
+        _D().alias("score"),
+        _B().alias("rk"),
+    )
+    tokp = tokp_summary(spark, sf_dir).select(
+        F.lit("tokp").alias("shape"),
+        F.col("shard").cast("string").alias("qid"),
+        F.col("tok_total").alias("i1"),
+        F.col("ids_total").alias("i2"),
+        F.col("span_total").alias("i3"),
+        F.col("ids_sum").alias("i4"),
+        F.col("eod_total").alias("i5"),
+        F.col("files_ok").alias("i6"),
+        _B().alias("i7"),
+        _D().alias("score"),
+        _B().alias("rk"),
+    )
     return (
         pq.unionByName(ipq)
         .unionByName(bm)
         .unionByName(bmi)
         .unionByName(rrf)
         .unionByName(drift)
+        .unionByName(relr)
+        .unionByName(pack)
+        .unionByName(tokp)
         .orderBy("shape", "qid", "rk", "i1")
     )
 
@@ -187,6 +245,21 @@ SELECT 'drift', source,
        share_ppm_a, share_ppm_b, abs_delta_ppm,
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
 FROM ({_drift_sql("duckdb", "documents", _SNAP_B)}) drr
+UNION ALL
+SELECT 'relr', stage,
+       n, NULL, NULL, NULL, NULL, NULL, NULL,
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+FROM ({_report_sql("duckdb")}) rlr
+UNION ALL
+SELECT 'pack', CAST(shard AS VARCHAR),
+       n_chunks, sum_tokens, checksum, lb_seqs, budget_ok, halffill_ok, NULL,
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+FROM ({PACK_ORACLE_BODY}) pko
+UNION ALL
+SELECT 'tokp', CAST(shard AS VARCHAR),
+       tok_total, ids_total, span_total, ids_sum, eod_total, files_ok, NULL,
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+FROM ({_tokp_oracle_body()}) tko
 ORDER BY shape, qid, rk, i1
 """.strip()
 

@@ -231,7 +231,7 @@ SELECT
   CAST(NULL AS DOUBLE),
   CAST(sum_micros AS BIGINT)
 FROM t_sessions, t_max
-WHERE last_us + 300000000 <= max_us
+WHERE (last_us + 300000000) // 1000 < max_us // 1000
 """.strip()
 
 

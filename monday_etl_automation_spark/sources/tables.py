@@ -131,7 +131,16 @@ class _ArtifactCache(dict):
     executor storage for the session lifetime. Identity = the key with
     mtime/size stripped, so one entry per (sf_dir, table [, ...])
     survives. Dropping the reference lets Spark's ContextCleaner
-    unpersist the orphaned checkpoint blocks."""
+    unpersist the orphaned checkpoint blocks.
+
+    ``on_evict``: optional callable invoked with each superseded
+    entry's VALUE — for artifacts that own resources the garbage
+    collector cannot reclaim (e.g. the timer replay's on-disk source
+    dirs), the hook is where they are released. Hook errors are
+    swallowed: eviction is best-effort cleanup, never a query failure.
+    """
+
+    on_evict = None
 
     @staticmethod
     def _identity(key):
@@ -144,17 +153,33 @@ class _ArtifactCache(dict):
     def __setitem__(self, key, value):
         ident = self._identity(key)
         for k in [k for k in self if self._identity(k) == ident and k != key]:
-            dict.pop(self, k)
+            old = dict.pop(self, k)
+            if self.on_evict is not None and old is not value:
+                try:
+                    self.on_evict(old)
+                except Exception:  # noqa: BLE001 (cleanup is best-effort)
+                    pass
         dict.__setitem__(self, key, value)
 
+    def clear(self):
+        if self.on_evict is not None:
+            for old in self.values():
+                try:
+                    self.on_evict(old)
+                except Exception:  # noqa: BLE001
+                    pass
+        dict.clear(self)
 
-def session_artifact_cache(spark: SparkSession, tag: str) -> dict:
+
+def session_artifact_cache(spark: SparkSession, tag: str, on_evict=None) -> dict:
     """Per-session dict for snapshot-keyed derived artifacts."""
     attr = f"_mea_cache_{tag}"
     cache = getattr(spark, attr, None)
     if cache is None:
         cache = _ArtifactCache()
         setattr(spark, attr, cache)
+    if on_evict is not None:
+        cache.on_evict = on_evict
     return cache
 
 
@@ -207,7 +232,12 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
         # a subset registration must NOT mark the sf_dir as fully
         # registered — it would turn every later full call into a
         # no-op and leave the remaining views unresolvable (r15 bug:
-        # a names=("part",) call broke every lineitem query after it)
+        # a names=("part",) call broke every lineitem query after it).
+        # It must also DROP any existing tag: if the session was fully
+        # bound to dir A and this subset rebinds some views to dir B,
+        # the mapping is now mixed and a later register_views(spark, A)
+        # must not early-return against it (mirrors bind_table).
+        spark._mea_views_sf_dir = None  # noqa: SLF001 (mixed mapping)
         return
     spark._mea_views_sf_dir = sf_dir  # noqa: SLF001 (own session tag)
     # base views changed — any fixture views derived from them are stale

@@ -21,8 +21,10 @@ is identical from the first transformation on.
 
 from __future__ import annotations
 
+import atexit
 import glob
 import os
+import shutil
 import tempfile
 import threading
 import uuid
@@ -534,6 +536,24 @@ def sessionize_with_timers(events: DataFrame, gap_seconds: int = 300) -> DataFra
     )
 
 
+# Live timer-replay source dirs (one per cached variant). Eviction and
+# interpreter exit both route through _drop_replay_dir so a long
+# driver/bench session's regenerations cannot accumulate orphan dirs.
+_REPLAY_SRC_DIRS: set[str] = set()
+
+
+def _drop_replay_dir(path) -> None:
+    if isinstance(path, str):
+        _REPLAY_SRC_DIRS.discard(path)
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@atexit.register
+def _drop_all_replay_dirs() -> None:
+    for path in list(_REPLAY_SRC_DIRS):
+        _drop_replay_dir(path)
+
+
 def _timer_replay_source(
     spark: SparkSession, sf_dir: str, ev: DataFrame, variant: tuple
 ) -> str:
@@ -565,13 +585,18 @@ def _timer_replay_source(
     )
 
     n_splits = variant[0]
-    cache = session_artifact_cache(spark, "timer_replay_src")
+    # superseded snapshots' source dirs are deleted on eviction (the
+    # cache drops only the path string; the directory itself would
+    # otherwise outlive every testdata regeneration and replay
+    # variant), and any dirs still cached at interpreter exit go too
+    cache = session_artifact_cache(spark, "timer_replay_src", on_evict=_drop_replay_dir)
     key = (snapshot_key(sf_dir, "events"), variant)
     hit = cache.get(key)
     if hit is not None:
         return hit
 
     src = tempfile.mkdtemp(prefix="timer_src_")
+    _REPLAY_SRC_DIRS.add(src)
     idxed = with_global_index(ev, ["ts", "event_id"], name="_rn")
     total = ev.count()
     sliced = (

@@ -38,8 +38,13 @@ _PINS: dict[str, tuple[int, int, bool]] = {
     # two exchanges) plus the merge-law (event_type, shard) grouping
     # and its event_type re-group (2 more); joins broadcast
     # (the quantile half alone was (2, 0): histogram agg + the
-    # cumulative window's re-partition, over ~150 rows)
-    "quantile_stats": (6, 2, True),
+    # cumulative window's re-partition, over ~150 rows).
+    # r16: +1 exchange, deliberately — the gk section's rank-verify
+    # aggregation over lineitem (its approx_percentile agg rides the
+    # same grouping; the 3-row ap relation joins BROADCAST, enforced by
+    # the floor 2 -> 4). cms/hh are driver-side KB sketches — local
+    # relations, zero plan exchanges.
+    "quantile_stats": (7, 4, True),
     "dedup_exact": (1, 0, False),
     # r15: distinct_counts grew the skew + zorder contract sections —
     # exact (Expand countDistinct), salted_distinct (distinct + regroup),
@@ -70,6 +75,10 @@ _PINS: dict[str, tuple[int, int, bool]] = {
     # and the pq/ivfpq LUT/code-norm derivations moved into persisted
     # index metadata (their broadcast joins now run once at build time,
     # not in the search plan); exchanges dropped 4 -> measured 4 max.
+    # r16: the relr/pack/tokp sections enter at ZERO pin delta (still
+    # 4 exchanges, 5 broadcasts measured): the report rides scalar
+    # subqueries, the packer's shard grouping reuses its own exchange
+    # budget, and tokp reads the snapshot-cached shard artifact.
     "vector_extra": (4, 5, True),
     # r12 additions: pins now cover every top-10 bench cost center
     # 16 union-tagged TPC-H shapes: ~1.5 hash exchanges per shape,

@@ -153,3 +153,56 @@ def test_partial_register_views_does_not_mark_sf_dir_registered(spark, sf_dir):
         spark._mea_views_sf_dir = None
         register_views(spark, sf_dir)
         spark._mea_views_sf_dir = saved
+
+
+def test_cross_dir_subset_registration_drops_full_tag(spark, sf_dir):
+    """r16 (r15 ADVICE, medium): a subset registration against a
+    DIFFERENT sf_dir leaves the session with a MIXED view mapping —
+    the tag must drop so a later full registration of the original dir
+    cannot early-return and silently serve the other dir's rows."""
+    from monday_etl_automation_spark.sources.tables import (
+        clear_artifact_caches,
+        register_views,
+    )
+
+    other = "/root/testdata/sf0.01"
+    saved = getattr(spark, "_mea_views_sf_dir", None)
+    try:
+        clear_artifact_caches(spark)
+        spark._mea_views_sf_dir = None
+        register_views(spark, sf_dir)  # full: tag = sf_dir
+        assert getattr(spark, "_mea_views_sf_dir", None) == sf_dir
+        n_before = spark.sql("SELECT count(*) AS n FROM documents").collect()[0][0]
+        register_views(spark, other, ("documents",))  # subset, other dir
+        assert getattr(spark, "_mea_views_sf_dir", None) is None
+        register_views(spark, sf_dir)  # must rebind EVERY view
+        n_after = spark.sql("SELECT count(*) AS n FROM documents").collect()[0][0]
+        assert n_after == n_before
+    finally:
+        clear_artifact_caches(spark)
+        spark._mea_views_sf_dir = None
+        register_views(spark, sf_dir)
+        spark._mea_views_sf_dir = saved
+
+
+def test_artifact_cache_eviction_hook_fires():
+    """r16 (r15 ADVICE, low): superseded snapshot entries must release
+    owned resources — the hook fires on identity-eviction and on
+    clear(), never on unrelated keys, and hook errors never propagate."""
+    from monday_etl_automation_spark.sources.tables import _ArtifactCache
+
+    seen = []
+    c = _ArtifactCache()
+    c.on_evict = seen.append
+    c[("sfA", "events", 1, 10)] = "v1"
+    c[("sfB", "events", 1, 10)] = "other"  # different identity: no evict
+    assert seen == []
+    c[("sfA", "events", 2, 20)] = "v2"  # same identity, new snapshot
+    assert seen == ["v1"]
+    c.clear()
+    assert sorted(seen) == sorted(["v1", "other", "v2"])
+    # a raising hook is swallowed
+    c.on_evict = lambda v: (_ for _ in ()).throw(RuntimeError("boom"))
+    c[("sfA", "events", 3, 30)] = "v3"
+    c[("sfA", "events", 4, 40)] = "v4"  # evicts v3; hook raises; survives
+    assert c[("sfA", "events", 4, 40)] == "v4"

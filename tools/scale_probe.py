@@ -50,6 +50,10 @@ PROBE = (
     # r15: the timer-sessionizer section's cost is per-(group, batch)
     # protocol calls — users scale with data, so it stays measured
     "stream_session_replay",
+    # r16 (r15 verdict item 4): the scd2 + range_stream sections and
+    # the sketch-contract sections had no measured curve
+    "temporal_joins",
+    "quantile_stats",
 )
 
 
