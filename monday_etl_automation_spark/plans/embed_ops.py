@@ -147,6 +147,13 @@ _ANN_EXT_BASE = 201
 # fixed per-set stride in the extension range: supports BITS_MAX up to
 # _ANN_PLANES + 32 = 36 without ever moving an already-assigned plane
 _ANN_EXT_STRIDE = 32
+# rung depth at which multiprobe escalates from Hamming-1 to
+# Hamming-<=2 (r16): below it behavior is bit-identical to r15 (every
+# pytest-SF corpus sits at the b=4 floor; the rung-1 fixtures at b=5);
+# from it on, pair flips keep hard-case recall above the 0.80 floor
+# (measured 0.575 -> ~0.9 at b=8 on the isotropic hard corpus,
+# tools/ann_hard_probe.py) at (1 + b + C(b,2)) probes/set ~ O(log^2 n).
+_ANN_DEEP_B = 8
 
 
 def _ann_plane(set_id: int, i: int) -> int:
@@ -312,30 +319,42 @@ def _ann_lsh_sql(dialect: str, modulus: int | None = None) -> str:
     Candidate generation: {_ANN_SETS} independent sign-bucket sets; a
     corpus vector is a candidate for a query if they share a b-bit
     bucket in ANY set (b from the capacity ladder — see _ann_ladder),
-    where the query probes its own bucket plus the b Hamming-1
-    neighbors per set (the nearest misses are the pairs one
-    hyperplane barely splits). Candidates are deduplicated, then
-    exact cosine re-ranks them — so precision is exact and the only
-    approximation is candidate coverage. Measured recall@5 vs the
-    brute-force baseline at the b=4 ladder floor: 0.96 at sf0.01 /
-    0.94 at sf0.1 (tests/test_ann_recall.py pins the 0.80 floor);
-    single-probe single-set was 0.20.
+    where the query probes its own bucket plus Hamming-neighbor
+    buckets per set (the nearest misses are the pairs a hyperplane
+    barely splits). The probe RADIUS grows with the rung (r16, r15
+    verdict item 3): b < {_ANN_DEEP_B} probes Hamming-1 (1 + b
+    probes/set — bit-identical to the pre-r16 behavior at every rung
+    the pytest SFs reach), b >= {_ANN_DEEP_B} probes Hamming-<=2
+    (1 + b + C(b,2)). The escalation is what holds HARD-case recall at
+    depth: per-plane sign agreement for a cosine-0.45 neighbor is
+    ~0.65, so the chance all b planes of a set agree decays ~0.65^b —
+    at b=8, Hamming-1 measured recall@5 0.575 on the isotropic
+    hard-case corpus (tools/ann_hard_probe.py) while Hamming-2
+    measures ~0.9 (floor 0.80 pinned in tests/test_ann_recall.py).
+    Candidates are deduplicated, then exact cosine re-ranks them — so
+    precision is exact and the only approximation is candidate
+    coverage. Measured recall@5 vs the brute-force baseline at the
+    b=4 ladder floor: 0.96 at sf0.01 / 0.94 at sf0.1 (same 0.80
+    floor); single-probe single-set was 0.20.
 
     ``modulus``: the Spark executor passes the ladder value CACHED
     with the persisted bucket index (flips become compile-time
     literals); the one-shot oracle leaves it None and derives the
     identical value in-SQL from count(*) (the am CTE), filtering a
-    full flip list against it.
+    full flip list against it — singles by flip < m, pairs
+    additionally by m >= 2^{_ANN_DEEP_B} (a pair mask 2^i|2^j with
+    j < b always satisfies flip < m, so the one comparison gates the
+    radius exactly like the Spark literal list).
 
-    Scale shape: per set the probe join touches (1+b)/2^b of the
-    corpus; the whole search is {_ANN_SETS} equi-joins + one distinct
-    + one re-rank join — no all-pairs stage anywhere. The ladder
-    raises b with corpus size (bucket count 2^b keeps per-bucket
-    lists ~{_ANN_TARGET}); the OR'd set count and the plan shape are
-    unchanged at any rung. On real-embedding corpora (near-dup cosine
-    >= 0.9, per-plane agreement ~0.95 vs ~0.61 here) deeper rungs
-    hold recall far better — the synthetic table's top-5 neighbors
-    sit at cosine ~0.35, which is the hard case."""
+    Scale shape: per set the probe join touches (1 + b + C(b,2))
+    buckets of ~{_ANN_TARGET} vectors at deep rungs — O(log^2 n) work
+    per query against a corpus of n = {_ANN_TARGET}·2^b — and the
+    whole search stays {_ANN_SETS} equi-joins + one distinct + one
+    re-rank join: no all-pairs stage anywhere, plan shape unchanged
+    at any rung. On real-embedding corpora (near-dup cosine >= 0.9,
+    per-plane agreement ~0.95 vs ~0.65 here) deeper rungs hold recall
+    far better — the synthetic table's top-5 neighbors sit at cosine
+    ~0.35-0.55, which is the hard case."""
     dot = _dot(dialect, "q.embedding", "v.embedding")
     cos = f"({dot}) / (q.norm * v.norm)"
     # The Spark executor always searches a PERSISTED index whose ladder
@@ -345,19 +364,29 @@ def _ann_lsh_sql(dialect: str, modulus: int | None = None) -> str:
     # in the oracle branch) — refuse rather than silently over-probe.
     if dialect == "spark" and modulus is None:
         raise ValueError("spark dialect requires the index's cached ladder modulus")
-    all_flips = [0] + [2**i for i in range(_ANN_BITS_MAX)]
+    singles = [0] + [2**i for i in range(_ANN_BITS_MAX)]
+    pairs = [
+        2**i | 2**j
+        for j in range(1, _ANN_BITS_MAX)
+        for i in range(j)
+    ]
     if modulus is None:
         meta = f"{_ann_meta_cte(dialect)},\n"
         mod_expr = "(SELECT m FROM am)"
         flip_filter = True
-        flips = ", ".join(map(str, all_flips))
+        flips = ", ".join(map(str, singles))
+        pair_flips = ", ".join(map(str, pairs))
     else:
         meta = ""
         mod_expr = str(int(modulus))
         flip_filter = False
-        flips = ", ".join(str(f) for f in all_flips if f < modulus)
+        deep = int(modulus) >= 2**_ANN_DEEP_B
+        flips = ", ".join(str(f) for f in singles if f < modulus)
+        pair_flips = ", ".join(str(f) for f in pairs if f < modulus) if deep else ""
     if dialect == "spark":
         flip_src = f"SELECT explode(array({flips})) AS flip"
+        if pair_flips:
+            flip_src += f" UNION ALL SELECT explode(array({pair_flips})) AS flip"
         xor = "b.bucket ^ f.flip"
         # the Spark executor reads the PERSISTED full-width bucket
         # index (see _ann_bucket_index) instead of recomputing
@@ -365,8 +394,19 @@ def _ann_lsh_sql(dialect: str, modulus: int | None = None) -> str:
         buckets = f"  SELECT vec_id, s, bucket % {mod_expr} AS bucket FROM _ann_buckets"
     else:
         flip_src = f"SELECT unnest([{flips}]) AS flip"
+        pair_src = f"SELECT unnest([{pair_flips}]) AS flip" if pair_flips else ""
         if flip_filter:
+            # singles gate on the rung; pair masks additionally require
+            # the deep-rung threshold (flip < m alone would turn
+            # Hamming-2 on at EVERY rung, changing the pytest-floor
+            # behavior) — one scalar compare each, same am CTE
             flip_src = f"SELECT flip FROM ({flip_src}) ff WHERE flip < {mod_expr}"
+            pair_src = (
+                f"SELECT flip FROM (SELECT unnest([{', '.join(map(str, pairs))}]) AS flip) pf"
+                f" WHERE {mod_expr} >= {2**_ANN_DEEP_B} AND flip < {mod_expr}"
+            )
+        if pair_src:
+            flip_src = f"{flip_src} UNION ALL {pair_src}"
         xor = "xor(b.bucket, f.flip)"
         # oracle: same values, scan count is irrelevant to the compare
         buckets = "\nUNION ALL\n".join(

@@ -66,3 +66,51 @@ def test_exact_is_self_consistent(spark, sf_dir):
     assert df.where(F.col("query_id") == F.col("neighbor_id")).count() == 0
     per_q = df.groupBy("query_id").count().agg(F.min("count"), F.max("count")).collect()[0]
     assert per_q[0] == per_q[1]  # uniform k
+
+
+def test_ann_deep_rung_hard_case_recall_floor(spark, tmp_path_factory):
+    """r16 (r15 verdict item 3): recall evidence at a DEEP rung on a
+    HARD corpus — previously the 0.80 floor was pinned only at the b=4
+    ladder floor, and sf1's deep-rung neighbors are near-clones
+    (easy). The corpus (tools/ann_hard_probe.build_hard_corpus,
+    deterministic seed): 17,000 dim-64 vectors force rung b=8; every
+    fixed query gets 5 planted neighbors at cosine 0.55 (per-plane
+    sign agreement ~0.69 — far from the ~0.95 near-clone regime;
+    plants below ~0.5 are dominated by the isotropic background's
+    extreme tail at this (n, dim), see the tool docstring). The
+    planted set IS the exact top-5 (asserted), so this pins the
+    Hamming-<=2 deep-rung multiprobe escalation end to end: with
+    Hamming-1 this corpus measures 0.575 via the isotropic variant and
+    ~0.80 here — the escalation is what clears the floor (measured
+    0.895 at this seed; deterministic, not statistical)."""
+    import os
+    import shutil
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    from ann_hard_probe import build_hard_corpus
+
+    from monday_etl_automation_spark.plans import embed_ops as eo
+    from monday_etl_automation_spark.sources.tables import clear_artifact_caches
+
+    d = str(tmp_path_factory.mktemp("ann_hard"))
+    for f in os.listdir("/root/testdata/sf0.001"):
+        if f != "embeddings.parquet":
+            shutil.copy(os.path.join("/root/testdata/sf0.001", f), os.path.join(d, f))
+    build_hard_corpus(d, 17000)
+    assert eo._ann_modulus(17000) == 256  # genuinely at the deep rung
+    try:
+        exact = _topk_sets(cosine_topk(spark, d))
+        planted = sum(1 for nb in exact.values() for v in nb if v >= 50000)
+        total = sum(len(nb) for nb in exact.values())
+        assert planted == total, "planted pairs must be the exact top-5"
+        approx = _topk_sets(ann_lsh_topk(spark, d))
+        r = _recall(approx, exact)
+        assert r >= 0.80, f"deep-rung hard-case recall {r:.3f} below floor"
+    finally:
+        # this fixture dir registered its own views/artifacts — restore
+        clear_artifact_caches(spark)
+        spark._mea_views_sf_dir = None
