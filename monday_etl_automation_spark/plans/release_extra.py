@@ -108,14 +108,54 @@ def _pack_checksum_expr(dialect: str) -> str:
     return f"CAST('0x' || substr(md5({key}), 1, 15) AS BIGINT) % {_CK_MOD}"
 
 
-def _released_ctes(dialect: str) -> str:
+def _prep_source(spark: SparkSession, sf_dir: str) -> str:
+    """Snapshot-unique temp-view name over the MATERIALIZED corpus_prep
+    dispositions. Catalyst inlines WITH CTEs, and corpus_prep's CTE DAG
+    references survivors/after_exact multiply — inlined into a consumer
+    it explodes to ~25 documents scans with the quality/lang/simhash
+    expressions re-evaluated per scan (measured; release_ops
+    localCheckpoints prep for the same reason). The dispositions are a
+    build-once release artifact, so they persist per (session,
+    documents snapshot) like every index; the DuckDB oracle still
+    derives prep inline each compare, pinning materialized == derived.
+    The view name embeds the snapshot digest (CLAUDE.md: a cached
+    artifact's SQL must never resolve a reusable view name a later
+    snapshot rebinds)."""
+    import hashlib
+
+    from monday_etl_automation_spark.plans.corpus_ops import corpus_prep
+    from monday_etl_automation_spark.sources.tables import (
+        session_artifact_cache,
+        snapshot_key,
+    )
+
+    cache = session_artifact_cache(spark, "release_prep")
+    key = (snapshot_key(sf_dir, "documents"),)
+    hit = cache.get(key)
+    if hit is None:
+        df = corpus_prep(spark, sf_dir).localCheckpoint(eager=True)
+        name = "_rel_prep_" + hashlib.md5(repr(key).encode()).hexdigest()[:12]
+        df.createOrReplaceTempView(name)
+        hit = (df, name)
+        cache[key] = hit
+    return hit[1]
+
+
+def _released_ctes(dialect: str, prep_src: str | None = None) -> str:
     """WITH-fragment ending in ``rel(doc_id, split)`` — the released
     corpus: prep-kept ∧ not benchmark ∧ not contaminated, with its
     hash-split assignment. Mirrors release_ops.release_training_corpus
-    stage for stage (raw-text decontamination, same thresholds)."""
-    prep = _corpus_prep_sql(dialect).replace("\nORDER BY doc_id", "")
+    stage for stage (raw-text decontamination, same thresholds).
+    ``prep_src``: a relation name carrying the materialized prep
+    dispositions (the Spark executor passes _prep_source's view); None
+    derives them inline — the oracle path."""
     splits = _split_sql(dialect, _FRACS).replace("\nORDER BY doc_id", "")
-    return f"""prep AS (SELECT * FROM ({prep}) p0),
+    if prep_src is None:
+        prep = _corpus_prep_sql(dialect).replace("\nORDER BY doc_id", "")
+        prep_rel = f"(SELECT * FROM ({prep}) p0)"
+    else:
+        prep_rel = prep_src
+    return f"""prep AS (SELECT * FROM {prep_rel} pp),
 kept AS (SELECT doc_id FROM prep WHERE disposition = 'kept'),
 {overlap_flags_ctes(dialect, "r")},
 rcontam AS (SELECT doc_id FROM rflags WHERE is_contaminated = 1),
@@ -129,7 +169,7 @@ rel AS (
 )"""
 
 
-def _report_sql(dialect: str) -> str:
+def _report_sql(dialect: str, prep_src: str | None = None) -> str:
     """(stage, n) — the run report, one lazy query, both engines.
 
     Shape: ONE per-doc facts relation (kept/bench/contam flags + the
@@ -156,7 +196,7 @@ def _report_sql(dialect: str) -> str:
     )
     picks = " ".join(f"WHEN '{s}' THEN c_{s}" for s in stages)
     return f"""
-WITH {_released_ctes(dialect)},
+WITH {_released_ctes(dialect, prep_src)},
 facts AS (
   SELECT d.doc_id,
          CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept,
@@ -208,7 +248,7 @@ tck AS (
 
 def release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(_report_sql("spark"))
+    return spark.sql(_report_sql("spark", _prep_source(spark, sf_dir)))
 
 
 def train_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,9 +256,11 @@ def train_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents snapshot): a release job computes its released-id set
     once and every downstream stage (pack, tokenize, shard) consumes
     it — the persisted-artifact posture of the signature/ANN/postings
-    indexes. The ``relr`` section still executes the full chain lazily
-    per pass, so the pipeline's cost stays priced under the hash;
-    consumers hold the returned HANDLE (CLAUDE.md)."""
+    indexes. The ``relr`` section still executes the chain's LINEAR
+    passes (decontam flags, splits, the facts join) lazily per pass
+    over the materialized prep, so the pipeline's per-release read
+    cost stays priced under the hash; consumers hold the returned
+    HANDLE (CLAUDE.md)."""
     from monday_etl_automation_spark.sources.tables import (
         session_artifact_cache,
         snapshot_key,
@@ -230,8 +272,8 @@ def train_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = cache.get(key)
     if hit is None:
         hit = spark.sql(
-            f"WITH {_released_ctes('spark')} SELECT doc_id FROM rel"
-            " WHERE split = 'train'"
+            f"WITH {_released_ctes('spark', _prep_source(spark, sf_dir))}"
+            " SELECT doc_id FROM rel WHERE split = 'train'"
         ).localCheckpoint(eager=True)
         cache[key] = hit
     return hit

@@ -178,7 +178,14 @@ def test_vector_extra_corpus_scan_budget(spark, sf_dir):
     n_docs = sum("doc_id#" in ln for ln in scans)
     n_emb = sum("vec_id#" in ln for ln in scans)
     clear_artifact_caches(spark)
-    assert n_docs <= 4, f"{n_docs} documents scans (pinned <= 4)"
+    # r16: 4 -> 7 documents scans, deliberately — the relr/pack/tokp
+    # sections add the release chain's LINEAR passes (facts base +
+    # splits + the decontam corpus side + the broadcast bench set) and
+    # the pack chunker. The corpus_prep disposition DAG is NOT among
+    # them: materialized per snapshot behind _prep_source (inlining it
+    # measured 31 docs scans with quality/lang/simhash re-evaluated
+    # per scan — the regression this pin exists to catch).
+    assert n_docs <= 7, f"{n_docs} documents scans (pinned <= 7)"
     assert n_emb <= 10, f"{n_emb} embeddings scans (pinned <= 10)"
 
 
