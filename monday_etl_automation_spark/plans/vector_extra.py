@@ -35,6 +35,12 @@ Shapes:
                 release run report, per-shard FFD conservation +
                 theorem flags, and the shipped tokenized-shard
                 round-trip vs the oracle's BPE recomputation
+  - ``vstream`` — streaming vector-index ingestion
+                (plans/vstream_extra.py, r16): the REAL
+                VectorIngestSink's shipped index tables after a
+                3-batch redelivery-heavy ingest, vs the oracle's
+                one-shot inline encode — exactly-once against frozen
+                quantizers == one-shot, down to the bytes on disk
 
 The DuckDB oracle wraps each family's one-shot twin (full training
 included) in its own derived table, so the per-family CTE namespaces
@@ -58,6 +64,7 @@ from monday_etl_automation_spark.plans.release_extra import (
     _report_sql,
     _tokp_oracle_body,
 )
+from monday_etl_automation_spark.plans.vstream_extra import vstream_oracle_body
 from monday_etl_automation_spark.plans.ivfpq_ops import _ivfpq_sql, ivfpq_topk
 from monday_etl_automation_spark.plans.pq_ops import _pq_sql, pq_topk
 from monday_etl_automation_spark.plans.search_ops import (
@@ -184,6 +191,21 @@ def _build_vector_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         _D().alias("score"),
         _B().alias("rk"),
     )
+    from monday_etl_automation_spark.plans.vstream_extra import vstream_summary
+
+    vstream = vstream_summary(spark, sf_dir).select(
+        F.lit("vstream").alias("shape"),
+        F.col("part").alias("qid"),
+        F.col("n").alias("i1"),
+        F.col("key_sum").alias("i2"),
+        F.col("checksum").alias("i3"),
+        _B().alias("i4"),
+        _B().alias("i5"),
+        _B().alias("i6"),
+        _B().alias("i7"),
+        _D().alias("score"),
+        _B().alias("rk"),
+    )
     tokp = tokp_summary(spark, sf_dir).select(
         F.lit("tokp").alias("shape"),
         F.col("shard").cast("string").alias("qid"),
@@ -206,6 +228,7 @@ def _build_vector_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(relr)
         .unionByName(pack)
         .unionByName(tokp)
+        .unionByName(vstream)
         .orderBy("shape", "qid", "rk", "i1")
     )
 
@@ -260,6 +283,11 @@ SELECT 'tokp', CAST(shard AS VARCHAR),
        tok_total, ids_total, span_total, ids_sum, eod_total, files_ok, NULL,
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
 FROM ({_tokp_oracle_body()}) tko
+UNION ALL
+SELECT 'vstream', part,
+       n, key_sum, checksum, NULL, NULL, NULL, NULL,
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+FROM ({vstream_oracle_body()}) vst
 ORDER BY shape, qid, rk, i1
 """.strip()
 
