@@ -210,6 +210,17 @@ t_sessions AS (
          count(*) AS n_events, sum(val_us) AS sum_micros
   FROM t_numbered GROUP BY user_id, session_id
 ),
+-- max_sid marks each user's FINAL session: a non-final session is
+-- closed by the DATA GAP to its successor and the engine emits it
+-- regardless of the watermark, so only final sessions go through the
+-- timer-fire condition below (r16; without the disjunct, a mid-stream
+-- session whose last+gap lands in the same millisecond as the global
+-- max would be emitted by the replay but dropped by the oracle —
+-- pinned by tests/test_streaming.py's boundary fixture)
+t_final AS (
+  SELECT ts.*, max(session_id) OVER (PARTITION BY user_id) AS max_sid
+  FROM t_sessions ts
+),
 t_max AS (SELECT max(epoch_us(ts)) AS max_us FROM events WHERE user_id % 7 = 0)
 SELECT
   'window' AS section,
@@ -230,8 +241,9 @@ SELECT
   CAST(n_events AS BIGINT),
   CAST(NULL AS DOUBLE),
   CAST(sum_micros AS BIGINT)
-FROM t_sessions, t_max
-WHERE (last_us + 300000000) // 1000 < max_us // 1000
+FROM t_final, t_max
+WHERE session_id < max_sid
+   OR (last_us + 300000000) // 1000 < max_us // 1000
 """.strip()
 
 

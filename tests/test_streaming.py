@@ -598,3 +598,84 @@ def test_timer_sessionization_split_invariant(spark, sf_dir):
     ]
     assert len(runs[0]) > 0
     assert runs[0] == runs[1] == runs[2]
+
+
+def test_timer_oracle_millisecond_boundary_fixture(spark, sf_dir, tmp_path_factory):
+    """r16 (r15 ADVICE, low): the timer-section oracle must match the
+    ENGINE's emission rule exactly at millisecond resolution —
+    EventTimeTimeout fires only when floor(watermark_ms) strictly
+    exceeds floor((last+gap)_ms), while mid-stream sessions close on
+    strict-microsecond data gaps regardless of the watermark. This
+    fixture plants every collision the generated testdata cannot be
+    trusted to avoid across regenerations:
+
+    - user 0: final session with last+gap in the SAME millisecond as
+      the global max (and <= it in microseconds) — the OLD `<=`
+      microsecond oracle emitted it; the engine never does.
+    - user 14: final session with last+gap a few ms below the global
+      max — emitted by both.
+    - user 21: a mid-stream session whose closing gap lands in the
+      same millisecond as the global max — the engine emits it on the
+      data gap; an oracle with ONLY the timer condition would drop it
+      (the r16 max_sid disjunct admits it).
+    """
+    import os
+    import shutil
+
+    import duckdb
+
+    from monday_etl_automation_spark.plans.windows_ops import SESSION_ORACLE
+    from monday_etl_automation_spark.sources.tables import clear_artifact_caches
+    from monday_etl_automation_spark.streaming.pipeline import (
+        run_timer_sessions_replay,
+    )
+
+    d = str(tmp_path_factory.mktemp("timer_boundary"))
+    for f in os.listdir(sf_dir):
+        if f != "events.parquet":
+            shutil.copy(os.path.join(sf_dir, f), os.path.join(d, f))
+    gap = 300_000_000  # microseconds
+    base = 1_700_000_000_000_000  # a whole-second epoch instant, us
+    m_us = base + 700  # global max: mid-millisecond
+    rows = [
+        # (event_id, us, user_id, value)
+        (1, m_us - gap - 200, 0, 1.25),   # final; last+gap == M's ms
+        (2, m_us - gap - 5000, 14, 2.5),  # final; last+gap < M's ms
+        (3, m_us - gap - 105_000_000, 14, 0.5),  # same session as #2
+        (4, m_us - gap - 500, 21, 3.0),   # closed by #5's strict gap
+        (5, m_us, 21, 4.0),               # the global max; open forever
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    for eid, us, uid, val in rows:
+        con.execute(
+            "INSERT INTO ev VALUES (?, make_timestamp(?), ?, 'click', ?, '{}')",
+            [eid, us, uid, val],
+        )
+    con.execute(f"COPY ev TO '{d}/events.parquet' (FORMAT parquet)")
+
+    try:
+        got = sorted(
+            (r.user_id, int(r.session_start.timestamp() * 1_000_000), r.n_events, r.sum_micros)
+            for r in run_timer_sessions_replay(spark, d, n_splits=3, users_mod=7).collect()
+        )
+        want = [
+            (14, m_us - gap - 105_000_000, 2, 3_000_000),  # 2.5 + 0.5
+            (21, m_us - gap - 500, 1, 3_000_000),  # mid-stream close
+        ]
+        assert got == want, got
+        # the DuckDB oracle's timer section picks exactly the same rows
+        ocon = duckdb.connect()
+        ocon.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        orows = sorted(
+            (r[3], int(r[1].timestamp() * 1_000_000), r[4], r[6])
+            for r in ocon.execute(SESSION_ORACLE).fetchall()
+            if r[0] == "timer"
+        )
+        assert orows == want, orows
+    finally:
+        clear_artifact_caches(spark)
+        spark._mea_views_sf_dir = None
