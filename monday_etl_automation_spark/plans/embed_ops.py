@@ -1037,6 +1037,76 @@ qpick AS (
     )
 
 
+# ---------------------------------------------------------------------------
+# ann_topk_auto — corpus-adaptive BACKEND router (r17, r16 verdict #1)
+# ---------------------------------------------------------------------------
+
+# Route boundary: hyperplane LSH loses FAR neighbors as the rung
+# deepens — per-plane sign agreement for a cosine-c neighbor is
+# 1 - arccos(c)/pi (~0.65 at c≈0.45), so all-b-planes agreement decays
+# ~0.65^b and even Hamming-<=2 multiprobe stops covering the misses.
+# Measured on the hard-case corpus (tools/ann_hard_probe.py, SCALE.md
+# r16): recall@5 0.895-0.925 at b=8, 0.815 at b=10, modeled ~0.63 at
+# b=12. IVF's nprobe ladder has no such decay (the probed CELL
+# fraction is rung-pinned by _ivf_ladder, and cells follow the actual
+# neighborhood structure), so at/above b=10 the router hands the
+# search to IVF. Below it LSH wins on cost: its candidate volume
+# (~(1+b+C(b,2))·TARGET·SETS) is smaller than IVF's probed-list volume
+# at shallow rungs, with measured recall >= 0.895.
+_ANN_ROUTE_B = 10
+
+
+def _ann_route(cnt: int, route_b: int = _ANN_ROUTE_B) -> tuple[str, int]:
+    """(backend, rung) for a corpus of ``cnt`` vectors — pure ladder
+    metadata (_ann_modulus), no I/O. backend is 'lsh' strictly below
+    the boundary rung, 'ivf' at/above it."""
+    b = _ann_modulus(cnt).bit_length() - 1
+    return ("ivf" if b >= route_b else "lsh"), b
+
+
+def ann_topk_auto(
+    spark: SparkSession, sf_dir: str, route_b: int = _ANN_ROUTE_B
+) -> DataFrame:
+    """ANN top-k with corpus-adaptive backend selection: hyperplane-LSH
+    below the measured far-neighbor recall boundary (rung
+    {_ANN_ROUTE_B}), IVF at/above it. The rung comes from the SAME
+    ladder metadata the LSH index derives its modulus from
+    (_ann_modulus over the snapshot's count), so router and index can
+    never disagree about the corpus's depth. The count is
+    snapshot-memoized (the eager-probe rule: one count(*) per
+    (session, embeddings snapshot), re-verified against fresh files on
+    regeneration via snapshot_key).
+
+    Output schema is the COMMON (query_id, neighbor_id, cosine, rk)
+    projection — ivf_topk's probe_cid column is dropped so callers see
+    one shape regardless of backend. Results are bit-identical to the
+    chosen backend's (pinned in tests/test_ann_recall.py at a shallow
+    and a deep synthetic rung), and both backends end in the same
+    exact-cosine re-rank, so precision is exact either way; the 0.80
+    recall floor holds across the switch (LSH measured 0.895-0.925 up
+    to b=8; IVF measured at the deep fixture — see the router tests).
+
+    Pytest-only by seat-map design (COVERAGE.md): both backends already
+    ride the driver hash (`ann_lsh_topk`, `ivf_topk`); the router adds
+    selection logic, not new query semantics, so it pins equality in
+    tests instead of spending a registry seat."""
+    bind_table(spark, sf_dir, "embeddings")
+    cache = session_artifact_cache(spark, "ann_corpus_count")
+    key = snapshot_key(sf_dir, "embeddings")
+    cnt = cache.get(key)
+    if cnt is None:
+        cnt = spark.sql("SELECT count(*) FROM embeddings").collect()[0][0]
+        cache[key] = cnt
+    backend, _b = _ann_route(cnt, route_b)
+    if backend == "ivf":
+        return ivf_topk(spark, sf_dir).select(
+            "query_id", "neighbor_id", "cosine", "rk"
+        )
+    return ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "cosine", "rk"
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "cosine_topk": (cosine_topk, _cosine_topk_sql("duckdb")),
     "ann_lsh_topk": (ann_lsh_topk, _ann_lsh_sql("duckdb")),

@@ -822,8 +822,25 @@ _CMS_CONF = 0.99
 _CMS_SEED = 42
 _CMS_ERR_HEADROOM = 20  # bound checked at 20x the sketch's eps*N
 _CMS_PROBES = tuple(range(8))  # fixed probe user_ids, oracle-mirrored
+# r17 (verdict item 5): a SECOND parameter point per sketch family —
+# the bound contracts must hold across the parameter space, not at one
+# configuration. (grp-prefix, eps, conf, seed, headroom): the sweep
+# point uses a 10x coarser eps (narrower sketch, more collisions — the
+# regime where est >= exact is actually exercised), a different seed
+# (different hash family), and a 2x headroom (2*0.01*N == the first
+# point's absolute bound; Markov over the d=5 rows puts the flake
+# probability ~1e-3 per probe). Both sketches build in the SAME cube
+# pass, so the sweep adds aggregate width, not a scan.
+_CMS_PARAMS = (
+    ("", _CMS_EPS, _CMS_CONF, _CMS_SEED, _CMS_ERR_HEADROOM),
+    ("k01:", 0.01, _CMS_CONF, 7, 2),
+)
 _HH_SUPPORT = 0.05  # event_type is ~uniform over 5 values (~20% each)
 _GK_ACC = 1000
+# second GK accuracy point (10x coarser): rank bound +/- 2n/100. Both
+# accuracies ride ONE approx_percentile aggregation pass and ONE exact
+# rank-verification join (wider aggregates, same two lineitem scans).
+_GK_ACC2 = 100
 
 
 def _cms_rows(spark: SparkSession, ev) -> list[tuple]:
@@ -833,21 +850,31 @@ def _cms_rows(spark: SparkSession, ev) -> list[tuple]:
     sketch API exactly as a monitoring job would.
 
     TWO event scans total: a cube(half) aggregation yields both
-    half-stream sketches AND the direct whole-stream sketch in one
-    pass (CMS is mergeable, so the cube's global row exercises Spark's
-    own partial-merge machinery; the driver-side mergeInPlace of the
-    halves then pins the SAME law through the public API), and one
-    conditional aggregation carries every probe's exact count plus the
-    stream total."""
-    cms_agg = F.count_min_sketch(
-        F.col("user_id"), F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
-    ).alias("cms")
+    half-stream sketches AND the direct whole-stream sketch — for
+    EVERY _CMS_PARAMS point — in one pass (CMS is mergeable, so the
+    cube's global row exercises Spark's own partial-merge machinery;
+    the driver-side mergeInPlace of the halves then pins the SAME law
+    through the public API), and one conditional aggregation carries
+    every probe's exact count plus the stream total."""
+    cms_aggs = [
+        F.count_min_sketch(
+            F.col("user_id"), F.lit(eps), F.lit(conf), F.lit(seed)
+        ).alias(f"cms_{i}")
+        for i, (_, eps, conf, seed, _) in enumerate(_CMS_PARAMS)
+    ]
+    # key by (grouping(h), h), not h alone: a NULL event_id would put
+    # the data-NULL group AND the cube grand-total row both at h=None,
+    # silently overwriting one with the other (r16 advice). grouping()
+    # separates them: the total row is (1, None), data groups (0, h).
     sk = {
-        r.h: bytes(r.cms)
-        for r in ev.cube(F.pmod(F.col("event_id"), F.lit(2)).alias("h"))
-        .agg(cms_agg)
+        (r.g, r.h): r
+        for r in ev.withColumn("h", F.pmod(F.col("event_id"), F.lit(2)))
+        .cube("h")
+        .agg(*cms_aggs, F.grouping("h").cast("int").alias("g"))
         .collect()
     }
+    if (0, None) in sk:
+        raise ValueError("cms probe: NULL event_id rows are out of contract")
     stats = ev.agg(
         F.count(F.lit(1)).alias("total"),
         *[
@@ -856,24 +883,26 @@ def _cms_rows(spark: SparkSession, ev) -> list[tuple]:
         ],
     ).collect()[0]
     jread = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom  # noqa: SLF001
-    direct = jread(sk[None])
-    merged = jread(sk[0])
-    merged.mergeInPlace(jread(sk[1]))
-    bound = _CMS_ERR_HEADROOM * _CMS_EPS * stats["total"]
     rows = []
-    for k in _CMS_PROBES:
-        exact = int(stats[f"c{k}"] or 0)
-        d_est = direct.estimateCount(k)
-        m_est = merged.estimateCount(k)
-        rows.append(
-            (
-                "cms",
-                str(k),
-                exact,
-                int(exact <= d_est <= exact + bound),
-                int(exact <= m_est <= exact + bound),
+    for i, (tag, eps, _conf, _seed, headroom) in enumerate(_CMS_PARAMS):
+        col = f"cms_{i}"
+        direct = jread(bytes(sk[(1, None)][col]))
+        merged = jread(bytes(sk[(0, 0)][col]))
+        merged.mergeInPlace(jread(bytes(sk[(0, 1)][col])))
+        bound = headroom * eps * stats["total"]
+        for k in _CMS_PROBES:
+            exact = int(stats[f"c{k}"] or 0)
+            d_est = direct.estimateCount(k)
+            m_est = merged.estimateCount(k)
+            rows.append(
+                (
+                    "cms",
+                    f"{tag}{k}",
+                    exact,
+                    int(exact <= d_est <= exact + bound),
+                    int(exact <= m_est <= exact + bound),
+                )
             )
-        )
     return rows
 
 
@@ -891,35 +920,70 @@ def _hh_rows(ev) -> list[tuple]:
     ]
 
 
-_GK_RANK_SQL = f"""
+def _gk_rank_sql() -> str:
+    """Both accuracy points in ONE approx_percentile pass + ONE exact
+    rank-verification join: ap carries a qs array per accuracy, rk a
+    lo/hi sum per (accuracy, fraction), and the two output rows per
+    group read from the same 5-row rk relation (grp prefix 'k{acc}:'
+    for the sweep point)."""
+    accs = (_GK_ACC, _GK_ACC2)
+    qs_cols = ",\n         ".join(
+        f"approx_percentile(CAST(l_quantity AS DOUBLE), array(0.25, 0.5, 0.75),"
+        f" {a}) AS qs_{a}"
+        for a in accs
+    )
+    sums = []
+    for a in accs:
+        for i, p in enumerate(("25", "50", "75")):
+            x = "CAST(l.l_quantity AS DOUBLE)"
+            sums.append(
+                f"sum(CASE WHEN {x} <  ap.qs_{a}[{i}] THEN 1 ELSE 0 END) AS lo{p}_{a}"
+            )
+            sums.append(
+                f"sum(CASE WHEN {x} <= ap.qs_{a}[{i}] THEN 1 ELSE 0 END) AS hi{p}_{a}"
+            )
+    sums_sql = ",\n         ".join(sums)
+
+    def _ok(a: int, p: str, frac: str) -> str:
+        return (
+            f"lo{p}_{a} <= {frac} * n + 2.0 * n / {a}"
+            f" AND hi{p}_{a} >= {frac} * n - 2.0 * n / {a}"
+        )
+
+    # ONE select over rk, unpivoted by a VALUES cross join (the
+    # release_extra._report_sql shape): a UNION of per-accuracy selects
+    # would reference rk twice, and Spark inlines CTEs — doubling the
+    # lineitem scans. CASE on the accuracy tag picks the right sums.
+    def _pick(expr_fn) -> str:
+        branches = " ".join(
+            f"WHEN ac.acc = {a} THEN CASE WHEN {expr_fn(a)} THEN 1 ELSE 0 END"
+            for a in accs
+        )
+        return f"CASE {branches} END"
+
+    ok50 = _pick(lambda a: _ok(a, "50", "0.50"))
+    ok2575 = _pick(lambda a: f"{_ok(a, '25', '0.25')} AND {_ok(a, '75', '0.75')}")
+    acc_vals = ", ".join(f"('{'' if a == _GK_ACC else f'k{a}:'}', {a})" for a in accs)
+    return f"""
 WITH ap AS (
   SELECT l_returnflag,
-         approx_percentile(CAST(l_quantity AS DOUBLE), array(0.25, 0.5, 0.75),
-                           {_GK_ACC}) AS qs
+         {qs_cols}
   FROM lineitem GROUP BY l_returnflag
 ),
 rk AS (
   SELECT l.l_returnflag, count(*) AS n,
-         sum(CASE WHEN CAST(l.l_quantity AS DOUBLE) <  ap.qs[0] THEN 1 ELSE 0 END) AS lo25,
-         sum(CASE WHEN CAST(l.l_quantity AS DOUBLE) <= ap.qs[0] THEN 1 ELSE 0 END) AS hi25,
-         sum(CASE WHEN CAST(l.l_quantity AS DOUBLE) <  ap.qs[1] THEN 1 ELSE 0 END) AS lo50,
-         sum(CASE WHEN CAST(l.l_quantity AS DOUBLE) <= ap.qs[1] THEN 1 ELSE 0 END) AS hi50,
-         sum(CASE WHEN CAST(l.l_quantity AS DOUBLE) <  ap.qs[2] THEN 1 ELSE 0 END) AS lo75,
-         sum(CASE WHEN CAST(l.l_quantity AS DOUBLE) <= ap.qs[2] THEN 1 ELSE 0 END) AS hi75
+         {sums_sql}
   FROM lineitem l JOIN ap ON l.l_returnflag = ap.l_returnflag
   GROUP BY l.l_returnflag
 )
-SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-  CAST(CASE WHEN lo50 <= 0.50 * n + 2.0 * n / {_GK_ACC}
-             AND hi50 >= 0.50 * n - 2.0 * n / {_GK_ACC} THEN 1 ELSE 0 END
-       AS BIGINT) AS ok50,
-  CAST(CASE WHEN lo25 <= 0.25 * n + 2.0 * n / {_GK_ACC}
-             AND hi25 >= 0.25 * n - 2.0 * n / {_GK_ACC}
-             AND lo75 <= 0.75 * n + 2.0 * n / {_GK_ACC}
-             AND hi75 >= 0.75 * n - 2.0 * n / {_GK_ACC} THEN 1 ELSE 0 END
-       AS BIGINT) AS ok2575
-FROM rk
+SELECT ac.pref || l_returnflag AS l_returnflag, CAST(n AS BIGINT) AS n,
+  CAST({ok50} AS BIGINT) AS ok50,
+  CAST({ok2575} AS BIGINT) AS ok2575
+FROM rk CROSS JOIN (VALUES {acc_vals}) ac(pref, acc)
 """.strip()
+
+
+_GK_RANK_SQL = _gk_rank_sql()
 
 
 def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -938,7 +1002,12 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bound-contract pattern (see the _CMS/_HH/_GK block comment):
     'cms' (count-min point-estimate bounds, direct + merged), 'hh'
     (heavy-hitter completeness), and 'gk' (approx_percentile rank-error
-    bounds). merge_ok is deliberately NOT merged == direct:
+    bounds). r17 sweeps a second parameter point through each bound
+    contract (grp prefixes 'k01:' for cms eps=0.01/seed=7, 'k100:' for
+    gk accuracy=100) — the sweep rows ride the SAME scans (one cube
+    pass builds all sketches; one ap aggregation + one rank join carry
+    both accuracies, unpivoted by a VALUES cross join so rk is read
+    once). merge_ok is deliberately NOT merged == direct:
     the direct aggregation serves the HIP estimator, which a union
     legitimately drops for the composite estimator, so the two
     estimates agree only while both sides sit in exact sparse mode
@@ -1081,12 +1150,13 @@ SELECT 'hll' AS section, event_type AS grp,
        CAST(1 AS BIGINT) AS merge_ok
 FROM events GROUP BY event_type
 UNION ALL
-SELECT 'cms', CAST(pk.k AS VARCHAR),
+SELECT 'cms', pr.pref || CAST(pk.k AS VARCHAR),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(coalesce(pc.n, 0) AS BIGINT),
        CAST(1 AS BIGINT), CAST(1 AS BIGINT)
 FROM (VALUES {", ".join(f"({k})" for k in _CMS_PROBES)}) pk(k)
+CROSS JOIN (VALUES {", ".join(f"('{tag}')" for tag, *_ in _CMS_PARAMS)}) pr(pref)
 LEFT JOIN (
   SELECT user_id, count(*) AS n FROM events
   WHERE user_id IN ({", ".join(str(k) for k in _CMS_PROBES)})
@@ -1101,12 +1171,14 @@ SELECT 'hh', event_type,
 FROM events GROUP BY event_type
 HAVING count(*) > {_HH_SUPPORT} * (SELECT count(*) FROM events)
 UNION ALL
-SELECT 'gk', l_returnflag,
+SELECT 'gk', gp.pref || l_returnflag,
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(count(*) AS BIGINT),
        CAST(1 AS BIGINT), CAST(1 AS BIGINT)
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem
+CROSS JOIN (VALUES (''), ('k{_GK_ACC2}:')) gp(pref)
+GROUP BY gp.pref, l_returnflag
 ORDER BY section, grp
 """.strip()
 

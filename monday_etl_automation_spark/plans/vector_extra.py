@@ -41,6 +41,12 @@ Shapes:
                 3-batch redelivery-heavy ingest, vs the oracle's
                 one-shot inline encode — exactly-once against frozen
                 quantizers == one-shot, down to the bytes on disk
+  - ``eperm`` — the epoch-shuffled split writer
+                (plans/eperm_extra.py, r17): two epochs of the train
+                split written through the REAL writer, per-file
+                (count, min/max shuffle-key, multiset checksum,
+                one-file-per-dir flag) read back from the shipped
+                parquet vs the oracle's inline key+bucket re-derivation
 
 The DuckDB oracle wraps each family's one-shot twin (full training
 included) in its own derived table, so the per-family CTE namespaces
@@ -59,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from monday_etl_automation_spark.plans.drift_ops import _drift_sql
+from monday_etl_automation_spark.plans.eperm_extra import eperm_oracle_body
 from monday_etl_automation_spark.plans.release_extra import (
     PACK_ORACLE_BODY,
     _report_sql,
@@ -191,6 +198,21 @@ def _build_vector_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         _D().alias("score"),
         _B().alias("rk"),
     )
+    from monday_etl_automation_spark.plans.eperm_extra import eperm_summary
+
+    eperm = eperm_summary(spark, sf_dir).select(
+        F.lit("eperm").alias("shape"),
+        F.col("part").alias("qid"),
+        F.col("n").alias("i1"),
+        F.col("min_key").alias("i2"),
+        F.col("max_key").alias("i3"),
+        F.col("checksum").alias("i4"),
+        F.col("files_ok").alias("i5"),
+        _B().alias("i6"),
+        _B().alias("i7"),
+        _D().alias("score"),
+        _B().alias("rk"),
+    )
     from monday_etl_automation_spark.plans.vstream_extra import vstream_summary
 
     vstream = vstream_summary(spark, sf_dir).select(
@@ -229,6 +251,7 @@ def _build_vector_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pack)
         .unionByName(tokp)
         .unionByName(vstream)
+        .unionByName(eperm)
         .orderBy("shape", "qid", "rk", "i1")
     )
 
@@ -288,6 +311,11 @@ SELECT 'vstream', part,
        n, key_sum, checksum, NULL, NULL, NULL, NULL,
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
 FROM ({vstream_oracle_body()}) vst
+UNION ALL
+SELECT 'eperm', part,
+       n, min_key, max_key, checksum, files_ok, NULL, NULL,
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+FROM ({eperm_oracle_body()}) epm
 ORDER BY shape, qid, rk, i1
 """.strip()
 

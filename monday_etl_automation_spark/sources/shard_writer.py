@@ -91,6 +91,16 @@ _EPOCH_SHUF = (
     " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
 )
 
+# shuffle keys are 15 hex digits of an md5 — uniform on [0, 16^15)
+_SHUF_KEY_SPACE = 16**15
+
+
+def shuffled_file_width(n_files: int) -> int:
+    """Key-space width of one output file: fixed-width ranges over the
+    uniform md5 key space. ceil keeps the top key inside file
+    n_files - 1."""
+    return -(-_SHUF_KEY_SPACE // n_files)
+
 
 def write_shuffled_split(
     spark: SparkSession,
@@ -103,27 +113,42 @@ def write_shuffled_split(
 ) -> DataFrame:
     """Write one corpus split in reproducible globally-shuffled order —
     the materialization of SCALE.md's claim that "training order =
-    ORDER BY shuffle_key is a repartitionByRange write, not a sort on
-    one machine": range-partition on the epoch-salted shuffle key
-    (parallel, no single-task global sort, no driver state) and sort
-    within each file, so concatenating the files in range order IS the
-    epoch's global permutation. Epoch k and epoch k+1 are independent
-    permutations; the same epoch re-writes byte-identical order (hash
-    order, never rand()).
+    ORDER BY shuffle_key is a distributed range write, not a sort on
+    one machine": bucket rows by FIXED-WIDTH ranges of the epoch-salted
+    shuffle key (file_id = key div width — row-local, deterministic,
+    balanced because md5 keys are uniform by construction), shuffle
+    once on file_id, and sort within each file, so concatenating the
+    files in file_id order IS the epoch's global permutation. Epoch k
+    and epoch k+1 are independent permutations; the same epoch
+    re-writes byte-identical order (hash order, never rand()).
+
+    r17: fixed-width key ranges replaced repartitionByRange — the
+    sampled range boundaries were per-execution (CLAUDE.md), so file
+    CONTENTS were nondeterministic even though the concatenated order
+    was not. With uniform keys, fixed ranges keep the same balance
+    (file populations are Binomial(n, 1/n_files) — tight at any scale),
+    drop the sampling pass entirely, and make every per-file statistic
+    reproducible — which is what lets the driver hash pin this writer
+    (plans/eperm_extra.py). repartition(n_files, file_id) + partitionBy
+    is the one-task-per-group recipe: exactly one parquet file per
+    file_id directory.
 
     Returns the written frame read back (with its file lineage)."""
     from monday_etl_automation_spark.plans.sampling_ops import corpus_splits
 
+    width = shuffled_file_width(n_files)
     df = (
         corpus_splits(spark, sf_dir, fracs)
         .where(F.col("split") == F.lit(split))
         .drop("shuffle_key")
         .withColumn("shuffle_key", F.expr(_EPOCH_SHUF.format(e=epoch)))
+        .withColumn("file_id", F.expr(f"shuffle_key DIV {width}"))
     )
     (
-        df.repartitionByRange(n_files, "shuffle_key")
-        .sortWithinPartitions("shuffle_key", "doc_id")
+        df.repartition(n_files, "file_id")
+        .sortWithinPartitions("file_id", "shuffle_key", "doc_id")
         .write.mode("overwrite")
+        .partitionBy("file_id")
         .parquet(out_dir)
     )
     return spark.read.parquet(out_dir)

@@ -138,6 +138,16 @@ class _ArtifactCache(dict):
     collector cannot reclaim (e.g. the timer replay's on-disk source
     dirs), the hook is where they are released. Hook errors are
     swallowed: eviction is best-effort cleanup, never a query failure.
+
+    CONSUMER CONTRACT (r16 advice): for tagged caches whose hook
+    deletes on-disk state, eviction (clear() or a snapshot
+    regeneration) invalidates any lazy DataFrame previously returned
+    for the evicted entry — its parquet source is gone, and executing
+    the stale handle fails with missing files. Consumers must
+    re-resolve the artifact through the builder after any
+    clear/regeneration, never hold a handle across one; every builder
+    in this repo is already re-entrant (cache-miss -> rebuild), so
+    "re-resolve" is just calling the builder again.
     """
 
     on_evict = None
@@ -172,13 +182,24 @@ class _ArtifactCache(dict):
 
 
 def session_artifact_cache(spark: SparkSession, tag: str, on_evict=None) -> dict:
-    """Per-session dict for snapshot-keyed derived artifacts."""
+    """Per-session dict for snapshot-keyed derived artifacts.
+
+    ``on_evict`` binds once per tag: a second call site passing a
+    DIFFERENT hook for the same tag raises instead of silently
+    replacing the first (r16 advice — last-caller-wins would let one
+    builder's cleanup discipline be swapped out by an unrelated
+    caller), and a call omitting it leaves the bound hook in place.
+    """
     attr = f"_mea_cache_{tag}"
     cache = getattr(spark, attr, None)
     if cache is None:
         cache = _ArtifactCache()
         setattr(spark, attr, cache)
     if on_evict is not None:
+        if cache.on_evict is not None and cache.on_evict is not on_evict:
+            raise ValueError(
+                f"artifact cache {tag!r} already has a different on_evict hook"
+            )
         cache.on_evict = on_evict
     return cache
 

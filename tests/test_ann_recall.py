@@ -68,6 +68,40 @@ def test_exact_is_self_consistent(spark, sf_dir):
     assert per_q[0] == per_q[1]  # uniform k
 
 
+def test_ann_router_boundary_is_ladder_derived():
+    """The router's rung comes from the SAME ladder metadata as the
+    LSH index modulus (_ann_modulus), and the backend flips exactly at
+    the measured b={route} recall boundary."""
+    from monday_etl_automation_spark.plans.embed_ops import (
+        _ANN_ROUTE_B,
+        _ANN_TARGET,
+        _ann_route,
+    )
+
+    assert _ann_route(2000) == ("lsh", 4)  # both pytest SFs: ladder floor
+    at_boundary = _ANN_TARGET * 2 ** (_ANN_ROUTE_B - 1)
+    assert _ann_route(at_boundary) == ("lsh", _ANN_ROUTE_B - 1)
+    assert _ann_route(at_boundary + 1) == ("ivf", _ANN_ROUTE_B)
+    assert _ann_route(10**9)[0] == "ivf"
+    # the override used by the deep fixture test routes at its own rung
+    assert _ann_route(17000, route_b=8) == ("ivf", 8)
+    assert _ann_route(17000) == ("lsh", 8)
+
+
+def test_ann_router_shallow_rung_equals_lsh(spark):
+    """At the shallow rung the router must hand back EXACTLY the LSH
+    backend's results (common projection) — recall transfer from
+    test_ann_lsh_recall_floor is only valid if the rows are identical."""
+    from monday_etl_automation_spark.plans.embed_ops import ann_topk_auto
+
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rk)
+        for r in ann_lsh_topk(spark, _RECALL_SF).collect()
+    )
+    got = sorted(map(tuple, ann_topk_auto(spark, _RECALL_SF).collect()))
+    assert got == want
+
+
 def test_ann_deep_rung_hard_case_recall_floor(spark, tmp_path_factory):
     """r16 (r15 verdict item 3): recall evidence at a DEEP rung on a
     HARD corpus — previously the 0.80 floor was pinned only at the b=4

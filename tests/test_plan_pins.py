@@ -185,7 +185,11 @@ def test_vector_extra_corpus_scan_budget(spark, sf_dir):
     # them: materialized per snapshot behind _prep_source (inlining it
     # measured 31 docs scans with quality/lang/simhash re-evaluated
     # per scan — the regression this pin exists to catch).
-    assert n_docs <= 7, f"{n_docs} documents scans (pinned <= 7)"
+    # r17: 7 -> 8, deliberately — the eperm shape reads back the
+    # SHIPPED split-writer parquet (KB artifact, snapshot-cached
+    # build), whose rows carry doc_id and therefore count here; the
+    # documents TABLE itself is only scanned at artifact build time.
+    assert n_docs <= 8, f"{n_docs} documents scans (pinned <= 8)"
     assert n_emb <= 10, f"{n_emb} embeddings scans (pinned <= 10)"
 
 

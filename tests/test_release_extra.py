@@ -54,7 +54,7 @@ def test_pack_summary_flags_and_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.budget_ok == 1 and r.halffill_ok == 1
-        assert r.lb_seqs >= 1 and r.n_chunks >= r.lb_seqs or r.n_chunks >= 1
+        assert r.lb_seqs >= 1 and r.n_chunks >= r.lb_seqs
 
 
 def test_train_ids_are_cached_per_snapshot(spark, sf_dir):
