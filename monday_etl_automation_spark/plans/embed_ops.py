@@ -1041,41 +1041,59 @@ qpick AS (
 # ann_topk_auto — corpus-adaptive BACKEND router (r17, r16 verdict #1)
 # ---------------------------------------------------------------------------
 
-# Route boundary: hyperplane LSH loses FAR neighbors as the rung
-# deepens — per-plane sign agreement for a cosine-c neighbor is
-# 1 - arccos(c)/pi (~0.65 at c≈0.45), so all-b-planes agreement decays
-# ~0.65^b and even Hamming-<=2 multiprobe stops covering the misses.
-# Measured on the hard-case corpus (tools/ann_hard_probe.py, SCALE.md
-# r16): recall@5 0.895-0.925 at b=8, 0.815 at b=10, modeled ~0.63 at
-# b=12. IVF's nprobe ladder has no such decay (the probed CELL
-# fraction is rung-pinned by _ivf_ladder, and cells follow the actual
-# neighborhood structure), so at/above b=10 the router hands the
-# search to IVF. Below it LSH wins on cost: its candidate volume
-# (~(1+b+C(b,2))·TARGET·SETS) is smaller than IVF's probed-list volume
-# at shallow rungs, with measured recall >= 0.895.
-_ANN_ROUTE_B = 10
+# Route boundary — SET BY MEASUREMENT, and the measurement REFUTED the
+# r16 working hypothesis. The hypothesis (SCALE.md r16): hyperplane
+# LSH loses FAR neighbors as the rung deepens (per-plane sign
+# agreement for a cosine-c neighbor is 1 - arccos(c)/pi ~ 0.65 at
+# c~0.45, so all-b agreement decays ~0.65^b), and IVF is the route at
+# depth. Measured r17 on the hard-case fixtures
+# (tools/ann_router_probe.py, plants at cosine 0.55, dated
+# BENCH_NOTES_r17.md):
+#
+#   rung  corpus   LSH(H<=2)  IVF(base ladder)
+#   b=8   17,000     0.895       0.900          (tie, both >= floor)
+#   b=10  65,000     0.840       0.755          (LSH wins; IVF < 0.80)
+#
+# Base-ladder IVF decays on hard data TOO — its probed cell share
+# nprobe/ncent shrinks as 2^(-b'/2) by design, and isotropic-hard
+# cells don't follow far-neighbor structure — and it decays FASTER
+# than the Hamming-<=2 LSH ladder. So the measured-best default is
+# LSH at every rung (route_b=None); the IVF path stays reachable via
+# an explicit boundary for corpora whose cell structure matches their
+# neighbor structure (clone-regime data measured 1.000 recall on both
+# backends at every rung — there the backends tie and IVF's smaller
+# probed share wins on cost past ~200k vectors by ladder arithmetic).
+_ANN_ROUTE_B = None
 
 
-def _ann_route(cnt: int, route_b: int = _ANN_ROUTE_B) -> tuple[str, int]:
+def _ann_route(cnt: int, route_b: int | None = _ANN_ROUTE_B) -> tuple[str, int]:
     """(backend, rung) for a corpus of ``cnt`` vectors — pure ladder
-    metadata (_ann_modulus), no I/O. backend is 'lsh' strictly below
-    the boundary rung, 'ivf' at/above it."""
+    metadata (_ann_modulus), no I/O. backend is 'lsh' when route_b is
+    None (the measured default) or strictly below the boundary rung,
+    'ivf' at/above an explicit boundary."""
     b = _ann_modulus(cnt).bit_length() - 1
-    return ("ivf" if b >= route_b else "lsh"), b
+    return ("ivf" if route_b is not None and b >= route_b else "lsh"), b
 
 
 def ann_topk_auto(
-    spark: SparkSession, sf_dir: str, route_b: int = _ANN_ROUTE_B
+    spark: SparkSession, sf_dir: str, route_b: int | None = _ANN_ROUTE_B
 ) -> DataFrame:
-    """ANN top-k with corpus-adaptive backend selection: hyperplane-LSH
-    below the measured far-neighbor recall boundary (rung
-    {_ANN_ROUTE_B}), IVF at/above it. The rung comes from the SAME
-    ladder metadata the LSH index derives its modulus from
-    (_ann_modulus over the snapshot's count), so router and index can
-    never disagree about the corpus's depth. The count is
+    """ANN top-k with corpus-adaptive backend selection. The rung comes
+    from the SAME ladder metadata the LSH index derives its modulus
+    from (_ann_modulus over the snapshot's count), so router and index
+    can never disagree about the corpus's depth. The count is
     snapshot-memoized (the eager-probe rule: one count(*) per
     (session, embeddings snapshot), re-verified against fresh files on
     regeneration via snapshot_key).
+
+    The DEFAULT boundary is None — LSH at every rung — because that is
+    what the r17 measurement supports (see the _ANN_ROUTE_B table: at
+    the b=10 hard fixture base-ladder IVF measured 0.755 < the 0.80
+    floor < LSH's 0.840, refuting the r16 route-to-IVF-at-depth
+    hypothesis). Callers whose corpora are cell-structured (neighbors
+    share k-means cells — the clone regime, where both backends
+    measured 1.000) may pass an explicit route_b to switch to IVF at
+    depth for its smaller probed share.
 
     Output schema is the COMMON (query_id, neighbor_id, cosine, rk)
     projection — ivf_topk's probe_cid column is dropped so callers see
@@ -1083,8 +1101,9 @@ def ann_topk_auto(
     chosen backend's (pinned in tests/test_ann_recall.py at a shallow
     and a deep synthetic rung), and both backends end in the same
     exact-cosine re-rank, so precision is exact either way; the 0.80
-    recall floor holds across the switch (LSH measured 0.895-0.925 up
-    to b=8; IVF measured at the deep fixture — see the router tests).
+    floor holds on every path the router actually takes (LSH 0.895 /
+    0.840 at b=8/b=10 hard; IVF 0.900 at the b=8 fixture where the
+    explicit-boundary path is pinned).
 
     Pytest-only by seat-map design (COVERAGE.md): both backends already
     ride the driver hash (`ann_lsh_topk`, `ivf_topk`); the router adds

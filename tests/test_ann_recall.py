@@ -70,19 +70,20 @@ def test_exact_is_self_consistent(spark, sf_dir):
 
 def test_ann_router_boundary_is_ladder_derived():
     """The router's rung comes from the SAME ladder metadata as the
-    LSH index modulus (_ann_modulus), and the backend flips exactly at
-    the measured b={route} recall boundary."""
+    LSH index modulus (_ann_modulus); the DEFAULT is LSH at every rung
+    (the r17 measurement: base-ladder IVF 0.755 < LSH 0.840 at the
+    b=10 hard fixture — see _ANN_ROUTE_B), and an explicit boundary
+    flips the backend exactly at its rung."""
     from monday_etl_automation_spark.plans.embed_ops import (
-        _ANN_ROUTE_B,
         _ANN_TARGET,
         _ann_route,
     )
 
     assert _ann_route(2000) == ("lsh", 4)  # both pytest SFs: ladder floor
-    at_boundary = _ANN_TARGET * 2 ** (_ANN_ROUTE_B - 1)
-    assert _ann_route(at_boundary) == ("lsh", _ANN_ROUTE_B - 1)
-    assert _ann_route(at_boundary + 1) == ("ivf", _ANN_ROUTE_B)
-    assert _ann_route(10**9)[0] == "ivf"
+    assert _ann_route(10**9)[0] == "lsh"  # measured default: LSH everywhere
+    at_boundary = _ANN_TARGET * 2**9
+    assert _ann_route(at_boundary, route_b=10) == ("lsh", 9)
+    assert _ann_route(at_boundary + 1, route_b=10) == ("ivf", 10)
     # the override used by the deep fixture test routes at its own rung
     assert _ann_route(17000, route_b=8) == ("ivf", 8)
     assert _ann_route(17000) == ("lsh", 8)
@@ -144,6 +145,22 @@ def test_ann_deep_rung_hard_case_recall_floor(spark, tmp_path_factory):
         approx = _topk_sets(ann_lsh_topk(spark, d))
         r = _recall(approx, exact)
         assert r >= 0.80, f"deep-rung hard-case recall {r:.3f} below floor"
+        # r17 router, IVF branch on the SAME deep fixture: with the
+        # boundary overridden to this corpus's rung the router must
+        # return EXACTLY ivf_topk's rows (common projection) and hold
+        # the 0.80 floor (IVF measured 0.900 here, LSH 0.895 — the
+        # b=8 tie in the _ANN_ROUTE_B table; it is b=10 where
+        # base-ladder IVF drops to 0.755 and the default stays LSH).
+        from monday_etl_automation_spark.plans.embed_ops import ann_topk_auto
+
+        want = sorted(
+            (x.query_id, x.neighbor_id, x.cosine, x.rk)
+            for x in ivf_topk(spark, d).collect()
+        )
+        got = sorted(map(tuple, ann_topk_auto(spark, d, route_b=8).collect()))
+        assert got == want
+        r_ivf = _recall(_topk_sets(ivf_topk(spark, d)), exact)
+        assert r_ivf >= 0.80, f"router IVF-branch recall {r_ivf:.3f} below floor"
     finally:
         # this fixture dir registered its own views/artifacts — restore
         clear_artifact_caches(spark)
