@@ -250,41 +250,74 @@ FROM final_rank WHERE rk <= {_TOPK}
 ORDER BY query_id, rk"""
 
 
+def ivfpq_train_ctes(dialect: str, prefix: str = "") -> str:
+    """The one-shot trainer CTE chain — coarse IVF rounds →
+    ``{prefix}cent{_IVF_ITERS}`` / ``ranked{prefix}{_IVF_ITERS}`` /
+    ``{prefix}asgf``, the 1e6 element relation ``{prefix}e6``, the
+    residual explode ``{prefix}rex``, residual-PQ rounds →
+    ``{prefix}rcb`` (residual codebooks), and ``{prefix}vparts``
+    (cid + 8-byte codes per vector).
+
+    Factored out of _ivfpq_sql (r17, r16 verdict item 3) so the
+    vector_extra oracle hoists ONE prefixed copy shared by the ivfpq
+    search branch and the vstream ivf/ipqc branches — which also
+    RETIRES the duplicate coarse training the vstream oracle used to
+    run. With prefix='' this is the chain _ivfpq_sql always inlined."""
+    p = prefix
+    idiv = "DIV" if dialect == "spark" else "//"
+    fin = _IVF_ITERS
+    ivf_rounds = ",\n".join(
+        f"""{_ivf_ranked_sql(dialect, f'{p}ex', f'{p}cent{k}', f'{p}{k}')},
+{p}asg{k} AS (SELECT vec_id, cid FROM ranked{p}{k} WHERE rc = 1),
+{p}cent{k + 1} AS ({_ivf_cent_next_sql(f'{p}ex', f'{p}asg{k}')})"""
+        for k in range(_IVF_ITERS)
+    )
+    pq_rounds = ",\n".join(
+        f"""{_pq_codes_sql(dialect, f'{p}rex', f'{p}rcent{k}', f'{p}r{k}')},
+{p}rcent{k + 1} AS ({_pq_cent_next_sql(f'{p}rex', f'codes{p}r{k}')})"""
+        for k in range(_PQ_ITERS)
+    )
+    return f"""{_ivf_meta_cte(dialect).replace("meta AS (", f"{p}meta AS (", 1)},
+{p}ex AS ({_ivf_ex_sql(dialect)}),
+{p}cent0 AS ({_ivf_cent0_sql(dialect, f"(SELECT step FROM {p}meta)", f"{p}ex", ncent=f"(SELECT ncent FROM {p}meta)")}),
+{ivf_rounds},
+{_ivf_ranked_sql(dialect, f'{p}ex', f'{p}cent{fin}', f'{p}{fin}')},
+{p}asgf AS (SELECT vec_id, cid FROM ranked{p}{fin} WHERE rc = 1),
+{p}e6 AS (SELECT vec_id, dim, {_E6_EXPR} AS xd6 FROM {p}ex),
+{p}rex AS ({_rex_sql(dialect, f'{p}e6', f'{p}asgf', f'{p}cent{fin}')}),
+{p}pqmeta AS (SELECT greatest(1, count(*) {idiv} {_K}) AS step FROM embeddings),
+{p}rcent0 AS ({_pq_cent0_sql(dialect, f"(SELECT step FROM {p}pqmeta)", f"{p}rex")}),
+{pq_rounds},
+{_pq_codes_sql(dialect, f'{p}rex', f'{p}rcent{_PQ_ITERS}', f'{p}rf')},
+{p}rcb AS (SELECT * FROM {p}rcent{_PQ_ITERS}),
+{p}vparts AS (
+  SELECT a.vec_id, a.cid, k.sub, k.code FROM {p}asgf a JOIN codes{p}rf k ON a.vec_id = k.vec_id
+)"""
+
+
+def ivfpq_search_body(dialect: str, prefix: str = "") -> str:
+    """The search half over a (possibly prefixed) trained chain — CTE
+    list + final SELECT (outer-scope trainer CTEs are visible inside
+    derived tables)."""
+    p = prefix
+    return _ivfpq_tail_sql(
+        dialect,
+        f"ranked{p}{_IVF_ITERS}",
+        f"{p}cent{_IVF_ITERS}",
+        f"{p}rcb",
+        f"{p}vparts",
+        f"{p}e6",
+        nprobe=f"(SELECT nprobe FROM {p}meta)",
+    )
+
+
 def _ivfpq_sql(dialect: str) -> str:
     """One-shot twin: IVF training + residual-PQ training + search —
     the DuckDB oracle (DuckDB materializes repeated CTEs, so the long
     chain costs nothing extra there)."""
-    idiv = "DIV" if dialect == "spark" else "//"
-    fin = _IVF_ITERS
-    ivf_rounds = ",\n".join(
-        f"""{_ivf_ranked_sql(dialect, 'ex', f'cent{k}', str(k))},
-asg{k} AS (SELECT vec_id, cid FROM ranked{k} WHERE rc = 1),
-cent{k + 1} AS ({_ivf_cent_next_sql('ex', f'asg{k}')})"""
-        for k in range(_IVF_ITERS)
-    )
-    pq_rounds = ",\n".join(
-        f"""{_pq_codes_sql(dialect, 'rex', f'rcent{k}', f'r{k}')},
-rcent{k + 1} AS ({_pq_cent_next_sql('rex', f'codesr{k}')})"""
-        for k in range(_PQ_ITERS)
-    )
     return f"""
-WITH {_ivf_meta_cte(dialect)},
-ex AS ({_ivf_ex_sql(dialect)}),
-cent0 AS ({_ivf_cent0_sql(dialect, "(SELECT step FROM meta)", ncent="(SELECT ncent FROM meta)")}),
-{ivf_rounds},
-{_ivf_ranked_sql(dialect, 'ex', f'cent{fin}', str(fin))},
-asgf AS (SELECT vec_id, cid FROM ranked{fin} WHERE rc = 1),
-e6 AS (SELECT vec_id, dim, {_E6_EXPR} AS xd6 FROM ex),
-rex AS ({_rex_sql(dialect, 'e6', 'asgf', f'cent{fin}')}),
-pqmeta AS (SELECT greatest(1, count(*) {idiv} {_K}) AS step FROM embeddings),
-rcent0 AS ({_pq_cent0_sql(dialect, "(SELECT step FROM pqmeta)", "rex")}),
-{pq_rounds},
-{_pq_codes_sql(dialect, 'rex', f'rcent{_PQ_ITERS}', 'rf')},
-rcb AS (SELECT * FROM rcent{_PQ_ITERS}),
-vparts AS (
-  SELECT a.vec_id, a.cid, k.sub, k.code FROM asgf a JOIN codesrf k ON a.vec_id = k.vec_id
-),
-{_ivfpq_tail_sql(dialect, f'ranked{fin}', f'cent{fin}', 'rcb', 'vparts', 'e6', nprobe='(SELECT nprobe FROM meta)')}
+WITH {ivfpq_train_ctes(dialect)},
+{ivfpq_search_body(dialect)}
 """.strip()
 
 

@@ -205,25 +205,50 @@ FROM final_rank WHERE rk <= {_TOPK}
 ORDER BY query_id, rk"""
 
 
-def _pq_sql(dialect: str) -> str:
-    """One-shot twin: train ({_PQ_ITERS} unrolled Lloyd rounds), encode,
-    ADC-search, exact re-rank — the DuckDB oracle form."""
+def pq_train_ctes(dialect: str, prefix: str = "") -> str:
+    """The one-shot trainer+encoder CTE chain — ``{prefix}meta`` →
+    ``{prefix}ex`` → unrolled Lloyd rounds → ``{prefix}cent{_PQ_ITERS}``
+    (final codebooks) and ``{prefix}codesf`` (encoded corpus).
+
+    Factored out of _pq_sql (r17, r16 verdict item 3) so the
+    vector_extra oracle can HOIST one prefixed copy to its top level
+    and share it between the pq search branch and the vstream
+    PQ-code-table checksum branch — DuckDB materializes
+    multi-referenced CTEs, so the share costs one training instead of
+    two. With prefix='' this is byte-identical to the chain _pq_sql
+    always inlined."""
+    p = prefix
     idiv = "DIV" if dialect == "spark" else "//"
     rounds = ",\n".join(
-        f"""{_pq_codes_sql(dialect, 'ex', f'cent{k}', str(k))},
-cent{k + 1} AS ({_pq_cent_next_sql('ex', f'codes{k}')})"""
+        f"""{_pq_codes_sql(dialect, f'{p}ex', f'{p}cent{k}', f'{p}{k}')},
+{p}cent{k + 1} AS ({_pq_cent_next_sql(f'{p}ex', f'codes{p}{k}')})"""
         for k in range(_PQ_ITERS)
     )
-    return f"""
-WITH meta AS (
+    return f"""{p}meta AS (
   -- >= 1 clamp: same % 0 divergence guard as the IVF quantizer
   SELECT greatest(1, count(*) {idiv} {_K}) AS step FROM embeddings
 ),
-ex AS ({_pq_ex_sql(dialect)}),
-cent0 AS ({_pq_cent0_sql(dialect, "(SELECT step FROM meta)")}),
+{p}ex AS ({_pq_ex_sql(dialect)}),
+{p}cent0 AS ({_pq_cent0_sql(dialect, f"(SELECT step FROM {p}meta)", f"{p}ex")}),
 {rounds},
-{_pq_codes_sql(dialect, 'ex', f'cent{_PQ_ITERS}', 'f')},
-{_pq_search_sql(dialect, 'ex', 'codesf', f'cent{_PQ_ITERS}')}
+{_pq_codes_sql(dialect, f'{p}ex', f'{p}cent{_PQ_ITERS}', f'{p}f')}"""
+
+
+def pq_search_body(dialect: str, prefix: str = "") -> str:
+    """The search half over a (possibly prefixed) trained chain — a CTE
+    list + final SELECT, to be planted after a WITH that already holds
+    ``{prefix}ex`` / ``codes{prefix}f`` / ``{prefix}cent{N}``
+    (outer-scope CTEs are visible inside derived tables)."""
+    p = prefix
+    return _pq_search_sql(dialect, f"{p}ex", f"codes{p}f", f"{p}cent{_PQ_ITERS}")
+
+
+def _pq_sql(dialect: str) -> str:
+    """One-shot twin: train ({_PQ_ITERS} unrolled Lloyd rounds), encode,
+    ADC-search, exact re-rank — the DuckDB oracle form."""
+    return f"""
+WITH {pq_train_ctes(dialect)},
+{pq_search_body(dialect)}
 """.strip()
 
 

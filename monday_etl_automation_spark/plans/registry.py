@@ -19,7 +19,16 @@ _ORACLES: dict[str, str] = {}
 def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: str | None = None) -> None:
     _QUERIES[name] = fn
     if oracle is not None:
-        _ORACLES[name] = oracle
+        # r17: every DuckDB oracle ships with AS MATERIALIZED CTE
+        # heads — this container's DuckDB 1.0 INLINES CTEs, so deep
+        # chains re-evaluate their upstream per reference (the ivfpq
+        # twin: 61.7s inlined vs 0.9s materialized, identical rows;
+        # whole-registry strict wall measured in BENCH_NOTES_r17.md).
+        # Results are unchanged by construction — the hint only pins
+        # evaluation strategy.
+        from monday_etl_automation_spark.plans.sqltext import materialize_ctes
+
+        _ORACLES[name] = materialize_ctes(oracle)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

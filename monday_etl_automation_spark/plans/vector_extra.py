@@ -71,9 +71,21 @@ from monday_etl_automation_spark.plans.release_extra import (
     _report_sql,
     _tokp_oracle_body,
 )
-from monday_etl_automation_spark.plans.vstream_extra import vstream_oracle_body
-from monday_etl_automation_spark.plans.ivfpq_ops import _ivfpq_sql, ivfpq_topk
-from monday_etl_automation_spark.plans.pq_ops import _pq_sql, pq_topk
+from monday_etl_automation_spark.plans.vstream_extra import (
+    _IV_PREFIX,
+    _PQ_PREFIX,
+    vstream_oracle_body,
+)
+from monday_etl_automation_spark.plans.ivfpq_ops import (
+    ivfpq_search_body,
+    ivfpq_topk,
+    ivfpq_train_ctes,
+)
+from monday_etl_automation_spark.plans.pq_ops import (
+    pq_search_body,
+    pq_topk,
+    pq_train_ctes,
+)
 from monday_etl_automation_spark.plans.search_ops import (
     _bm25_sql,
     _hybrid_sql,
@@ -260,16 +272,27 @@ _NULLS = ", ".join(
     f"CAST(NULL AS BIGINT) AS i{k}" for k in range(2, 8)
 )
 
+# r17 (r16 verdict item 3): the pq/ivfpq TRAINER chains are hoisted
+# here ONCE (prefixed) and shared by the pq/ivfpq search branches AND
+# the vstream branch's encode sections, and the whole oracle goes
+# through materialize_ctes — this container's DuckDB 1.0 INLINES CTEs
+# (the ivfpq twin alone re-evaluated its Lloyd chain to 61.7s at
+# sf0.001; forced AS MATERIALIZED: 0.9s, identical rows), so both the
+# share and the hint are required for the single-training oracle.
+# Net: the sink's PQ / IVF-PQ code tables ride the hash AND the
+# oracle got cheaper (measured: BENCH_NOTES_r17.md).
 VECTOR_EXTRA_ORACLE = f"""
+WITH {pq_train_ctes("duckdb", _PQ_PREFIX)},
+{ivfpq_train_ctes("duckdb", _IV_PREFIX)}
 SELECT 'pq' AS shape, CAST(query_id AS VARCHAR) AS qid,
        CAST(neighbor_id AS BIGINT) AS i1, {_NULLS},
        cosine AS score, CAST(rk AS BIGINT) AS rk
-FROM ({_pq_sql("duckdb")}) pqr
+FROM (WITH {pq_search_body("duckdb", _PQ_PREFIX)}) pqr
 UNION ALL
 SELECT 'ivfpq', CAST(query_id AS VARCHAR),
        CAST(neighbor_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL,
        cosine, CAST(rk AS BIGINT)
-FROM ({_ivfpq_sql("duckdb")}) ipqr
+FROM (WITH {ivfpq_search_body("duckdb", _IV_PREFIX)}) ipqr
 UNION ALL
 SELECT 'bm25', qid,
        CAST(doc_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL,
@@ -310,7 +333,7 @@ UNION ALL
 SELECT 'vstream', part,
        n, key_sum, checksum, NULL, NULL, NULL, NULL,
        CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
-FROM ({vstream_oracle_body()}) vst
+FROM ({vstream_oracle_body(include_trainers=False)}) vst
 UNION ALL
 SELECT 'eperm', part,
        n, min_key, max_key, checksum, files_ok, NULL, NULL,
@@ -318,6 +341,10 @@ SELECT 'eperm', part,
 FROM ({eperm_oracle_body()}) epm
 ORDER BY shape, qid, rk, i1
 """.strip()
+
+from monday_etl_automation_spark.plans.sqltext import materialize_ctes  # noqa: E402
+
+VECTOR_EXTRA_ORACLE = materialize_ctes(VECTOR_EXTRA_ORACLE)
 
 
 QUERIES: dict[str, tuple] = {

@@ -14,11 +14,18 @@ oracle recomputes every aggregate from the ONE-SHOT derivation — the
 synthesized batch union encoded inline against a quantizer trained
 from scratch on the base corpus — so the hash pins the sink's central
 property end to end: exactly-once ingestion against frozen quantizers
-equals one-shot encoding, down to the bytes on disk. (The PQ / IVF-PQ
-code tables ride the same sink but stay pytest-pinned,
-tests/test_vector_ingest.py — their oracle halves would re-train the
-PQ codebooks inline a second time inside the already
-training-heaviest oracle in the registry.)
+equals one-shot encoding, down to the bytes on disk.
+
+r17 (r16 verdict item 3): the PQ and IVF-PQ CODE TABLES ride the hash
+too (parts ``pqc`` / ``ipqc``). The r16 blocker was oracle-side
+codebook re-training; it fell to CTE HOISTING — the pq/ivfpq trainers
+are factored into prefixed chains (pq_ops.pq_train_ctes,
+ivfpq_ops.ivfpq_train_ctes under {_PQ_PREFIX!r}/{_IV_PREFIX!r}) that
+the vector_extra oracle lifts to its top level, shared by the pq and
+ivfpq SEARCH branches and this body's encode branches (DuckDB
+materializes multi-referenced CTEs). The share also RETIRES the
+duplicate coarse-quantizer training this body used to run for its ivf
+part — the oracle now trains each quantizer exactly once.
 
 The ingested vectors are a deterministic slice of the embeddings
 table, id-offset so they never collide with the base corpus:
@@ -44,11 +51,19 @@ from monday_etl_automation_spark.plans.embed_ops import (
     _ANN_SETS,
     _IVF_ITERS,
     _bucket_mix,
-    _ivf_cent0_sql,
-    _ivf_cent_next_sql,
     _ivf_ex_sql,
-    _ivf_meta_cte,
     _ivf_ranked_sql,
+)
+from monday_etl_automation_spark.plans.ivfpq_ops import (
+    _E6_EXPR,
+    _rex_sql,
+    ivfpq_train_ctes,
+)
+from monday_etl_automation_spark.plans.pq_ops import (
+    _PQ_ITERS,
+    _pq_codes_sql,
+    _pq_ex_sql,
+    pq_train_ctes,
 )
 from monday_etl_automation_spark.sources.tables import register_views
 
@@ -56,6 +71,13 @@ _VS_MOD = 7
 _VS_RES = 3
 _VS_OFF = 200000
 _CK_MOD = 1_000_000_000_000
+
+# shared-trainer prefixes: the vector_extra oracle hoists ONE copy of
+# each trainer chain under these names; the standalone pytest twin
+# embeds the identical chains itself (include_trainers=True), so the
+# body text is the same in both modes and can never drift
+_PQ_PREFIX = "vxpq_"
+_IV_PREFIX = "vxiv_"
 
 _SYNTH = (
     f"SELECT vec_id + {_VS_OFF} AS vec_id, embedding, label"
@@ -159,9 +181,27 @@ def vstream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ck("spark", _key("spark", ["'vi'", "vec_id", "cid"]))
         ).alias("ck"),
     )
+    pqc = sink.codes().select(
+        F.lit("pqc").alias("part"),
+        F.lit(1).alias("one"),
+        F.col("code").cast("bigint").alias("ksum"),
+        F.expr(
+            _ck("spark", _key("spark", ["'vp'", "vec_id", "sub", "code"]))
+        ).alias("ck"),
+    )
+    ipqc = sink.ivfpq_codes().select(
+        F.lit("ipqc").alias("part"),
+        F.lit(1).alias("one"),
+        F.col("code").cast("bigint").alias("ksum"),
+        F.expr(
+            _ck("spark", _key("spark", ["'vq'", "vec_id", "cid", "sub", "code"]))
+        ).alias("ck"),
+    )
     return (
         vec.unionByName(buck)
         .unionByName(ivf)
+        .unionByName(pqc)
+        .unionByName(ipqc)
         .groupBy("part")
         .agg(
             F.sum("one").cast("bigint").alias("n"),
@@ -174,39 +214,52 @@ def vstream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- DuckDB oracle ------------------------------------------------------------
 
 
-def vstream_oracle_body() -> str:
+def vstream_oracle_body(include_trainers: bool = True) -> str:
     """The one-shot twin: synthesize the SAME batch union, bucket it
-    row-locally (full-width mix planes), and assign it against a coarse
-    quantizer trained from scratch on the base corpus — the exact
-    derivation the sink's frozen quantizers came from."""
+    row-locally (full-width mix planes), assign it against the coarse
+    quantizer, PQ-encode it, and residual-encode it — all against
+    quantizers trained from scratch on the base corpus (the exact
+    derivation the sink's frozen quantizers came from).
+
+    ``include_trainers``: the standalone pytest twin (True) embeds the
+    prefixed pq/ivfpq trainer chains itself; the vector_extra oracle
+    (False) HOISTS the identical chains to its top level, shared with
+    the pq/ivfpq search branches (one training each instead of three —
+    the r17 share that put the code tables under the hash)."""
     d = "duckdb"
+    fin = _IVF_ITERS
     bucket_union = "\nUNION ALL\n".join(
         f"  SELECT vec_id, {s} AS s,"
         f" ({_bucket_mix(d, 'embedding', s)}) AS bucket FROM synth"
         for s in range(1, _ANN_SETS + 1)
     )
-    rounds = ",\n".join(
-        f"""{_ivf_ranked_sql(d, 'ex', f'cent{k}', str(k))},
-asg{k} AS (SELECT vec_id, cid FROM ranked{k} WHERE rc = 1),
-cent{k + 1} AS ({_ivf_cent_next_sql('ex', f'asg{k}')})"""
-        for k in range(_IVF_ITERS)
-    )
     bex = _ivf_ex_sql(d).replace("FROM embeddings", "FROM synth")
-    fin = _IVF_ITERS
+    bpqex = _pq_ex_sql(d).replace("FROM embeddings", "FROM synth")
+    trainers = (
+        f"{pq_train_ctes(d, _PQ_PREFIX)},\n{ivfpq_train_ctes(d, _IV_PREFIX)},\n"
+        if include_trainers
+        else ""
+    )
     vv = _ck(d, _key(d, ["'vv'", "vec_id", "label"]))
     vb = _ck(d, _key(d, ["'vb'", "vec_id", "s", "bucket"]))
     vi = _ck(d, _key(d, ["'vi'", "vec_id", "cid"]))
+    vp = _ck(d, _key(d, ["'vp'", "vec_id", "sub", "code"]))
+    vq = _ck(d, _key(d, ["'vq'", "c.vec_id", "c.cid", "c.sub", "c.code"]))
     return f"""
-WITH synth AS ({_SYNTH}),
-{_ivf_meta_cte(d)},
-ex AS ({_ivf_ex_sql(d)}),
-cent0 AS ({_ivf_cent0_sql(d, "(SELECT step FROM meta)", ncent="(SELECT ncent FROM meta)")}),
-{rounds},
+WITH {trainers}synth AS ({_SYNTH}),
 bex AS ({bex}),
-{_ivf_ranked_sql(d, 'bex', f'cent{fin}', 'b')},
+{_ivf_ranked_sql(d, 'bex', f'{_IV_PREFIX}cent{fin}', 'b')},
 basg AS (SELECT vec_id, cid FROM rankedb WHERE rc = 1),
 vbuck AS (
 {bucket_union}
+),
+bpqex AS ({bpqex}),
+{_pq_codes_sql(d, 'bpqex', f'{_PQ_PREFIX}cent{_PQ_ITERS}', 'vb')},
+be6 AS (SELECT vec_id, dim, {_E6_EXPR} AS xd6 FROM bex),
+brex AS ({_rex_sql(d, 'be6', 'basg', f'{_IV_PREFIX}cent{fin}')}),
+{_pq_codes_sql(d, 'brex', f'{_IV_PREFIX}rcb', 'vr')},
+bvparts AS (
+  SELECT a.vec_id, a.cid, k.sub, k.code FROM basg a JOIN codesvr k ON a.vec_id = k.vec_id
 )
 SELECT 'vec' AS part, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(vec_id) AS BIGINT) AS key_sum,
@@ -220,4 +273,12 @@ UNION ALL
 SELECT 'ivf', CAST(count(*) AS BIGINT),
        CAST(sum(cid) AS BIGINT), CAST(sum({vi}) AS BIGINT)
 FROM basg
+UNION ALL
+SELECT 'pqc', CAST(count(*) AS BIGINT),
+       CAST(sum(code) AS BIGINT), CAST(sum({vp}) AS BIGINT)
+FROM codesvb
+UNION ALL
+SELECT 'ipqc', CAST(count(*) AS BIGINT),
+       CAST(sum(c.code) AS BIGINT), CAST(sum({vq}) AS BIGINT)
+FROM bvparts c
 """.strip()

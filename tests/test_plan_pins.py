@@ -190,7 +190,11 @@ def test_vector_extra_corpus_scan_budget(spark, sf_dir):
     # build), whose rows carry doc_id and therefore count here; the
     # documents TABLE itself is only scanned at artifact build time.
     assert n_docs <= 8, f"{n_docs} documents scans (pinned <= 8)"
-    assert n_emb <= 10, f"{n_emb} embeddings scans (pinned <= 10)"
+    # r17: 10 -> 12, deliberately — the vstream pqc/ipqc sections read
+    # back the sink's SHIPPED code tables (two more vec_id-carrying
+    # KB parquet scans; measured 11, +1 print-variance headroom as
+    # before). The embeddings CORPUS scan count is unchanged.
+    assert n_emb <= 12, f"{n_emb} embeddings scans (pinned <= 12)"
 
 
 def test_fuzzy_name_match_blocks_on_word_band(spark, sf_dir):

@@ -25,3 +25,6 @@ def test_vstream_state_is_nonempty_and_conserved(spark, sf_dir):
     for s in (1, 2, 3, 4):
         assert rows[f"b{s}"].n == n
     assert rows["ivf"].n == n
+    # r17: the shipped code tables carry one row per (vector, subspace)
+    assert rows["pqc"].n == 16 * n
+    assert rows["ipqc"].n == 16 * n
