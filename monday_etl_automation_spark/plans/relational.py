@@ -800,6 +800,14 @@ QUANTILE_SQL = _quantile_fracs_sql({"q25": 0.25, "median": 0.5, "q75": 0.75})
 # in tests/test_sketches.py)
 _HLL_REL_ERR = 0.05  # lg_k=12 -> ~1.6% RSE; 0.05 leaves redraw headroom
 _HLL_SHARDS = 8
+# r17 sweep point (the seat map's last feasible row): a second lg_k in
+# the SAME grouping pass. lg_k=8 -> 256 registers, RSE ~6.5%; bound at
+# ~3 sigma (0.20) for regeneration headroom. Only the direct-estimate
+# contract rides the sweep (merge law stays pinned at lg_k=12 — one
+# parameterized law suffices; the sweep hardens the ERROR bound
+# against parameter-specific flukes).
+_HLL_LGK2 = 8
+_HLL_REL_ERR2 = 0.20
 
 # r16 (verdict item 2): the REMAINING sketch families under the hash —
 # same bound-contract pattern (pin the BOUND, never estimate equality):
@@ -1045,6 +1053,9 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"), F.lit(12))).alias(
             "n_distinct_est"
         ),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(_HLL_LGK2))
+        ).alias("est_k2"),
         F.countDistinct("user_id").alias("n_exact"),
     )
     shards = hll_sketch_per_group(
@@ -1055,29 +1066,52 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = hll_union_estimate(shards, ["event_type"]).withColumnRenamed(
         "n_distinct_est", "merged_est"
     )
+    # r17: the lg_k sweep rows ride the SAME est/merged subtree via a
+    # row-local stack() unpivot — a second select over `est` would
+    # re-execute the grouping (Spark inlines), adding exchanges the
+    # (7, 4) plan pin exists to catch. merge_ok is NULL on the sweep
+    # rows: the merge law stays pinned at the primary lg_k.
     hll = (
         est.join(merged, "event_type")
         .select(
-            F.lit("hll").alias("section"),
-            F.col("event_type").alias("grp"),
-            dnull.alias("q25"),
-            dnull.alias("median"),
-            dnull.alias("q75"),
-            dnull.alias("min_qty"),
-            dnull.alias("max_qty"),
+            "event_type",
             F.col("n_exact").cast("bigint").alias("n_exact"),
             (
                 F.abs(F.col("n_distinct_est") - F.col("n_exact"))
                 <= F.col("n_exact") * _HLL_REL_ERR
             )
             .cast("bigint")
-            .alias("est_ok"),
+            .alias("ok1"),
             (
                 F.abs(F.col("merged_est") - F.col("n_exact"))
                 <= F.col("n_exact") * _HLL_REL_ERR
             )
             .cast("bigint")
-            .alias("merge_ok"),
+            .alias("mk1"),
+            (
+                F.abs(F.col("est_k2") - F.col("n_exact"))
+                <= F.col("n_exact") * _HLL_REL_ERR2
+            )
+            .cast("bigint")
+            .alias("ok2"),
+        )
+        .selectExpr(
+            "stack(2, event_type, ok1, mk1,"
+            f" concat('k{_HLL_LGK2}:', event_type), ok2, CAST(NULL AS BIGINT))"
+            " AS (grp, est_ok, merge_ok)",
+            "n_exact",
+        )
+        .select(
+            F.lit("hll").alias("section"),
+            "grp",
+            dnull.alias("q25"),
+            dnull.alias("median"),
+            dnull.alias("q75"),
+            dnull.alias("min_qty"),
+            dnull.alias("max_qty"),
+            "n_exact",
+            "est_ok",
+            "merge_ok",
         )
     )
     # r16 sections: cms + hh rows are driver-computed EAGER PROBES (KB
@@ -1148,6 +1182,13 @@ SELECT 'hll' AS section, event_type AS grp,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
        CAST(1 AS BIGINT) AS est_ok,
        CAST(1 AS BIGINT) AS merge_ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'hll', 'k{_HLL_LGK2}:' || event_type,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
 FROM events GROUP BY event_type
 UNION ALL
 SELECT 'cms', pr.pref || CAST(pk.k AS VARCHAR),

@@ -59,11 +59,16 @@ def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    from monday_etl_automation_spark.plans.sqltext import materialize_ctes
+
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
 
     con = duckdb_con(sf_dir)
-    res = con.execute(oracle_sql)
+    # same CTE hint the registry applies to every driver oracle —
+    # DuckDB 1.0 inlines CTEs, and the deep twin chains (ivfpq: 61.7s
+    # -> 0.9s) dominate the suite's DuckDB wall without it (r17)
+    res = con.execute(materialize_ctes(oracle_sql))
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
     con.close()
