@@ -106,6 +106,13 @@ def eperm_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part, n, min_key, max_key, checksum, files_ok)."""
     (base,) = _eperm_artifact(spark, sf_dir)
     back = spark.read.parquet(base)  # epoch + file_id from dir layout
+    return _eperm_agg(back)
+
+
+def _eperm_agg(back: DataFrame) -> DataFrame:
+    """The aggregation the hash rides, factored so the tamper tests can
+    re-run the IDENTICAL expressions over a corrupted copy of the
+    shipped rows (tests/test_artifact_tamper.py)."""
     ck = _ck("spark", _key("spark", ["'ep'", "epoch", "doc_id", "shuffle_key"]))
     return (
         # input_file_name() must be projected BEFORE the aggregate —

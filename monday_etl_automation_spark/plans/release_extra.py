@@ -407,10 +407,17 @@ def tokp_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard aggregates of the SHIPPED tokenized shards (read back
     from parquet — the bytes a dataloader would stream), plus the
     writer contracts verified against the manifest."""
-    from monday_etl_automation_spark.plans.tokenize_ops import eod_token_id
-
     out, manifest, budget = _tokenized_shard_artifact(spark, sf_dir)
     back = spark.read.parquet(out)
+    return _tokp_agg(back, manifest, budget)
+
+
+def _tokp_agg(back: DataFrame, manifest: DataFrame, budget: int) -> DataFrame:
+    """The aggregation the hash rides, factored so the tamper tests can
+    re-run the IDENTICAL expressions over a corrupted copy of the
+    shipped sequences (tests/test_artifact_tamper.py)."""
+    from monday_etl_automation_spark.plans.tokenize_ops import eod_token_id
+
     eod = eod_token_id(None)
     per_seq = back.select(
         "shard",

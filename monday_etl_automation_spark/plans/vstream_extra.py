@@ -157,7 +157,26 @@ def vstream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-table aggregates of the SHIPPED ingest state (read back from
     the sink's parquet): (part, n, key_sum, checksum)."""
     _, sink = _ingest_artifact(spark, sf_dir)
-    vec = sink.vectors().select(
+    return _vstream_agg(
+        sink.vectors(),
+        sink.buckets(),
+        sink.ivf_assignment(),
+        sink.codes(),
+        sink.ivfpq_codes(),
+    )
+
+
+def _vstream_agg(
+    vectors: DataFrame,
+    buckets: DataFrame,
+    ivf_assignment: DataFrame,
+    codes: DataFrame,
+    ivfpq_codes: DataFrame,
+) -> DataFrame:
+    """The aggregation the hash rides, factored so the tamper tests can
+    re-run the IDENTICAL expressions over a corrupted copy of a shipped
+    table (tests/test_artifact_tamper.py)."""
+    vec = vectors.select(
         F.lit("vec").alias("part"),
         F.lit(1).alias("one"),
         F.col("vec_id").cast("bigint").alias("ksum"),
@@ -165,7 +184,7 @@ def vstream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ck("spark", _key("spark", ["'vv'", "vec_id", "label"]))
         ).alias("ck"),
     )
-    buck = sink.buckets().select(
+    buck = buckets.select(
         F.concat(F.lit("b"), F.col("s").cast("string")).alias("part"),
         F.lit(1).alias("one"),
         F.col("bucket").cast("bigint").alias("ksum"),
@@ -173,7 +192,7 @@ def vstream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ck("spark", _key("spark", ["'vb'", "vec_id", "s", "bucket"]))
         ).alias("ck"),
     )
-    ivf = sink.ivf_assignment().select(
+    ivf = ivf_assignment.select(
         F.lit("ivf").alias("part"),
         F.lit(1).alias("one"),
         F.col("cid").cast("bigint").alias("ksum"),
@@ -181,7 +200,7 @@ def vstream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ck("spark", _key("spark", ["'vi'", "vec_id", "cid"]))
         ).alias("ck"),
     )
-    pqc = sink.codes().select(
+    pqc = codes.select(
         F.lit("pqc").alias("part"),
         F.lit(1).alias("one"),
         F.col("code").cast("bigint").alias("ksum"),
@@ -189,7 +208,7 @@ def vstream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ck("spark", _key("spark", ["'vp'", "vec_id", "sub", "code"]))
         ).alias("ck"),
     )
-    ipqc = sink.ivfpq_codes().select(
+    ipqc = ivfpq_codes.select(
         F.lit("ipqc").alias("part"),
         F.lit(1).alias("one"),
         F.col("code").cast("bigint").alias("ksum"),
