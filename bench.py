@@ -22,6 +22,13 @@ Methodology (steady-state, like a long-lived cluster):
   separate real regressions from host noise without manual
   reconciliation — a query whose spread rivals its min was stalled in
   some pass, and its cross-round delta is noise until re-measured.
+- per-pass hypervisor STEAL seconds (delta of /proc/stat field 8) go
+  to stderr as a third JSON line (r17): a GC-logged run measured total
+  JVM pause at 6.6s/10min (max 0.88s) while single passes showed
+  15-30s stalls, and /proc/stat showed ~2,100 cpu-seconds of steal —
+  the stalls are bursty full-host hypervisor preemption. A pass with
+  high steal explains its inflated samples; a total rivaling prior
+  rounds' with near-zero steal is a real regression.
 """
 
 from __future__ import annotations
@@ -70,6 +77,16 @@ def main() -> int:
     def run(name: str, d: str) -> None:
         qs[name](spark, d).write.format("noop").mode("overwrite").save()
 
+    def steal_s() -> float:
+        """Cumulative hypervisor steal across all CPUs, in seconds
+        (field 8 of /proc/stat's cpu line; jiffies at 100 Hz).
+        Returns nan where unavailable (non-Linux, masked proc)."""
+        try:
+            with open("/proc/stat") as fh:
+                return int(fh.readline().split()[8]) / 100.0
+        except Exception:  # noqa: BLE001
+            return float("nan")
+
     # Warmup passes (see module docstring): sf0.001 compiles/JITs every
     # stage cheaply; one untimed pass at the bench SF warms shuffle
     # files, parquet footers, and the page cache so the timed runs
@@ -86,11 +103,13 @@ def main() -> int:
             pass
 
     samples: dict[str, list[float]] = {n: [] for n in names}
+    steal: dict[str, float] = {}
     for _pass in range(3):
         try:
             spark.sparkContext._jvm.System.gc()  # noqa: SLF001
         except Exception:
             pass
+        s0 = steal_s()
         for name in names:
             t0 = time.time()
             try:
@@ -98,6 +117,8 @@ def main() -> int:
                 samples[name].append(time.time() - t0)
             except Exception as ex:  # noqa: BLE001
                 print(f"# bench error {name}: {type(ex).__name__}: {str(ex)[:200]}", file=sys.stderr)
+        steal[f"pass{_pass + 1}"] = round(steal_s() - s0, 1)
+    print(json.dumps({"steal_cpu_s": steal}), file=sys.stderr)
     times = {n: round(min(s), 3) for n, s in samples.items() if s}
     for n in names:
         if not samples[n]:
