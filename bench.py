@@ -22,13 +22,17 @@ Methodology (steady-state, like a long-lived cluster):
   separate real regressions from host noise without manual
   reconciliation — a query whose spread rivals its min was stalled in
   some pass, and its cross-round delta is noise until re-measured.
-- per-pass hypervisor STEAL seconds (delta of /proc/stat field 8) go
-  to stderr as a third JSON line (r17): a GC-logged run measured total
-  JVM pause at 6.6s/10min (max 0.88s) while single passes showed
-  15-30s stalls, and /proc/stat showed ~2,100 cpu-seconds of steal —
-  the stalls are bursty full-host hypervisor preemption. A pass with
-  high steal explains its inflated samples; a total rivaling prior
-  rounds' with near-zero steal is a real regression.
+- per-pass hypervisor STEAL seconds (delta of /proc/stat field 8) and
+  a fixed-work CALIBRATION probe go to stderr as a third JSON line
+  (r17): a GC-logged run measured total JVM pause at 6.6s/10min (max
+  0.88s) while single passes showed 15-30s stalls, and /proc/stat
+  showed ~2,100 cpu-seconds of steal — the stalls are bursty full-host
+  hypervisor preemption. SUSTAINED degradation (every line uniformly
+  inflated, small spreads) books little steal; the calibration probe
+  (min-of-3 fixed single-thread loop, ms) is its denominator — a 1.5x
+  calib means every Spark number in that pass is ~1.5x for free. High
+  steal or high calib explains inflated samples; a total rivaling
+  prior rounds' with clean steal AND calib is a real regression.
 """
 
 from __future__ import annotations
@@ -87,6 +91,20 @@ def main() -> int:
         except Exception:  # noqa: BLE001
             return float("nan")
 
+    def calib_ms() -> float:
+        """Fixed-work single-thread probe (min of 3): a denominator for
+        SUSTAINED host degradation, which books little steal and no PSI
+        (the guest just runs slower). Compare across runs/rounds —
+        a 1.5x calib means every Spark number is ~1.5x for free."""
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = 0
+            for i in range(1_000_000):
+                acc += i * i
+            best = min(best, (time.perf_counter() - t0) * 1000.0)
+        return round(best, 1)
+
     # Warmup passes (see module docstring): sf0.001 compiles/JITs every
     # stage cheaply; one untimed pass at the bench SF warms shuffle
     # files, parquet footers, and the page cache so the timed runs
@@ -118,6 +136,7 @@ def main() -> int:
             except Exception as ex:  # noqa: BLE001
                 print(f"# bench error {name}: {type(ex).__name__}: {str(ex)[:200]}", file=sys.stderr)
         steal[f"pass{_pass + 1}"] = round(steal_s() - s0, 1)
+        steal[f"calib_ms{_pass + 1}"] = calib_ms()
     print(json.dumps({"steal_cpu_s": steal}), file=sys.stderr)
     times = {n: round(min(s), 3) for n, s in samples.items() if s}
     for n in names:
