@@ -296,6 +296,13 @@ def pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=_N_SHARDS,
         doc_ids=train_doc_ids(spark, sf_dir),
     )
+    return _pack_agg(packed)
+
+
+def _pack_agg(packed: DataFrame) -> DataFrame:
+    """The aggregation the hash rides, factored so the tamper tests can
+    re-run the IDENTICAL expressions over a tampered released-id set
+    (tests/test_artifact_tamper.py — the eperm/tokp/vstream pattern)."""
     per_seq = packed.groupBy("shard", "seq_idx").agg(
         F.count(F.lit(1)).alias("nc"),
         F.sum("n_chunk_tokens").alias("st"),

@@ -93,6 +93,7 @@ from monday_etl_automation_spark.plans.search_ops import (
     bm25_topk,
     hybrid_rrf_topk,
 )
+from monday_etl_automation_spark.plans.sqltext import materialize_ctes
 from monday_etl_automation_spark.sources.tables import register_views
 
 # the simulated next snapshot: drop one residue class of doc_id % 40.
@@ -142,7 +143,30 @@ def vector_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit
 
 
+# Shape families, the axis the documented split contingency cuts on
+# (COVERAGE.md r17): SEARCH shapes are top-k reads over the persisted
+# indexes; PIPELINE shapes are writer/report read-backs whose oracles
+# re-derive inline. tests/test_split_contingency.py dry-runs the split
+# by composing each half from the same sections the full entry uses.
+SEARCH_SHAPES = ("pq", "ivfpq", "bm25", "bm25i", "rrf")
+PIPELINE_SHAPES = ("drift", "relr", "pack", "tokp", "vstream", "eperm")
+ALL_SHAPES = SEARCH_SHAPES + PIPELINE_SHAPES
+
+
+def compose_frames(frames: dict[str, DataFrame], shapes: tuple[str, ...]) -> DataFrame:
+    df = frames[shapes[0]]
+    for s in shapes[1:]:
+        df = df.unionByName(frames[s])
+    return df.orderBy("shape", "qid", "rk", "i1")
+
+
 def _build_vector_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return compose_frames(shape_frames(spark, sf_dir), ALL_SHAPES)
+
+
+def shape_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """One (shape, qid, i1..i7, score, rk) frame per family — the full
+    entry unions all eleven; the split halves union their family's."""
     register_views(spark, sf_dir)
     pq = _topk_shape(pq_topk(spark, sf_dir), "pq", "query_id", "neighbor_id", "cosine")
     ipq = _topk_shape(
@@ -253,24 +277,102 @@ def _build_vector_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         _D().alias("score"),
         _B().alias("rk"),
     )
-    return (
-        pq.unionByName(ipq)
-        .unionByName(bm)
-        .unionByName(bmi)
-        .unionByName(rrf)
-        .unionByName(drift)
-        .unionByName(relr)
-        .unionByName(pack)
-        .unionByName(tokp)
-        .unionByName(vstream)
-        .unionByName(eperm)
-        .orderBy("shape", "qid", "rk", "i1")
-    )
+    return {
+        "pq": pq,
+        "ivfpq": ipq,
+        "bm25": bm,
+        "bm25i": bmi,
+        "rrf": rrf,
+        "drift": drift,
+        "relr": relr,
+        "pack": pack,
+        "tokp": tokp,
+        "vstream": vstream,
+        "eperm": eperm,
+    }
 
 
 _NULLS = ", ".join(
     f"CAST(NULL AS BIGINT) AS i{k}" for k in range(2, 8)
 )
+
+
+def _bn(ks) -> str:
+    return ", ".join(f"CAST(NULL AS BIGINT) AS i{k}" for k in ks)
+
+
+def _oracle_sections(vstream_trainers: bool) -> dict[str, str]:
+    """One fully-aliased SELECT per shape (any section can lead a UNION
+    ALL), keyed like shape_frames. ``vstream_trainers``: whether the
+    vstream body embeds its own prefixed trainer chains (a standalone
+    pipeline half) or expects them hoisted at the composed oracle's
+    top level (the full entry / the search half — see compose_oracle)."""
+    nd = "CAST(NULL AS DOUBLE) AS score"
+    nrk = "CAST(NULL AS BIGINT) AS rk"
+    return {
+        "pq": f"""SELECT 'pq' AS shape, CAST(query_id AS VARCHAR) AS qid,
+       CAST(neighbor_id AS BIGINT) AS i1, {_NULLS},
+       cosine AS score, CAST(rk AS BIGINT) AS rk
+FROM (WITH {pq_search_body("duckdb", _PQ_PREFIX)}) pqr""",
+        "ivfpq": f"""SELECT 'ivfpq' AS shape, CAST(query_id AS VARCHAR) AS qid,
+       CAST(neighbor_id AS BIGINT) AS i1, {_NULLS},
+       cosine AS score, CAST(rk AS BIGINT) AS rk
+FROM (WITH {ivfpq_search_body("duckdb", _IV_PREFIX)}) ipqr""",
+        "bm25": f"""SELECT 'bm25' AS shape, qid AS qid,
+       CAST(doc_id AS BIGINT) AS i1, {_NULLS},
+       bm25 AS score, CAST(rk AS BIGINT) AS rk
+FROM ({_bm25_sql("duckdb")}) bmr""",
+        "bm25i": f"""SELECT 'bm25i' AS shape, qid AS qid,
+       CAST(doc_id AS BIGINT) AS i1, {_NULLS},
+       bm25 AS score, CAST(rk AS BIGINT) AS rk
+FROM ({_bm25_sql("duckdb")}) bmir""",
+        "rrf": f"""SELECT 'rrf' AS shape, qid AS qid,
+       CAST(doc_id AS BIGINT) AS i1, rrf_nano AS i2, bm_rk AS i3,
+       ann_rk AS i4, {_bn(range(5, 8))}, {nd}, CAST(rk AS BIGINT) AS rk
+FROM ({_hybrid_sql("duckdb")}) rrfr""",
+        "drift": f"""SELECT 'drift' AS shape, source AS qid,
+       docs_a AS i1, docs_b AS i2, tokens_a AS i3, tokens_b AS i4,
+       share_ppm_a AS i5, share_ppm_b AS i6, abs_delta_ppm AS i7,
+       {nd}, {nrk}
+FROM ({_drift_sql("duckdb", "documents", _SNAP_B)}) drr""",
+        "relr": f"""SELECT 'relr' AS shape, stage AS qid,
+       n AS i1, {_NULLS}, {nd}, {nrk}
+FROM ({_report_sql("duckdb")}) rlr""",
+        "pack": f"""SELECT 'pack' AS shape, CAST(shard AS VARCHAR) AS qid,
+       n_chunks AS i1, sum_tokens AS i2, checksum AS i3, lb_seqs AS i4,
+       budget_ok AS i5, halffill_ok AS i6, {_bn([7])}, {nd}, {nrk}
+FROM ({PACK_ORACLE_BODY}) pko""",
+        "tokp": f"""SELECT 'tokp' AS shape, CAST(shard AS VARCHAR) AS qid,
+       tok_total AS i1, ids_total AS i2, span_total AS i3, ids_sum AS i4,
+       eod_total AS i5, files_ok AS i6, {_bn([7])}, {nd}, {nrk}
+FROM ({_tokp_oracle_body()}) tko""",
+        "vstream": f"""SELECT 'vstream' AS shape, part AS qid,
+       n AS i1, key_sum AS i2, checksum AS i3, {_bn(range(4, 8))}, {nd}, {nrk}
+FROM ({vstream_oracle_body(include_trainers=vstream_trainers)}) vst""",
+        "eperm": f"""SELECT 'eperm' AS shape, part AS qid,
+       n AS i1, min_key AS i2, max_key AS i3, checksum AS i4,
+       files_ok AS i5, {_bn(range(6, 8))}, {nd}, {nrk}
+FROM ({eperm_oracle_body()}) epm""",
+    }
+
+
+def compose_oracle(shapes: tuple[str, ...], hoist_trainers: bool) -> str:
+    """Union the given shapes' oracle sections into one driver-safe
+    statement. ``hoist_trainers=True`` lifts the prefixed pq/ivfpq
+    trainer chains to the top level, shared by the pq/ivfpq search
+    branches AND vstream's encode branches (the r17 single-training
+    share); False makes vstream self-contained — required for a
+    pipeline-only half, where no search branch carries the chains."""
+    head = (
+        f"WITH {pq_train_ctes('duckdb', _PQ_PREFIX)},\n"
+        f"{ivfpq_train_ctes('duckdb', _IV_PREFIX)}\n"
+        if hoist_trainers
+        else ""
+    )
+    secs = _oracle_sections(vstream_trainers=not hoist_trainers)
+    body = "\nUNION ALL\n".join(secs[s] for s in shapes)
+    return materialize_ctes(f"{head}{body}\nORDER BY shape, qid, rk, i1".strip())
+
 
 # r17 (r16 verdict item 3): the pq/ivfpq TRAINER chains are hoisted
 # here ONCE (prefixed) and shared by the pq/ivfpq search branches AND
@@ -281,70 +383,7 @@ _NULLS = ", ".join(
 # share and the hint are required for the single-training oracle.
 # Net: the sink's PQ / IVF-PQ code tables ride the hash AND the
 # oracle got cheaper (measured: BENCH_NOTES_r17.md).
-VECTOR_EXTRA_ORACLE = f"""
-WITH {pq_train_ctes("duckdb", _PQ_PREFIX)},
-{ivfpq_train_ctes("duckdb", _IV_PREFIX)}
-SELECT 'pq' AS shape, CAST(query_id AS VARCHAR) AS qid,
-       CAST(neighbor_id AS BIGINT) AS i1, {_NULLS},
-       cosine AS score, CAST(rk AS BIGINT) AS rk
-FROM (WITH {pq_search_body("duckdb", _PQ_PREFIX)}) pqr
-UNION ALL
-SELECT 'ivfpq', CAST(query_id AS VARCHAR),
-       CAST(neighbor_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL,
-       cosine, CAST(rk AS BIGINT)
-FROM (WITH {ivfpq_search_body("duckdb", _IV_PREFIX)}) ipqr
-UNION ALL
-SELECT 'bm25', qid,
-       CAST(doc_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL,
-       bm25, CAST(rk AS BIGINT)
-FROM ({_bm25_sql("duckdb")}) bmr
-UNION ALL
-SELECT 'bm25i', qid,
-       CAST(doc_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL,
-       bm25, CAST(rk AS BIGINT)
-FROM ({_bm25_sql("duckdb")}) bmir
-UNION ALL
-SELECT 'rrf', qid,
-       CAST(doc_id AS BIGINT), rrf_nano, bm_rk, ann_rk, NULL, NULL, NULL,
-       CAST(NULL AS DOUBLE), CAST(rk AS BIGINT)
-FROM ({_hybrid_sql("duckdb")}) rrfr
-UNION ALL
-SELECT 'drift', source,
-       docs_a, docs_b, tokens_a, tokens_b,
-       share_ppm_a, share_ppm_b, abs_delta_ppm,
-       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
-FROM ({_drift_sql("duckdb", "documents", _SNAP_B)}) drr
-UNION ALL
-SELECT 'relr', stage,
-       n, NULL, NULL, NULL, NULL, NULL, NULL,
-       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
-FROM ({_report_sql("duckdb")}) rlr
-UNION ALL
-SELECT 'pack', CAST(shard AS VARCHAR),
-       n_chunks, sum_tokens, checksum, lb_seqs, budget_ok, halffill_ok, NULL,
-       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
-FROM ({PACK_ORACLE_BODY}) pko
-UNION ALL
-SELECT 'tokp', CAST(shard AS VARCHAR),
-       tok_total, ids_total, span_total, ids_sum, eod_total, files_ok, NULL,
-       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
-FROM ({_tokp_oracle_body()}) tko
-UNION ALL
-SELECT 'vstream', part,
-       n, key_sum, checksum, NULL, NULL, NULL, NULL,
-       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
-FROM ({vstream_oracle_body(include_trainers=False)}) vst
-UNION ALL
-SELECT 'eperm', part,
-       n, min_key, max_key, checksum, files_ok, NULL, NULL,
-       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
-FROM ({eperm_oracle_body()}) epm
-ORDER BY shape, qid, rk, i1
-""".strip()
-
-from monday_etl_automation_spark.plans.sqltext import materialize_ctes  # noqa: E402
-
-VECTOR_EXTRA_ORACLE = materialize_ctes(VECTOR_EXTRA_ORACLE)
+VECTOR_EXTRA_ORACLE = compose_oracle(ALL_SHAPES, hoist_trainers=True)
 
 
 QUERIES: dict[str, tuple] = {

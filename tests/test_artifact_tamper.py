@@ -22,6 +22,7 @@ the read-back DataFrames.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from monday_etl_automation_spark.plans.eperm_extra import (
@@ -74,21 +75,33 @@ def test_eperm_compensating_pair_tamper_only_checksum_fires(spark, sf_dir):
     (base,) = _eperm_artifact(spark, sf_dir)
     back = spark.read.parquet(base)
     baseline = _by_key(_eperm_agg(back).collect(), "part")
-    # a file with enough rows to have two strictly-interior keys
-    part, rec = next(
-        (p, r) for p, r in sorted(baseline.items()) if r["n"] >= 4
-    )
-    epoch, fid = part[1:].split(":f")
-    keys = [
-        r.shuffle_key
-        for r in back.where(
-            (F.col("epoch") == int(epoch)) & (F.col("file_id") == int(fid))
+    # Pick a file with two STRICTLY-interior keys at least 2 apart
+    # (r17 ADVICE): interior so ±1 can't touch min/max, gap >= 2 so the
+    # shifts can't merely SWAP the pair (hi == lo+1 would leave the
+    # multiset — hence the checksum — unchanged), and derived from the
+    # distinct-value set so boundary duplicates can't fake interiority.
+    part = lo = hi = None
+    for p, r in sorted(baseline.items()):
+        if r["n"] < 4:
+            continue
+        e, f = p[1:].split(":f")
+        keys = sorted(
+            row.shuffle_key
+            for row in back.where(
+                (F.col("epoch") == int(e)) & (F.col("file_id") == int(f))
+            )
+            .select("shuffle_key")
+            .distinct()
+            .collect()
         )
-        .orderBy("shuffle_key")
-        .collect()
-    ]
-    lo, hi = keys[1], keys[-2]  # strictly interior: ±1 can't touch min/max
-    assert rec["min_key"] < lo and hi < rec["max_key"]
+        interior = [k for k in keys if keys[0] < k < keys[-1]]
+        if len(interior) >= 2 and interior[-1] >= interior[0] + 2:
+            part, lo, hi = p, interior[0], interior[-1]
+            epoch, fid = e, f
+            break
+    assert part is not None, "no file with a qualifying interior key pair"
+    rec = baseline[part]
+    assert rec["min_key"] < lo and hi < rec["max_key"] and hi >= lo + 2
     in_file = (F.col("epoch") == int(epoch)) & (F.col("file_id") == int(fid))
     tampered = back.withColumn(
         "shuffle_key",
@@ -140,6 +153,143 @@ def test_tokp_token_value_tamper_changes_ids_sum(spark, sf_dir):
     for p in baseline:
         if p != s:
             assert got[p] == baseline[p]
+
+
+# --- relr/pack: release report + shard manifest (r17 verdict item 6) ------------
+#
+# The relr chain's persisted artifact is the MATERIALIZED corpus_prep
+# disposition set (_prep_source); everything downstream (report
+# counters, released-id set, pack checksums) derives from it. The
+# tamper classes mirror eperm's: a row flip and a truncation are caught
+# by the report counters alone; a COMPENSATING kept-swap (same split,
+# same bench/contam status) provably survives every relr counter — the
+# pack section's md5 multiset checksum over (doc_id, chunk_idx, tokens)
+# is the line of defense that catches it, which is why the family
+# ships both shapes under one hash.
+
+
+def _prep_frame(spark, sf_dir):
+    from monday_etl_automation_spark.plans.release_extra import _prep_source
+
+    return spark.table(_prep_source(spark, sf_dir))
+
+
+def _report_counts(spark, prep_view: str) -> dict[str, int]:
+    from monday_etl_automation_spark.plans.release_extra import _report_sql
+
+    return {r.stage: r.n for r in spark.sql(_report_sql("spark", prep_view)).collect()}
+
+
+def _with_view(df, name: str) -> str:
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def test_relr_disposition_flip_fires_kept_counter(spark, sf_dir):
+    prep = _prep_frame(spark, sf_dir)
+    base_view = _with_view(prep, "_tamper_prep_base")
+    baseline = _report_counts(spark, base_view)
+    victim = prep.where(F.col("disposition") == "kept").select("doc_id").first().doc_id
+    tampered = prep.withColumn(
+        "disposition",
+        F.when(F.col("doc_id") == victim, F.lit("dropped_tamper")).otherwise(
+            F.col("disposition")
+        ),
+    )
+    got = _report_counts(spark, _with_view(tampered, "_tamper_prep_flip"))
+    assert got["total_docs"] == baseline["total_docs"]
+    assert got["kept_after_prep"] == baseline["kept_after_prep"] - 1
+    assert got != baseline
+
+
+def test_relr_truncated_prep_fires_kept_counter(spark, sf_dir):
+    prep = _prep_frame(spark, sf_dir)
+    baseline = _report_counts(spark, _with_view(prep, "_tamper_prep_base"))
+    victim = prep.where(F.col("disposition") == "kept").select("doc_id").first().doc_id
+    got = _report_counts(
+        spark, _with_view(prep.where(F.col("doc_id") != victim), "_tamper_prep_trunc")
+    )
+    # total_docs counts the documents table, not prep — unchanged by
+    # design; the kept LEFT JOIN is what notices the missing row.
+    assert got["total_docs"] == baseline["total_docs"]
+    assert got["kept_after_prep"] == baseline["kept_after_prep"] - 1
+
+
+def test_relr_compensating_swap_only_pack_checksum_fires(spark, sf_dir):
+    """Swap kept-ness between two docs with identical (split, bench,
+    contam) coordinates: every relr counter survives — and the pack
+    shape's conservation checksum catches the changed released set."""
+    from monday_etl_automation_spark.plans.decontam_ops import _BENCH_MOD
+    from monday_etl_automation_spark.plans.release_extra import (
+        _N_SHARDS,
+        _PACK_BUDGET,
+        _SHARD_EXPR,
+        _released_ctes,
+        _pack_agg,
+        pack_summary,
+    )
+    from monday_etl_automation_spark.plans.packing_ops import pack_sequences
+
+    prep = _prep_frame(spark, sf_dir)
+    base_view = _with_view(prep, "_tamper_prep_base")
+    baseline = _report_counts(spark, base_view)
+
+    ctes = _released_ctes("spark", base_view)
+    contam = {
+        r.doc_id for r in spark.sql(f"WITH {ctes} SELECT doc_id FROM rcontam").collect()
+    }
+    train = {
+        r.doc_id
+        for r in spark.sql(
+            f"WITH {ctes} SELECT doc_id FROM rsplits WHERE split = 'train'"
+        ).collect()
+    }
+    disp = {r.doc_id: r.disposition for r in prep.select("doc_id", "disposition").collect()}
+    clean_train = (  # same split, non-bench, non-contam: every relr counter blind
+        lambda d: d in train and d % _BENCH_MOD != 0 and d not in contam
+    )
+    a = next(d for d, v in sorted(disp.items()) if v == "kept" and clean_train(d))
+    b = next(
+        (d for d, v in sorted(disp.items()) if v != "kept" and clean_train(d)), None
+    )
+    if b is None:
+        pytest.skip("no non-kept clean train doc at this SF")
+
+    tampered = prep.withColumn(
+        "disposition",
+        F.when(F.col("doc_id") == a, F.lit(disp[b]))
+        .when(F.col("doc_id") == b, F.lit("kept"))
+        .otherwise(F.col("disposition")),
+    )
+    tview = _with_view(tampered, "_tamper_prep_swap")
+    got = _report_counts(spark, tview)
+    assert got == baseline, "swap should survive EVERY relr counter"
+
+    pack_base = _by_key(pack_summary(spark, sf_dir).collect(), "shard")
+    tamp_ids = spark.sql(
+        f"WITH {_released_ctes('spark', tview)}"
+        " SELECT doc_id FROM rel WHERE split = 'train'"
+    )
+    pack_got = _by_key(
+        _pack_agg(
+            pack_sequences(
+                spark, sf_dir, budget=_PACK_BUDGET, n_shards=_N_SHARDS, doc_ids=tamp_ids
+            )
+        ).collect(),
+        "shard",
+    )
+    shards = {
+        spark.sql(
+            f"SELECT {_SHARD_EXPR['spark'].replace('doc_id', str(d))} AS s"
+        ).first().s
+        for d in (a, b)
+    }
+    assert any(
+        pack_got.get(s, {}).get("checksum") != pack_base.get(s, {}).get("checksum")
+        for s in shards
+    ), "pack multiset checksum must catch the swapped released set"
+    for s in set(pack_base) - shards:
+        assert pack_got[s] == pack_base[s]
 
 
 # --- vstream: streaming vector-index ingest tables ------------------------------

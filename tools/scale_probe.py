@@ -58,8 +58,26 @@ PROBE = (
 
 
 def main() -> int:
-    sf1_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-    passes = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    """Usage: scale_probe.py [sf1_dir] [passes] [--dirs a:b:c] [--queries x,y]
+
+    Positional form (back-compat) probes sf0.1 -> sf1_dir. ``--dirs``
+    probes an arbitrary ladder (r17 verdict item 2: a SECOND decade —
+    sf0.1:sf1:sf10 — catches compounding growth one decade hides);
+    ratios are printed per consecutive rung. ``--queries`` restricts
+    the probe set (the sf10 rung times ~100x sf0.1 walls — probe the
+    top cost centers, not all 18)."""
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {
+        a.split("=", 1)[0]: a.split("=", 1)[1]
+        for a in sys.argv[1:]
+        if a.startswith("--") and "=" in a
+    }
+    sf1_dir = args[0] if args else "/tmp/sf1"
+    passes = int(args[1]) if len(args) > 1 else 2
+    if "--dirs" in opts:
+        dirs = [(d, os.path.basename(d.rstrip("/"))) for d in opts["--dirs"].split(":")]
+    else:
+        dirs = [("/root/testdata/sf0.1", "sf0.1"), (sf1_dir, "sf1")]
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 
     from monday_etl_automation_spark.plans import registry
@@ -67,10 +85,18 @@ def main() -> int:
 
     spark = get_spark("scale_probe")
     qs = registry.queries()
-    names = [n for n in PROBE if n in qs]
+    probe = tuple(opts["--queries"].split(",")) if "--queries" in opts else PROBE
+    names = [n for n in probe if n in qs]
 
     def run(name: str, d: str) -> None:
         qs[name](spark, d).write.format("noop").mode("overwrite").save()
+
+    def steal_s() -> float:
+        try:
+            with open("/proc/stat") as fh:
+                return int(fh.readline().split()[8]) / 100.0
+        except Exception:  # noqa: BLE001
+            return 0.0
 
     for name in names:  # warmup: compile/JIT at tiny scale
         try:
@@ -79,7 +105,8 @@ def main() -> int:
             print(f"warmup {name}: {type(ex).__name__}", file=sys.stderr)
 
     results: dict[str, dict[str, float]] = {n: {} for n in names}
-    for d, tag in (("/root/testdata/sf0.1", "sf0.1"), (sf1_dir, "sf1")):
+    steal: dict[str, float] = {}
+    for d, tag in dirs:
         # one untimed pass: page cache + snapshot-keyed index training
         # (vector_extra etc. price warm search, same posture as bench)
         for name in names:
@@ -87,6 +114,7 @@ def main() -> int:
                 run(name, d)
             except Exception as ex:  # noqa: BLE001
                 print(f"warm {tag} {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
+        s0 = steal_s()
         for _ in range(passes):
             for name in names:
                 t0 = time.time()
@@ -98,15 +126,20 @@ def main() -> int:
                 dt = time.time() - t0
                 cur = results[name].get(tag)
                 results[name][tag] = dt if cur is None else min(cur, dt)
+        steal[tag] = round(steal_s() - s0, 1)
 
     out = {}
+    tags = [t for _, t in dirs]
     for name in names:
-        a, b = results[name].get("sf0.1"), results[name].get("sf1")
-        out[name] = {
-            "sf0.1_sec": round(a, 2) if a else None,
-            "sf1_sec": round(b, 2) if b else None,
-            "ratio": round(b / a, 2) if a and b else None,
-        }
+        rec = {}
+        for t in tags:
+            v = results[name].get(t)
+            rec[f"{t}_sec"] = round(v, 2) if v else None
+        for prev, cur in zip(tags, tags[1:]):
+            a, b = results[name].get(prev), results[name].get(cur)
+            rec[f"ratio_{cur}/{prev}"] = round(b / a, 2) if a and b else None
+        out[name] = rec
+    out["_steal_cpu_s"] = steal  # host-noise attribution (bench.py rule)
     print(json.dumps(out, indent=2))
     return 0
 
