@@ -7,9 +7,13 @@ left-outer hash join: the asset registry is a dimension, the distinct
 + chunking are what a broadcast join does internally, and missing
 assets come back as NULL url (the reference's ``None`` path).
 
-At 100 TB the fact side never shuffles for this join; if the asset dim
-outgrew broadcast size we would bucket both sides on asset_id instead
-— the call site would not change.
+At 100 TB the fact side never shuffles for this join while the asset
+registry is dim-sized; when it is NOT (the synthetic ``assets`` view
+derives from lineitem, so it scales WITH the facts), the caller turns
+the hint off and AQE picks the join from runtime sizes — the r18 sf10
+probe measured the forced broadcast at 12.43x per 10x data (a ~2.5 GB
+driver collect + rebroadcast, 96.2s); size-gated it re-measured 8.02x
+(56.4s), back under the data ratio.
 """
 
 from __future__ import annotations
@@ -25,10 +29,19 @@ def enrich_with_assets(
     assets: DataFrame,
     key: str = "asset_id",
     url_col: str = "public_url",
+    hint: bool = True,
 ) -> DataFrame:
-    """Left-join the asset registry's public_url onto ``selected``."""
+    """Left-join the asset registry's public_url onto ``selected``.
+
+    ``hint=True`` pins the broadcast (deterministic plan for the pin
+    tests; correct whenever the registry is dim-sized). Callers whose
+    registry scales with the fact side pass ``hint=False`` — the plan
+    stays identical below spark.sql.autoBroadcastJoinThreshold (AQE
+    converts to broadcast at runtime) and degrades to a shuffle join
+    above it instead of force-collecting a fact-scale relation onto
+    the driver."""
     dim = assets.select(key, url_col)
-    return selected.join(F.broadcast(dim), key, "left")
+    return selected.join(F.broadcast(dim) if hint else dim, key, "left")
 
 
 def asof_join_backward(

@@ -178,22 +178,33 @@ def test_vector_extra_corpus_scan_budget(spark, sf_dir):
     n_docs = sum("doc_id#" in ln for ln in scans)
     n_emb = sum("vec_id#" in ln for ln in scans)
     clear_artifact_caches(spark)
-    # r16: 4 -> 7 documents scans, deliberately — the relr/pack/tokp
-    # sections add the release chain's LINEAR passes (facts base +
-    # splits + the decontam corpus side + the broadcast bench set) and
-    # the pack chunker. The corpus_prep disposition DAG is NOT among
-    # them: materialized per snapshot behind _prep_source (inlining it
-    # measured 31 docs scans with quality/lang/simhash re-evaluated
-    # per scan — the regression this pin exists to catch).
-    # r17: 7 -> 8, deliberately — the eperm shape reads back the
-    # SHIPPED split-writer parquet (KB artifact, snapshot-cached
-    # build), whose rows carry doc_id and therefore count here; the
-    # documents TABLE itself is only scanned at artifact build time.
+    # Scan INVENTORY (r18, r17 verdict item 7) — measured per shape via
+    # compose_frames(frames, (shape,)) at sf0.001; per-shape counts sum
+    # exactly to the union's. A relaxation request must name ITS shape
+    # and scan below, not bump the number.
+    #
+    # doc_id-carrying scans, pinned <= 8 (measured 8):
+    #   drift 2 — snapshot A + simulated snapshot B sides
+    #   relr  4 — release report's LINEAR passes: facts base, splits,
+    #             decontam corpus side, broadcast bench-gram set (the
+    #             corpus_prep DAG itself is materialized behind
+    #             _prep_source; inlining it measured 31 docs scans)
+    #   pack  1 — the train-split chunker pass
+    #   eperm 1 — SHIPPED split-writer parquet read-back (KB artifact;
+    #             its rows carry doc_id, the TABLE is only scanned at
+    #             artifact build)
+    #   bm25/bm25i/tokp 0 — snapshot-persisted postings / shipped-shard
+    #             read-backs are localCheckpointed (no doc_id scans in
+    #             the per-query plan; the bm25i O(batch) ingest pass
+    #             happens once at artifact build)
     assert n_docs <= 8, f"{n_docs} documents scans (pinned <= 8)"
-    # r17: 10 -> 12, deliberately — the vstream pqc/ipqc sections read
-    # back the sink's SHIPPED code tables (two more vec_id-carrying
-    # KB parquet scans; measured 11, +1 print-variance headroom as
-    # before). The embeddings CORPUS scan count is unchanged.
+    # vec_id-carrying scans, pinned <= 12 (measured 11 + 1
+    # subquery-print-variance headroom):
+    #   pq      3 — query side + codes read + exact re-rank side
+    #   ivfpq   3 — query side + codes read + exact re-rank side
+    #   vstream 5 — the sink's five SHIPPED index tables (vec, bucket,
+    #               ivf assignment, pq codes, ivfpq codes; KB parquet)
+    #   rrf     0 — materialized rank lists (checkpointed)
     assert n_emb <= 12, f"{n_emb} embeddings scans (pinned <= 12)"
 
 
