@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from monday_etl_automation_spark.functions.intsum import SplitSum, unscaled
 from monday_etl_automation_spark.sources.tables import load_table
 
 DEC = "decimal(18,2)"
@@ -50,29 +51,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r18 (guide §2.3, narrower types): the four decimal SUMs were the
+    # stage cost (1.4s single-task at sf0.1); identical values come out
+    # of long per-row math + split int64 accumulators at 0.6-0.8s. The
+    # reconstructed decimals carry the OLD sum types (28,2)/(28,4)/
+    # (34,6), so every downstream expression (avg division, double
+    # cast) is bit-identical to the decimal formulation.
     l = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast(DEC)
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
-    one = F.lit(1).cast("decimal(4,2)")
-    # scale-preserving casts only (exact): 12,2 * 5,2 -> 18,4; * 5,2 -> 24,6
-    disc_price = (price * (one - disc)).cast("decimal(18,4)")
-    charge = (disc_price * (one + tax)).cast("decimal(24,6)")
-    return (
+    qc = unscaled(F.col("l_quantity"))
+    pc = unscaled(F.col("l_extendedprice"))
+    dc = unscaled(F.col("l_discount"))
+    tc = unscaled(F.col("l_tax"))
+    dp = pc * (F.lit(100) - dc)  # scale 4, == decimal(12,2)*(1-disc)
+    ch = dp * (F.lit(100) + tc)  # scale 6, == disc_price*(1+tax)
+    sq, sp = SplitSum(qc, "sq"), SplitSum(pc, "sp")
+    sd, sc = SplitSum(dp, "sd"), SplitSum(ch, "sc")
+    g = (
         l.where(F.col("l_shipdate") <= F.lit("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price.cast(DEC)).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            F.round(F.sum(qty) / F.count(F.lit(1)), 2).cast("double").alias("avg_qty"),
-            F.round(F.sum(price) / F.count(F.lit(1)), 2).cast("double").alias("avg_price"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+        .agg(*sq.aggs, *sp.aggs, *sd.aggs, *sc.aggs, F.count(F.lit(1)).alias("_cnt"))
     )
+    sum_qty = sq.decimal(2, "decimal(28,2)")
+    sum_price = sp.decimal(2, "decimal(28,2)")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        sum_qty.cast("double").alias("sum_qty"),
+        sum_price.cast("double").alias("sum_base_price"),
+        sd.decimal(4, "decimal(28,4)").cast("double").alias("sum_disc_price"),
+        sc.decimal(6, "decimal(34,6)").cast("double").alias("sum_charge"),
+        F.round(sum_qty / F.col("_cnt"), 2).cast("double").alias("avg_qty"),
+        F.round(sum_price / F.col("_cnt"), 2).cast("double").alias("avg_price"),
+        F.col("_cnt").alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 Q1_ORACLE = """
@@ -102,15 +113,23 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
     l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01"))
-    rev = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
-    ).cast("decimal(18,4)")
+    # r18: long unscaled rev + split int64 sums (guide §2.3); the
+    # reconstructed decimal(28,4) is the exact old sum type/value.
+    rev = unscaled(F.col("l_extendedprice")) * (
+        F.lit(100) - unscaled(F.col("l_discount"))
+    )
+    ss = SplitSum(rev, "rev")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(*ss.aggs)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            ss.decimal(4, "decimal(28,4)").cast("double").alias("revenue"),
+        )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -148,10 +167,11 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
     )
     l = _t(spark, sf_dir, "lineitem")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
-    ).cast("decimal(18,4)")
+    # r18: long unscaled rev + split int64 sums (guide §2.3)
+    rev = unscaled(F.col("l_extendedprice")) * (
+        F.lit(100) - unscaled(F.col("l_discount"))
+    )
+    ss = SplitSum(rev, "rev")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -160,7 +180,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(*ss.aggs)
+        .select("n_name", ss.decimal(4, "decimal(28,4)").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -190,18 +211,22 @@ ORDER BY revenue DESC, n_name
 
 def rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
+    # r18: split int64 sum instead of the decimal sum (guide §2.3);
+    # the rollup's Expand tripled the decimal per-row cost, so the win
+    # is proportionally larger here.
+    ss = SplitSum(unscaled(F.col("l_quantity")), "qty")
     return (
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            *ss.aggs,
             F.grouping_id("l_returnflag", "l_linestatus").cast("long").alias("gid"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
             "n_items",
-            "sum_qty",
+            ss.decimal(2, "decimal(28,2)").cast("double").alias("sum_qty"),
             "gid",
         )
         .orderBy("gid", "l_returnflag", "l_linestatus")
@@ -403,16 +428,23 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
-    ).cast("decimal(18,4)")
+    # r18: long unscaled rev + split int64 sums (guide §2.3)
+    rev = unscaled(F.col("l_extendedprice")) * (
+        F.lit(100) - unscaled(F.col("l_discount"))
+    )
+    ss = SplitSum(rev, "rev")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(*ss.aggs)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            ss.decimal(4, "decimal(28,4)").cast("double").alias("revenue"),
+        )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -445,9 +477,9 @@ LIMIT 20
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast("decimal(4,2)")
-    ).cast("decimal(18,4)")
+    # r18: long unscaled price*disc + split int64 sums (guide §2.3)
+    rev = unscaled(F.col("l_extendedprice")) * unscaled(F.col("l_discount"))
+    ss = SplitSum(rev, "rev")
     return (
         l.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -455,7 +487,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(*ss.aggs, F.count(F.lit(1)).alias("n_items"))
+        .select(
+            ss.decimal(4, "decimal(28,4)").cast("double").alias("revenue"),
+            "n_items",
+        )
     )
 
 
@@ -622,23 +658,27 @@ def _build_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # salted_join: two-path hot-only salted join lineitem⋈supplier,
     # hot set from the frequency probe (metadata-sized), then the
     # revenue rollup per supplier nation — oracle is the PLAIN join
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    one = F.lit(1).cast("decimal(4,2)")
-    li = l.select("l_suppkey", (price * (one - disc)).cast("decimal(18,4)").alias("rev"))
+    # r18: rev as a LONG unscaled value (guide §2.3) — narrower shuffle
+    # payload through the salted join AND a split int64 sum at the
+    # rollup; the reconstructed decimal(28,4) is the old sum type.
+    rev_long = unscaled(F.col("l_extendedprice")) * (
+        F.lit(100) - unscaled(F.col("l_discount"))
+    )
+    li = l.select("l_suppkey", rev_long.alias("rev"))
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
     )
     hot = hot_keys(li.select("l_suppkey"), ["l_suppkey"], min_share=0.002)
+    ss_rev = SplitSum(F.col("rev"), "rev")
     s_join = (
         salted_join_hot_only(li, sup, ["l_suppkey"], hot, n_salts=4)
         .groupBy("s_nationkey")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("rev"))
+        .agg(F.count(F.lit(1)).alias("n"), *ss_rev.aggs)
         .select(
             F.lit("salted_join").alias("section"),
             F.col("s_nationkey").cast("string").alias("k"),
             F.col("n").cast("bigint").alias("n"),
-            F.col("rev").cast("double").alias("v"),
+            ss_rev.decimal(4, "decimal(28,4)").cast("double").alias("v"),
         )
     )
 
@@ -1327,18 +1367,21 @@ ORDER BY partkey_a, partkey_b
 
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    # r18: split int64 sum instead of the decimal sum (guide §2.3);
+    # cube's 4-way Expand quadrupled the decimal per-row cost.
+    ss = SplitSum(unscaled(F.col("o_totalprice")), "price")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+            *ss.aggs,
             F.grouping_id("o_orderstatus", "o_orderpriority").cast("long").alias("gid"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
             "n_orders",
-            "sum_price",
+            ss.decimal(2, "decimal(28,2)").cast("double").alias("sum_price"),
             "gid",
         )
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
