@@ -68,10 +68,8 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload={"event_id": "click_event_id", "ts": "click_ts"},
     )
     # NTZ output (UTC session) = DuckDB's naive timestamps, arrow-exact
-    return (
-        out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-        .withColumn("click_ts", F.col("click_ts").cast("timestamp_ntz"))
-        .orderBy("event_id")
+    return out.withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
+        "click_ts", F.col("click_ts").cast("timestamp_ntz")
     )
 
 
@@ -118,7 +116,6 @@ def range_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
             F.coalesce("n_prior_errors", F.lit(0)).alias("n_prior_errors"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -292,9 +289,7 @@ def _build_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp_ntz").alias("valid_to"),
         F.lit(None).cast("bigint").alias("is_current"),
     )
-    return asof.unionByName(rng).unionByName(scd).unionByName(rngs).orderBy(
-        "join_kind", "event_id", "user_id", "ts", "state"
-    )
+    return asof.unionByName(rng).unionByName(scd).unionByName(rngs)
 
 
 TEMPORAL_ORACLE = f"""

@@ -93,7 +93,7 @@ def binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sign",
         _SIGN_PRESET,
     )
-    return compress.unionByName(scan).unionByName(sign).orderBy("stage", "preset", "doc_id")
+    return compress.unionByName(scan).unionByName(sign)
 
 
 def _preset_case(fn) -> str:

@@ -474,7 +474,7 @@ WHERE CAST(bit_count(sim_a ^ sim_b) AS INT) <= {_HAMMING_MAX}
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return _near_pairs_index(spark, sf_dir).orderBy("doc_id_a", "doc_id_b")
+    return _near_pairs_index(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -541,7 +541,7 @@ FROM assign
 
 
 def near_dup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _assign_frame(spark, sf_dir).orderBy("doc_id")
+    return _assign_frame(spark, sf_dir)
 
 
 # standalone twin for the API-level callable (its driver coverage now
@@ -811,7 +811,7 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_id AS assign_canonical_id",
         "is_kept AS assign_is_kept",
     )
-    return comp.join(assign, "doc_id").orderBy("doc_id")
+    return comp.join(assign, "doc_id")
 
 
 def _components_sql(dialect: str) -> str:

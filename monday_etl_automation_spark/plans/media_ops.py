@@ -36,15 +36,15 @@ def _media(spark: SparkSession, sf_dir: str, kind_mod: int | None = None) -> Dat
 
 
 def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media.resize_images(_media(spark, sf_dir, kind_mod=0)).orderBy("doc_id")
+    return media.resize_images(_media(spark, sf_dir, kind_mod=0))
 
 
 def media_video_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media.sample_video_frames(_media(spark, sf_dir, kind_mod=2)).orderBy("doc_id")
+    return media.sample_video_frames(_media(spark, sf_dir, kind_mod=2))
 
 
 def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media.extract_audio_features(_media(spark, sf_dir, kind_mod=1)).orderBy("doc_id")
+    return media.extract_audio_features(_media(spark, sf_dir, kind_mod=1))
 
 
 def _unpivot(df: DataFrame, kind: str, metrics: list[str]) -> DataFrame:
@@ -67,7 +67,7 @@ def media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     aud = _unpivot(
         media_audio_features(spark, sf_dir), "audio", [f"f{i}" for i in range(8)]
     )
-    return img.unionByName(vid).unionByName(aud).orderBy("kind", "doc_id", "metric")
+    return img.unionByName(vid).unionByName(aud)
 
 
 _FEATS_LONG = "\n  UNION ALL\n  ".join(

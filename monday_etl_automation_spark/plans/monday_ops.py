@@ -55,7 +55,6 @@ def s1_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("items")
         .where(F.col("item_id").isin(*_LOOKUP_IDS))
         .select("item_id", "item_name", "text_lot", "status")
-        .orderBy("item_id")
     )
 
 
@@ -93,7 +92,6 @@ def s4_formula_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signer",
             "p12_path",
         )
-        .orderBy("item_id")
     )
 
 
@@ -133,7 +131,6 @@ def p1_extract_pdf_asset_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "asset_id",
             F.concat(F.col("file_name"), F.lit("_SCANNE")).alias("scanned_name"),
         )
-        .orderBy("item_id", "column_id", "asset_id")
     )
 
 
@@ -194,11 +191,8 @@ def a2_success_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = success_counts(uploads, ["item_id"])
     # A6 status gate: only items with at least one success get the label
-    return (
-        counts.withColumn(
-            "new_status", F.when(F.col("n_success") > 0, "Dossier déposé").otherwise(None)
-        )
-        .orderBy("item_id")
+    return counts.withColumn(
+        "new_status", F.when(F.col("n_success") > 0, "Dossier déposé").otherwise(None)
     )
 
 
@@ -227,7 +221,7 @@ ORDER BY f.item_id
 def a3_processed_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fixtures(spark, sf_dir)
     processed = spark.table("files").where(F.lower(F.col("file_name")).endswith(".pdf"))
-    return processed_counters(processed).orderBy("column_id")
+    return processed_counters(processed)
 
 
 A3_ORACLE = with_fixtures(
@@ -253,9 +247,7 @@ def w3_auto_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Byte-identical output to ROW_NUMBER() OVER (ORDER BY ...) + 99."""
     _fixtures(spark, sf_dir)
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return with_global_index(c, ["c_name", "c_custkey"], name="auto_id", start=100).orderBy(
-        "auto_id"
-    )
+    return with_global_index(c, ["c_name", "c_custkey"], name="auto_id", start=100)
 
 
 W3_ORACLE = """
@@ -333,7 +325,7 @@ def f_naming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("_n") > 1) & (F.col("_idx") > 1), F.concat(base, F.lit("_"), F.col("_idx").cast("string")))
         .otherwise(base)
         .alias("upload_name"),
-    ).orderBy("item_id", "column_id", "asset_id")
+    )
 
 
 _MIME_CASE = """
@@ -443,7 +435,6 @@ def g1_structure_lot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_s.section").alias("section"),
             F.col("slot").cast("int").alias("slot"),
         )
-        .orderBy("text_lot", "auto_id", "section", "slot")
     )
 
 

@@ -83,7 +83,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sum_qty / F.col("_cnt"), 2).cast("double").alias("avg_qty"),
         F.round(sum_price / F.col("_cnt"), 2).cast("double").alias("avg_price"),
         F.col("_cnt").alias("count_order"),
-    ).orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 Q1_ORACLE = """
@@ -182,7 +182,6 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(*ss.aggs)
         .select("n_name", ss.decimal(4, "decimal(28,4)").cast("double").alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
     )
 
 
@@ -229,7 +228,6 @@ def rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ss.decimal(2, "decimal(28,2)").cast("double").alias("sum_qty"),
             "gid",
         )
-        .orderBy("gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -273,7 +271,6 @@ def window_part_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag(dprice, 1).over(w).alias("prev_price"),
         )
         .where(F.col("rn") <= 3)
-        .orderBy("p_brand", "rn")
     )
 
 
@@ -309,7 +306,7 @@ def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = open_c.intersect(fin_c).select("o_custkey", F.lit("both").alias("cohort"))
     only_open = open_c.exceptAll(fin_c).select("o_custkey", F.lit("open_only").alias("cohort"))
     either = open_c.union(fin_c).distinct().select("o_custkey", F.lit("either").alias("cohort"))
-    return both.unionByName(only_open).unionByName(either).orderBy("cohort", "o_custkey")
+    return both.unionByName(only_open).unionByName(either)
 
 
 SETOPS_ORACLE = """
@@ -352,7 +349,6 @@ def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_with_urgent", F.lit(0)).alias("n_with_urgent"),
             F.coalesce("n_no_orders", F.lit(0)).alias("n_no_orders"),
         )
-        .orderBy("c_nationkey")
     )
 
 
@@ -397,7 +393,6 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(late.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -741,7 +736,6 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("dow").alias("max_dow"),
             F.max("due_date").alias("latest_due"),
         )
-        .orderBy("order_month")
     )
 
 
@@ -1199,12 +1193,7 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ok50").alias("est_ok"),
         F.col("ok2575").alias("merge_ok"),
     )
-    return (
-        q.unionByName(hll)
-        .unionByName(small)
-        .unionByName(gk)
-        .orderBy("section", "grp")
-    )
+    return q.unionByName(hll).unionByName(small).unionByName(gk)
 
 
 QUANTILE_ORACLE = f"""
@@ -1328,7 +1317,6 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("name_a"), F.col("name_b")).alias("edit_dist"),
         )
         .where(F.col("edit_dist") <= _FUZZY_MAX_DIST)
-        .orderBy("partkey_a", "partkey_b")
     )
 
 
@@ -1384,7 +1372,6 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ss.decimal(2, "decimal(28,2)").cast("double").alias("sum_price"),
             "gid",
         )
-        .orderBy("gid", "o_orderstatus", "o_orderpriority")
     )
 
 

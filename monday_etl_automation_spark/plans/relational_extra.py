@@ -56,6 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from monday_etl_automation_spark.functions.intsum import SplitSum, itrunc, unscaled
 from monday_etl_automation_spark.sources.tables import load_table
 
 DEC = "decimal(18,2)"
@@ -70,6 +71,15 @@ def _rev():
         F.col("l_extendedprice").cast("decimal(12,2)")
         * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
     ).cast("decimal(18,4)")
+
+
+def _rev_long():
+    """r18 (guide §2.3): the same scale-4 unscaled integer _rev()'s
+    decimal multiply produces, as a plain long — feeds SplitSum
+    accumulators; reconstructed decimal(28,4) == the old sum exactly."""
+    return unscaled(F.col("l_extendedprice")) * (
+        F.lit(100) - unscaled(F.col("l_discount"))
+    )
 
 
 # --- q7: volume between nation pairs ---------------------------------------
@@ -102,8 +112,13 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .agg(*(ss := SplitSum(_rev_long(), "rev")).aggs)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            ss.decimal(4, "decimal(28,4)").cast("double").alias("revenue"),
+        )
     )
 
 
@@ -144,7 +159,6 @@ def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
 
 
@@ -169,17 +183,20 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-03-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    promo = F.when(F.col("p_type").startswith("PROMO"), _rev()).otherwise(
-        F.lit(0).cast("decimal(18,4)")
+    # r18: long conditional rev + split int64 sums (guide §2.3)
+    promo_long = F.when(F.col("p_type").startswith("PROMO"), _rev_long()).otherwise(
+        F.lit(0).cast("bigint")
     )
+    sp, st = SplitSum(promo_long, "promo"), SplitSum(_rev_long(), "total")
+    promo_d = sp.decimal(4, "decimal(28,4)").cast("double")
+    total_d = st.decimal(4, "decimal(28,4)").cast("double")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .agg(
-            F.sum(promo).cast("double").alias("promo_revenue"),
-            F.sum(_rev()).cast("double").alias("total_revenue"),
-            F.round(
-                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(_rev()).cast("double"), 6
-            ).alias("promo_pct"),
+        .agg(*sp.aggs, *st.aggs)
+        .select(
+            promo_d.alias("promo_revenue"),
+            total_d.alias("total_revenue"),
+            F.round(F.lit(100.0) * promo_d / total_d, 6).alias("promo_pct"),
         )
     )
 
@@ -209,9 +226,14 @@ _Q18_QTY = 150
 
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
+    # r18: split int64 qty sum (guide §2.3); the reconstructed
+    # decimal(28,2) is the old sum type, so the HAVING compare and the
+    # double cast downstream are bit-identical.
+    ssq = SplitSum(unscaled(F.col("l_quantity")), "qty")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"))
+        .agg(*ssq.aggs)
+        .select("l_orderkey", ssq.decimal(2, "decimal(28,2)").alias("sum_qty"))
         .where(F.col("sum_qty") > _Q18_QTY)
     )
     o = _t(spark, sf_dir, "orders")
@@ -269,7 +291,6 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
         )
-        .orderBy("c_mktsegment")
     )
 
 
@@ -312,9 +333,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    fr = F.when(F.col("supp_nation") == "NATION_20", _rev()).otherwise(
-        F.lit(0).cast("decimal(18,4)")
+    # r18: long conditional rev + split int64 sums (guide §2.3)
+    fr_long = F.when(F.col("supp_nation") == "NATION_20", _rev_long()).otherwise(
+        F.lit(0).cast("bigint")
     )
+    sf_, st = SplitSum(fr_long, "fr"), SplitSum(_rev_long(), "total")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
@@ -323,12 +346,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
+        .agg(*sf_.aggs, *st.aggs)
+        .select(
+            "o_year",
             F.round(
-                F.sum(fr).cast("double") / F.sum(_rev()).cast("double"), 6
-            ).alias("mkt_share")
+                sf_.decimal(4, "decimal(28,4)").cast("double")
+                / st.decimal(4, "decimal(28,4)").cast("double"),
+                6,
+            ).alias("mkt_share"),
         )
-        .orderBy("o_year")
     )
 
 
@@ -364,7 +390,7 @@ def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema, so supply cost is stood in by ``0.5 * p_retailprice`` —
     same join/agg structure, exact decimal arithmetic throughout."""
     p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("widget")).select(
-        "p_partkey", F.col("p_retailprice").cast("decimal(12,2)").alias("cost")
+        "p_partkey", unscaled(F.col("p_retailprice")).alias("cost_c")
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select(
@@ -372,19 +398,26 @@ def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     l = _t(spark, sf_dir, "lineitem")
-    amount = _rev() - (
-        F.lit(0.5).cast("decimal(3,2)")
-        * F.col("l_quantity").cast("decimal(12,2)")
-        * F.col("cost")
-    ).cast("decimal(18,4)")
+    # r18 (guide §2.3): the decimal path computes 0.5*qty*cost at scale
+    # 6 (dec(3,2)*dec(12,2)*dec(12,2) -> dec(29,6)) then HALF_UP-casts
+    # to scale 4. The long twin: x6 = 50*qc*cost_c (the same scale-6
+    # integer), then (x6 + 50) div 100 — HALF_UP for the non-negative
+    # qty/cost domain. amount stays the exact scale-4 integer.
+    x6 = F.lit(50) * unscaled(F.col("l_quantity")) * F.col("cost_c")
+    amount = _rev_long() - itrunc(x6 + F.lit(50), 100)
+    ssa = SplitSum(amount, "amt")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("nk"))
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(amount).cast("double").alias("profit"))
-        .orderBy("nation", F.desc("o_year"))
+        .agg(*ssa.aggs)
+        .select(
+            "nation",
+            "o_year",
+            ssa.decimal(4, "decimal(28,4)").cast("double").alias("profit"),
+        )
     )
 
 
@@ -424,7 +457,6 @@ def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_count"),
             F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_count"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -451,7 +483,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
-    rev = l.groupBy("l_suppkey").agg(F.sum(_rev()).alias("_r"))
+    # r18: split int64 sums (guide §2.3); _r is the old decimal(28,4)
+    ssr = SplitSum(_rev_long(), "r")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(*ssr.aggs)
+        .select("l_suppkey", ssr.decimal(4, "decimal(28,4)").alias("_r"))
+    )
     mx = rev.agg(F.max("_r").alias("_mx"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -463,7 +501,6 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").cast("bigint").alias("s_suppkey"),
             F.col("_r").cast("double").alias("total_revenue"),
         )
-        .orderBy("s_suppkey")
     )
 
 
@@ -498,12 +535,16 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_qty = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (F.lit(0.2) * F.avg(F.col("l_quantity").cast("double"))).alias("_thr")
     )
+    # r18: split int64 price sum (guide §2.3)
+    ssp = SplitSum(unscaled(F.col("l_extendedprice")), "price")
     return (
         l.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("_pk"))
         .where(F.col("l_quantity").cast("double") < F.col("_thr"))
-        .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0))
-            .alias("avg_yearly")
+        .agg(*ssp.aggs)
+        .select(
+            (ssp.decimal(2, "decimal(28,2)").cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
         )
     )
 
@@ -536,10 +577,13 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 20) & q.between(10, 30))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 50) & q.between(20, 50))
     )
+    # r18: split int64 sums (guide §2.3)
+    ss = SplitSum(_rev_long(), "rev")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .where(bracket)
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(*ss.aggs)
+        .select(ss.decimal(4, "decimal(28,4)").cast("double").alias("revenue"))
     )
 
 
@@ -572,20 +616,29 @@ def window_frame_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     frame_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     frame_mov = w.rowsBetween(-2, Window.currentRow)
-    price_dec = F.col("o_totalprice").cast(DEC)
+    # r18 (guide §2.3): the frame sums accumulate LONG cents (exact —
+    # a per-customer frame is bounded, cents stay far under 2^63) and
+    # one decimal reconstruction per row replaces a decimal buffer
+    # update per frame row; values are bit-identical.
+    price_c = unscaled(F.col("o_totalprice"))
+
+    def _cents_dec(col):
+        return (col.cast("decimal(28,0)") * F.lit("0.01").cast("decimal(3,2)")).cast(
+            "decimal(28,2)"
+        )
+
     return (
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.sum(price_dec).over(frame_run).cast("double").alias("running_total"),
+            _cents_dec(F.sum(price_c).over(frame_run)).cast("double").alias("running_total"),
             (
-                F.sum(price_dec).over(frame_mov).cast("double")
+                _cents_dec(F.sum(price_c).over(frame_mov)).cast("double")
                 / F.count(F.lit(1)).over(frame_mov)
             ).alias("moving_avg_3"),
             F.percent_rank().over(w).alias("pr"),
             F.ntile(4).over(w).cast("int").alias("quartile"),
         )
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 
@@ -657,7 +710,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").cast("bigint").alias("p_partkey"),
             "p_name",
         )
-        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
     )
 
 
@@ -701,15 +753,17 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
-    val = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * F.col("l_quantity").cast("decimal(8,2)")
-    ).cast("decimal(18,4)")
+    # r18: long price*qty (same scale-4 integer) + split int64 sums
+    # (guide §2.3); _val is the old decimal(28,4), so the 1000x
+    # threshold compare below is bit-identical.
+    val_long = unscaled(F.col("l_extendedprice")) * unscaled(F.col("l_quantity"))
+    ssv = SplitSum(val_long, "val")
     pv = (
         _t(spark, sf_dir, "lineitem")
         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(val).alias("_val"))
+        .agg(*ssv.aggs)
+        .select("l_partkey", ssv.decimal(4, "decimal(28,4)").alias("_val"))
     )
     tot = pv.agg(F.sum("_val").alias("_tot"))
     return (
@@ -719,7 +773,6 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").cast("bigint").alias("p_partkey"),
             F.col("_val").cast("double").alias("total_value"),
         )
-        .orderBy(F.desc("total_value"), "p_partkey")
     )
 
 
@@ -770,7 +823,6 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
@@ -826,7 +878,6 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(hot, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "n_name")
-        .orderBy("s_name")
     )
 
 
@@ -900,7 +951,6 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
     )
 
 
@@ -1163,7 +1213,6 @@ def _build_tpch_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q20)
         .unionByName(q21)
         .unionByName(q22)
-        .orderBy("shape", "s1", "s2", "i1", "i2")
     )
 
 

@@ -297,11 +297,7 @@ def event_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_k").cast("bigint").alias("min_k_variant"),
         F.col("max_k").cast("bigint").alias("max_k_variant"),
     )
-    return (
-        uniq.join(props, "event_type")
-        .join(vstats, "event_type")
-        .orderBy("event_type")
-    )
+    return uniq.join(props, "event_type").join(vstats, "event_type")
 
 
 EVENT_HYGIENE_ORACLE = """
@@ -377,7 +373,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(sum_value_micros(F.col("value")).alias("udaf_sum_micros"))
     )
-    return totals.join(gaps, "user_id").join(udaf, "user_id").orderBy("user_id")
+    return totals.join(gaps, "user_id").join(udaf, "user_id")
 
 
 STATEFUL_ORACLE = """
@@ -446,10 +442,8 @@ def dead_letter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return (
-        tagged.groupBy("event_type", "disposition")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("event_type", "disposition")
+    return tagged.groupBy("event_type", "disposition").agg(
+        F.count(F.lit(1)).alias("n_events")
     )
 
 

@@ -235,7 +235,7 @@ def run_interval_join_replay(
             .start()
         )
         q.awaitTermination()
-    return spark.table(sink).orderBy("l_event_id", "r_event_id")
+    return spark.table(sink)
 
 
 def run_error_context_replay(
@@ -305,19 +305,19 @@ def run_replay(spark: SparkSession, sf_dir: str, name: str | None = None) -> Dat
     the final (batch-equal) result."""
     sink = name or f"replay_{uuid.uuid4().hex[:8]}"
     _replay(tumbling_counts(event_stream(spark, sf_dir)), sink)
-    return spark.table(sink).orderBy("window_start", "event_type")
+    return spark.table(sink)
 
 
 def run_sliding_replay(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
     sink = name or f"sliding_{uuid.uuid4().hex[:8]}"
     _replay(sliding_stats(event_stream(spark, sf_dir)), sink)
-    return spark.table(sink).orderBy("window_start", "event_type")
+    return spark.table(sink)
 
 
 def run_session_replay(spark: SparkSession, sf_dir: str, name: str | None = None) -> DataFrame:
     sink = name or f"session_{uuid.uuid4().hex[:8]}"
     _replay(session_stats(event_stream(spark, sf_dir)), sink)
-    return spark.table(sink).orderBy("user_id", "session_start")
+    return spark.table(sink)
 
 
 def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
@@ -409,7 +409,6 @@ def run_stateful_replay(spark: SparkSession, sf_dir: str, name: str | None = Non
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
-        .orderBy("user_id")
     )
     if name is None:
         # materialize the per-user totals (tiny: |users| rows) so the
@@ -671,7 +670,6 @@ def run_timer_sessions_replay(
             "n_events",
             "sum_micros",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -837,7 +835,7 @@ def run_stateful_tws_replay(
         .start()
     )
     q.awaitTermination()
-    return _reduce_updates_to_final(spark.table(sink), ["user_id"]).orderBy("user_id")
+    return _reduce_updates_to_final(spark.table(sink), ["user_id"])
 
 
 def run_type_counts_tws_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,9 +850,7 @@ def run_type_counts_tws_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return _reduce_updates_to_final(spark.table(sink), ["user_id", "event_type"]).orderBy(
-        "user_id", "event_type"
-    )
+    return _reduce_updates_to_final(spark.table(sink), ["user_id", "event_type"])
 
 
 # ---------------------------------------------------------------------------
@@ -1194,7 +1190,7 @@ def run_rollup_sink(spark: SparkSession, sf_dir: str, n_splits: int = 6) -> Data
     )
     sink = RollupSink(spark)
     sink.run(stream)
-    return sink.current().orderBy("window_start", "event_type")
+    return sink.current()
 
 
 def derive_statuses(events: DataFrame) -> DataFrame:
