@@ -61,7 +61,12 @@ def documents_to_binary(documents: DataFrame, backend: str = "auto") -> DataFram
 B1_SCHEMA = "doc_id BIGINT, n_pages BIGINT, in_bytes BIGINT, out_bytes BIGINT, out_sha STRING"
 
 
-def compress_pdf(docs_bin: DataFrame, preset: str = "balanced", backend: str = "auto") -> DataFrame:
+def compress_pdf(
+    docs_bin: DataFrame,
+    preset: str = "balanced",
+    backend: str = "auto",
+    with_sha: bool = True,
+) -> DataFrame:
     """B1 (fixed_signature_utils.py:38-110): page-at-a-time rasterize at
     the preset DPI, 'sharpen', JPEG re-encode, rebuild the container.
 
@@ -87,9 +92,8 @@ def compress_pdf(docs_bin: DataFrame, preset: str = "balanced", backend: str = "
                     codec.jpeg_encode(codec.rasterize_page(p, dpi), quality) for p in pages
                 ]
                 out = codec.pdf_from_page_images(images)
-                rows.append(
-                    (doc_id, len(pages), len(content), len(out), hashlib.sha256(out).hexdigest())
-                )
+                sha = hashlib.sha256(out).hexdigest() if with_sha else None
+                rows.append((doc_id, len(pages), len(content), len(out), sha))
             yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "in_bytes", "out_bytes", "out_sha"])
 
     return docs_bin.mapInPandas(work, B1_SCHEMA)
@@ -169,17 +173,55 @@ def reassemble(scanned: DataFrame) -> DataFrame:
     )
 
 
-def scanned_pdf(docs_bin: DataFrame, preset: str = "balanced", dpi: int = 150, backend: str = "auto") -> DataFrame:
-    """Full B7: explode -> scan -> reassemble -> rebuild container.
+def explode_scan_pages(docs_bin: DataFrame, backend: str = "auto") -> DataFrame:
+    """Fused explode_pages + scan_pages (r18, guide §4.1): the two
+    stages are back-to-back mapInPandas with NO exchange between them,
+    so the split form paid a second JVM->Python->JVM round trip of
+    every page raster for zero redistribution. One worker rasterizes
+    at the row's preset DPI and applies the seeded scan effects + A4
+    normalization page-at-a-time — byte-identical to the split
+    operators (same seeds, same calls), one Arrow crossing instead of
+    two. The distributed page fan-out still happens where it always
+    did: at the reassembly exchange."""
+    if "preset" not in docs_bin.columns:
+        docs_bin = docs_bin.withColumn("preset", F.lit("balanced"))
+    backend_name = codecs.resolve_name(backend)
+
+    def split_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = codecs.resolve(backend_name)
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, content, pr in zip(pdf["doc_id"], pdf["content"], pdf["preset"]):
+                page_dpi = codec.quality_preset(pr)[0]
+                for i, p in enumerate(codec.pdf_pages(bytes(content))):
+                    eff = codec.scan_effects(
+                        codec.rasterize_page(p, page_dpi), key=f"{doc_id}:{i}".encode(), preset=pr
+                    )
+                    out.append((doc_id, i, codec.a4_normalize(eff)))
+            yield pd.DataFrame(out, columns=["doc_id", "page_idx", "out_page"])
+
+    return docs_bin.mapInPandas(split_scan, B7_SCHEMA)
+
+
+def scanned_pdf(
+    docs_bin: DataFrame,
+    preset: str = "balanced",
+    dpi: int = 150,
+    backend: str = "auto",
+    with_sha: bool = True,
+) -> DataFrame:
+    """Full B7: explode+scan (fused) -> reassemble -> rebuild container.
 
     Per-row ``preset`` column (if present) wins over the constant
     arguments; otherwise every document is stamped with ``preset`` and
     rasterized at that preset's DPI (the ``dpi`` argument is kept for
-    direct explode callers)."""
+    direct explode callers). ``with_sha=False`` skips the output
+    sha256 for callers that drop the column (guide §1.2: don't compute
+    what is thrown away) — every kept column is unchanged."""
     if "preset" not in docs_bin.columns:
         docs_bin = docs_bin.withColumn("preset", F.lit(preset))
     backend_name = codecs.resolve_name(backend)
-    parts = reassemble(scan_pages(explode_pages(docs_bin, dpi, backend=backend_name), backend=backend_name))
+    parts = reassemble(explode_scan_pages(docs_bin, backend=backend_name))
 
     def rebuild(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -189,7 +231,8 @@ def scanned_pdf(docs_bin: DataFrame, preset: str = "balanced", dpi: int = 150, b
             rows = []
             for doc_id, n_pages, pages in zip(pdf["doc_id"], pdf["n_pages"], pdf["pages"]):
                 out = codec.pdf_from_page_images([bytes(p) for p in pages])
-                rows.append((doc_id, int(n_pages), len(out), hashlib.sha256(out).hexdigest()))
+                sha = hashlib.sha256(out).hexdigest() if with_sha else None
+                rows.append((doc_id, int(n_pages), len(out), sha))
             yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "out_bytes", "out_sha"])
 
     return parts.mapInPandas(rebuild, "doc_id BIGINT, n_pages BIGINT, out_bytes BIGINT, out_sha STRING")
@@ -204,7 +247,13 @@ B5_SCHEMA = (
 )
 
 
-def sign_pipeline(docs_bin: DataFrame, signer: str = "engine", preset: str = "balanced", backend: str = "auto") -> DataFrame:
+def sign_pipeline(
+    docs_bin: DataFrame,
+    signer: str = "engine",
+    preset: str = "balanced",
+    backend: str = "auto",
+    with_sha: bool = True,
+) -> DataFrame:
     """B5 (fixed_signature_utils.py:211-254): compress -> sign ->
     rename. The uvloop/ThreadPool plumbing of the reference disappears:
     Spark tasks are already parallel sync contexts (SURVEY §2.9 B4)."""
@@ -225,9 +274,8 @@ def sign_pipeline(docs_bin: DataFrame, signer: str = "engine", preset: str = "ba
                 ]
                 compressed = codec.pdf_from_page_images(images)
                 signed = codec.sign_pdf_bytes(compressed, signer)
-                rows.append(
-                    (doc_id, len(pages), len(signed), hashlib.sha256(signed).hexdigest())
-                )
+                sha = hashlib.sha256(signed).hexdigest() if with_sha else None
+                rows.append((doc_id, len(pages), len(signed), sha))
             yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "out_bytes", "out_sha"])
 
     out = docs_bin.mapInPandas(work, "doc_id BIGINT, n_pages BIGINT, out_bytes BIGINT, out_sha STRING")

@@ -41,10 +41,16 @@ def user_gap_stats(events: DataFrame) -> DataFrame:
     """
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        ts = pdf["ts"].sort_values()
-        gaps = ts.diff().dropna()
-        gaps_us = (gaps.dt.total_seconds() * 1_000_000).round().astype("int64")
-        n = len(gaps_us)
+        # r18 (guide §4.2): raw numpy instead of four pandas
+        # temporaries per group — the function runs once PER GROUP, so
+        # its constant factors multiply by |users|. datetime64[ns] at
+        # parquet's microsecond precision makes ns//1000 integer math
+        # exactly the old round(total_seconds()*1e6) value.
+        import numpy as np
+
+        ts_ns = np.sort(pdf["ts"].to_numpy(dtype="datetime64[ns]").view("int64"))
+        gaps_us = np.diff(ts_ns) // 1000
+        n = gaps_us.size
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],

@@ -52,6 +52,21 @@ def _docs_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.documents_to_binary(load_table(spark, sf_dir, "documents"), backend="stub")
 
 
+def _docs_bin_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_docs_bin with the raw text rows spread across the cluster when
+    the parquet layout is unsplittable (guide §2.5) — used ONLY by the
+    scan chain, whose per-doc raster+effects work is heavy enough to
+    amortize the extra tasks (chain solo at sf0.1: 1.53s -> 1.14s).
+    The cheap compress/sign chains stay on the plain scan: spreading
+    them was measured to ADD task/worker fixed costs, not remove work."""
+    from monday_etl_automation_spark.sources.tables import spread_unsplittable_scan
+
+    docs = spread_unsplittable_scan(
+        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
+    return pipeline.documents_to_binary(docs, backend="stub")
+
+
 _WIDE_COLS = ("stage", "preset", "doc_id", "n_pages", "in_bytes", "out_bytes", "file_name")
 
 
@@ -76,6 +91,7 @@ def binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per stage instead of one branch (and one full input scan) per
     preset — the difference between 3 and 11 scans of a 100 TB corpus."""
     docs_bin = _docs_bin(spark, sf_dir).withColumn("preset", _preset_of_doc())
+    docs_bin_spread = _docs_bin_spread(spark, sf_dir).withColumn("preset", _preset_of_doc())
 
     def tag(df: DataFrame, stage: str) -> DataFrame:
         out = df.withColumn("stage", F.lit(stage)).withColumn("preset", _preset_of_doc())
@@ -84,12 +100,14 @@ def binary_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out = out.withColumn(c, F.lit(None).cast(t))
         return out.select(*_WIDE_COLS)
 
-    compress = tag(pipeline.compress_pdf(docs_bin, backend="stub").drop("out_sha"), "compress")
-    scan = tag(pipeline.scanned_pdf(docs_bin, backend="stub").drop("out_sha"), "scan")
+    # r18: with_sha=False — this query drops out_sha, so the workers
+    # skip the sha256 entirely (guide §1.2); kept columns unchanged.
+    compress = tag(pipeline.compress_pdf(docs_bin, backend="stub", with_sha=False).drop("out_sha"), "compress")
+    scan = tag(pipeline.scanned_pdf(docs_bin_spread, backend="stub", with_sha=False).drop("out_sha"), "scan")
     sign = _widen(
-        pipeline.sign_pipeline(docs_bin.drop("preset"), signer="engine", preset=_SIGN_PRESET, backend="stub").drop(
-            "out_sha"
-        ),
+        pipeline.sign_pipeline(
+            docs_bin.drop("preset"), signer="engine", preset=_SIGN_PRESET, backend="stub", with_sha=False
+        ).drop("out_sha"),
         "sign",
         _SIGN_PRESET,
     )

@@ -123,6 +123,45 @@ def snapshot_key(sf_dir: str, name: str) -> tuple:
         return (sf_dir, name, None, None)
 
 
+def scan_split_ceiling(sf_dir: str, name: str) -> int:
+    """Upper bound on the number of scan tasks the table's parquet
+    layout can yield: row groups are Spark's split granularity, so a
+    file written as ONE row group is read by ONE task no matter what
+    ``maxPartitionBytes`` says. Footer-only read (KBs), memoized by
+    callers via snapshot_key. Returns a huge number on any error so
+    the adaptive branch below never fires on uncertainty."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_row_groups
+    except Exception:  # noqa: BLE001
+        return 1 << 30
+
+
+def spread_unsplittable_scan(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Guide §2.5 (input skew: "one huge unsplittable file ...
+    otherwise repartition immediately after the read"): when the
+    parquet layout cannot produce even half a core's worth of scan
+    tasks, round-robin the (narrow, pre-derivation) rows across the
+    cluster so downstream per-row work parallelizes. LAYOUT-adaptive,
+    not scale-tuned: at 100 TB the same table ships thousands of row
+    groups and this is a no-op; it fires only on the pathological
+    single-row-group input the guide describes. Apply BEFORE heavy
+    derivations so the exchange carries raw columns, never derived
+    payloads (the r14 lesson: repartitioning encoded binary cost more
+    than it saved)."""
+    cpus = spark.sparkContext.defaultParallelism
+    key = ("scan_split_ceiling",) + snapshot_key(sf_dir, name)
+    cache = session_artifact_cache(spark, "scan_split_ceiling")
+    ceiling = cache.get(key)
+    if ceiling is None:
+        ceiling = scan_split_ceiling(sf_dir, name)
+        cache[key] = ceiling
+    if ceiling * 2 > cpus:
+        return df
+    return df.repartition(cpus)
+
+
 class _ArtifactCache(dict):
     """Snapshot-keyed artifact dict that EVICTS superseded snapshots on
     insert: a testdata regeneration changes the (mtime, size) part of
