@@ -99,7 +99,7 @@ k AS (
   FROM n GROUP BY text_hash
 )
 SELECT keep_doc_id, text_hash, CAST(n_copies AS BIGINT) AS n_copies
-FROM k ORDER BY keep_doc_id
+FROM k
 """.strip()
 
 
@@ -163,7 +163,6 @@ bands AS (SELECT doc_id, {band_keys} FROM sigs),
 kv AS ({unpivot})
 SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
 FROM kv a JOIN kv b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-ORDER BY doc_id_a, doc_id_b
 """.strip()
 
 
@@ -215,7 +214,6 @@ WITH kv AS (
 )
 SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
 FROM kv a JOIN kv b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-ORDER BY doc_id_a, doc_id_b
 """.strip()
     )
 
@@ -304,7 +302,6 @@ shared AS (
 SELECT doc_id_a, doc_id_b, n_shared, (n_a + n_b - n_shared) AS n_union
 FROM shared
 WHERE 20 * n_shared >= n_a + n_b - n_shared  -- Jaccard >= 0.05
-ORDER BY doc_id_a, doc_id_b
 """.strip()
     )
 

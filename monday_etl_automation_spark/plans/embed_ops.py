@@ -87,7 +87,6 @@ scored AS (
 )
 SELECT query_id, neighbor_id, neighbor_label, cosine, rk
 FROM scored WHERE rk <= {_TOPK}
-ORDER BY query_id, rk
 """.strip()
 
 
@@ -446,7 +445,6 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rk
 FROM ranked WHERE rk <= {_TOPK}
-ORDER BY query_id, rk
 """.strip()
 
 

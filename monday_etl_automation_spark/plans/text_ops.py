@@ -138,7 +138,6 @@ g AS (
 SELECT lang, guessed, count(*) AS n_docs
 FROM g
 GROUP BY lang, guessed
-ORDER BY lang, guessed
 """.strip()
 
 
@@ -273,7 +272,6 @@ scored AS (
 )
 SELECT doc_id, term, tf, df, round(score, 6) AS score, rk
 FROM scored WHERE rk <= {_TFIDF_K}
-ORDER BY doc_id, rk
 """.strip()
 
 
