@@ -475,9 +475,12 @@ def test_ladder_rung1_twin_exactness(spark, rung1_dir, op):
     con.close()
 
     def norm(rows):
-        return [
+        # sorted: the twins dropped their cosmetic final ORDER BY in
+        # r18 (the driver compare is order-insensitive); this test pins
+        # VALUE exactness, like its deep-rung sibling below
+        return sorted(
             tuple(round(v, 6) if isinstance(v, float) else v for v in r) for r in rows
-        ]
+        )
 
     assert len(srows) == len(orows) and len(srows) > 0
     assert norm(srows) == norm(orows)

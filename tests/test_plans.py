@@ -84,14 +84,16 @@ def test_global_index_windows_are_partitioned(spark, sf_dir):
 
 
 def test_f_naming_shuffles_narrow(spark, sf_dir):
-    """The naming pipeline must shuffle exactly twice (one shared hash
-    exchange for both windows, one range exchange for the final order)
-    and the regexp-derived strings must not be window-shuffle payload:
-    the hash exchange's input is the pre-derivation projection, so
-    none of the derived output columns may appear below it."""
+    """The naming pipeline must shuffle exactly once (the shared hash
+    exchange for both windows — r18 removed the cosmetic final range
+    exchange: the driver compare is order-insensitive, so the trailing
+    sort only re-shuffled all ten derived strings) and the
+    regexp-derived strings must not be window-shuffle payload: the
+    hash exchange's input is the pre-derivation projection, so none of
+    the derived output columns may appear below it."""
     plan = _plan(spark, sf_dir, "f_naming_pipeline")
     exchanges = [l for l in plan.splitlines() if "Exchange" in l and "Broadcast" not in l]
-    assert len(exchanges) == 2, f"expected 2 data exchanges, got {len(exchanges)}: {exchanges}"
+    assert len(exchanges) == 1, f"expected 1 data exchange, got {len(exchanges)}: {exchanges}"
     hash_exchange_at = plan.index("Exchange hashpartitioning")
     below_window_shuffle = plan[hash_exchange_at:]
     for derived in ("safe_name", "signed_name", "upload_name"):
