@@ -73,9 +73,11 @@ _SENT_ARR = {
 
 
 def _ngram_hash_cte(dialect: str, src: str, out: str) -> str:
-    """{out}(doc_id, h): the distinct {_NGRAM}-gram 60-bit hashes of
-    relation {src}(doc_id, text). Same md5-derived hash family as
-    text_ops' fingerprints — identical values in both engines."""
+    """{out}(doc_id, h): the distinct {_NGRAM}-gram hashes of relation
+    {src}(doc_id, text). Spark hashes with xxhash64 (native codegen),
+    DuckDB with the md5-derived 60-bit family (it has no xxhash64) —
+    per-engine families may differ because only shared-gram COUNTS are
+    ever exposed (see gram_hash_expr)."""
     toks = _TOKS[dialect]
     if dialect == "spark":
         grams = (
@@ -87,7 +89,15 @@ def _ngram_hash_cte(dialect: str, src: str, out: str) -> str:
         body = f"""SELECT doc_id, explode(grams) AS g
     FROM (SELECT doc_id, {grams} AS grams
           FROM (SELECT doc_id, {toks} AS toks FROM {src}))"""
-        h = "CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)"
+        # r18: xxhash64 (native codegen) replaced md5+conv on the Spark
+        # side. The engines now hash with DIFFERENT families — safe
+        # because no surface exposes a gram hash VALUE: every consumer
+        # (n_hits, decon_hits, is_contaminated, relr counters) is a
+        # distinct-shared-gram COUNT, which is hash-independent as long
+        # as each family is collision-free on the compared sets (64-bit
+        # vs 60-bit over <=10^5 grams: P(collision) < 1e-9, and the
+        # oracle gates verify on the fixed corpus every run).
+        h = "xxhash64(g)"
     else:
         grams = (
             f"CASE WHEN len(toks) >= {_NGRAM} THEN"
@@ -117,10 +127,12 @@ def gram_hash_expr(dialect: str, toks_expr: str = "toks") -> str:
             f" i -> concat_ws(' ', slice({toks_expr}, i + 1, {_NGRAM})))"
             " ELSE array() END"
         )
-        return (
-            f"transform({grams},"
-            " g -> CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))"
-        )
+        # xxhash64 on the Spark side (r18) — see _ngram_hash_cte: the
+        # corpus and bench sides share one family per engine, and only
+        # COUNTS of shared grams are ever exposed, so the cross-engine
+        # family split cannot surface. ~0.3s/pass cheaper than
+        # md5+conv+substr at sf0.1 (measured, OPTIMIZATION_r18.md).
+        return f"transform({grams}, g -> xxhash64(g))"
     grams = (
         f"CASE WHEN len({toks_expr}) >= {_NGRAM} THEN"
         f" [array_to_string(({toks_expr})[i:i + {_NGRAM} - 1], ' ')"
@@ -175,7 +187,7 @@ def bench_set_ctes(dialect: str, prefix: str = "") -> str:
 {p}bset AS (SELECT {bset} AS hs FROM {p}bg)"""
 
 
-def overlap_flags_ctes(dialect: str, prefix: str = "") -> str:
+def overlap_flags_ctes(dialect: str, prefix: str = "", corp_spread: int | None = None) -> str:
     """WITH-fragment ending in ``{prefix}flags(doc_id, n_hits,
     is_contaminated)`` — one row per NON-benchmark doc. The corpus
     side tokenizes ``documents`` itself (the standalone operator
@@ -201,6 +213,19 @@ def overlap_flags_ctes(dialect: str, prefix: str = "") -> str:
               THEN coalesce(text, '') || ' {_SENTINEL}'
               ELSE coalesce(text, '') END AS text
   FROM documents WHERE doc_id % {_BENCH_MOD} <> 0"""
+    if corp_spread and dialect == "spark":
+        # guide §2.5 input-skew spread (the spread_unsplittable_scan
+        # pattern, SQL form): the caller passes the core count ONLY
+        # when the parquet layout cannot yield cores/2 scan tasks
+        # (sources/tables.py:spread_hint_n) — otherwise the whole
+        # gram+intersect chain below runs inside the single scan task.
+        # The exchange carries the RAW (doc_id, text) rows, never the
+        # derived gram arrays; at 100 TB the layout gate makes this a
+        # no-op.
+        corp = (
+            f"SELECT /*+ REPARTITION({corp_spread}) */ doc_id, text"
+            f" FROM ({corp}) {p}corp_raw"
+        )
     return f"""{bench_set_ctes(dialect, p)},
 {p}flags AS (
   SELECT doc_id,

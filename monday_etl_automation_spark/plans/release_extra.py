@@ -145,14 +145,18 @@ def _prep_source(spark: SparkSession, sf_dir: str) -> str:
     return hit[1]
 
 
-def _released_ctes(dialect: str, prep_src: str | None = None) -> str:
+def _released_ctes(
+    dialect: str, prep_src: str | None = None, corp_spread: int | None = None
+) -> str:
     """WITH-fragment ending in ``rel(doc_id, split)`` — the released
     corpus: prep-kept ∧ not benchmark ∧ not contaminated, with its
     hash-split assignment. Mirrors release_ops.release_training_corpus
     stage for stage (raw-text decontamination, same thresholds).
     ``prep_src``: a relation name carrying the materialized prep
     dispositions (the Spark executor passes _prep_source's view); None
-    derives them inline — the oracle path."""
+    derives them inline — the oracle path. ``corp_spread``: Spark-only
+    REPARTITION width for the decontam gram chain over an unsplittable
+    scan (sources/tables.py:spread_hint_n)."""
     splits = _split_sql(dialect, _FRACS).replace("\nORDER BY doc_id", "")
     if prep_src is None:
         prep = _corpus_prep_sql(dialect).replace("\nORDER BY doc_id", "")
@@ -161,7 +165,7 @@ def _released_ctes(dialect: str, prep_src: str | None = None) -> str:
         prep_rel = prep_src
     return f"""prep AS (SELECT * FROM {prep_rel} pp),
 kept AS (SELECT doc_id FROM prep WHERE disposition = 'kept'),
-{overlap_flags_ctes(dialect, "r")},
+{overlap_flags_ctes(dialect, "r", corp_spread=corp_spread)},
 rcontam AS (SELECT doc_id FROM rflags WHERE is_contaminated = 1),
 rsplits AS (SELECT * FROM ({splits}) s0),
 rel AS (
@@ -173,7 +177,9 @@ rel AS (
 )"""
 
 
-def _report_sql(dialect: str, prep_src: str | None = None) -> str:
+def _report_sql(
+    dialect: str, prep_src: str | None = None, corp_spread: int | None = None
+) -> str:
     """(stage, n) — the run report, one lazy query, both engines.
 
     Shape: ONE per-doc facts relation (kept/bench/contam flags + the
@@ -181,7 +187,13 @@ def _report_sql(dialect: str, prep_src: str | None = None) -> str:
     The first draft computed each stage as its own scalar subquery —
     neither engine dedupes those, so the corpus_prep chain (simhash
     self-join included) executed ~8x per pass (measured 12.8s of the
-    warm vector_extra pass at sf0.1; this shape is ~1.6s)."""
+    warm vector_extra pass at sf0.1; this shape is ~1.6s).
+
+    facts reads FROM rsplits (r18): rsplits is row-local and exactly
+    1:1 with documents (doc_id is unique), so the old
+    ``documents JOIN rsplits`` scanned the corpus twice and paid a join
+    for rows rsplits already carries — one scan and one join fewer in
+    both engines, bit-identical counters."""
     stages = (
         "total_docs",
         "kept_after_prep",
@@ -200,17 +212,16 @@ def _report_sql(dialect: str, prep_src: str | None = None) -> str:
     )
     picks = " ".join(f"WHEN '{s}' THEN c_{s}" for s in stages)
     return f"""
-WITH {_released_ctes(dialect, prep_src)},
+WITH {_released_ctes(dialect, prep_src, corp_spread)},
 facts AS (
-  SELECT d.doc_id,
+  SELECT s.doc_id,
          CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept,
-         CASE WHEN d.doc_id % {_BENCH_MOD} = 0 THEN 1 ELSE 0 END AS bench,
+         CASE WHEN s.doc_id % {_BENCH_MOD} = 0 THEN 1 ELSE 0 END AS bench,
          CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contam,
          s.split
-  FROM documents d
-  LEFT JOIN kept k ON d.doc_id = k.doc_id
-  LEFT JOIN rcontam c ON d.doc_id = c.doc_id
-  JOIN rsplits s ON d.doc_id = s.doc_id
+  FROM rsplits s
+  LEFT JOIN kept k ON s.doc_id = k.doc_id
+  LEFT JOIN rcontam c ON s.doc_id = c.doc_id
 ),
 agg AS (
   SELECT
@@ -251,8 +262,16 @@ tck AS (
 
 
 def release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from monday_etl_automation_spark.sources.tables import spread_hint_n
+
     register_views(spark, sf_dir)
-    return spark.sql(_report_sql("spark", _prep_source(spark, sf_dir)))
+    return spark.sql(
+        _report_sql(
+            "spark",
+            _prep_source(spark, sf_dir),
+            corp_spread=spread_hint_n(spark, sf_dir, "documents"),
+        )
+    )
 
 
 def train_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:

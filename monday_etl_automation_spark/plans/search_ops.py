@@ -592,10 +592,18 @@ def bm25_search_postings(
     if idfs is not None:
         idfs.createOrReplaceTempView("_bm_idf_ext")
         idf_rel = "_bm_idf_ext"
+    # VALUES, not createDataFrame (r18): a parallelized-RDD relation has
+    # no size statistics, so the planner costed the qterms join at
+    # defaultSizeInBytes and picked a SortMergeJoin — a full shuffle of
+    # the POSTINGS relation per execution (measured +0.37s/pass at
+    # sf0.1). A VALUES LocalTableScan is known-tiny and broadcasts,
+    # matching every other BM25 path's plan shape.
     pairs = [(q, t.lower()) for q, terms in queries.items() for t in terms]
-    spark.createDataFrame(pairs, "qid STRING, term STRING").createOrReplaceTempView(
-        "_bm_q_ext"
+    qrows = ", ".join(
+        "('{}', '{}')".format(q.replace("'", "''"), t.replace("'", "''"))
+        for q, t in pairs
     )
+    qterms_sql = f"SELECT * FROM VALUES {qrows} AS t(qid, term)"
     return spark.sql(
-        f"WITH {_bm25_tail_sql('spark', '_bm_po_ext', qterms='SELECT qid, term FROM _bm_q_ext', dl_rel=dl_rel, idf_rel=idf_rel)}"
+        f"WITH {_bm25_tail_sql('spark', '_bm_po_ext', qterms=qterms_sql, dl_rel=dl_rel, idf_rel=idf_rel)}"
     )

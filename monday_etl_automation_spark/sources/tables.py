@@ -162,6 +162,23 @@ def spread_unsplittable_scan(spark: SparkSession, df: DataFrame, sf_dir: str, na
     return df.repartition(cpus)
 
 
+def spread_hint_n(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """SQL-text twin of spread_unsplittable_scan: the partition count a
+    ``/*+ REPARTITION(n) */`` hint should use to spread a heavy
+    derivation over an unsplittable scan of ``name`` — or None when the
+    layout already yields >= cores/2 scan tasks (the 100 TB case, where
+    the hint must not fire). Same footer-only row-group probe, same
+    snapshot memoization."""
+    cpus = spark.sparkContext.defaultParallelism
+    key = ("scan_split_ceiling",) + snapshot_key(sf_dir, name)
+    cache = session_artifact_cache(spark, "scan_split_ceiling")
+    ceiling = cache.get(key)
+    if ceiling is None:
+        ceiling = scan_split_ceiling(sf_dir, name)
+        cache[key] = ceiling
+    return None if ceiling * 2 > cpus else cpus
+
+
 class _ArtifactCache(dict):
     """Snapshot-keyed artifact dict that EVICTS superseded snapshots on
     insert: a testdata regeneration changes the (mtime, size) part of
