@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from monday_etl_automation_spark.plans.sampling_ops import _TOKS
+from monday_etl_automation_spark.plans.sqltext import tail_order
 
 
 def _drift_sql(dialect: str, rel_a: str, rel_b: str) -> str:
@@ -67,8 +68,7 @@ SELECT coalesce(a.source, b.source) AS source,
        {share_b} AS share_ppm_b,
        abs({share_a} - {share_b}) AS abs_delta_ppm
 FROM a FULL OUTER JOIN b ON a.source = b.source
-CROSS JOIN ta CROSS JOIN tb
-ORDER BY source
+CROSS JOIN ta CROSS JOIN tb{tail_order(dialect, "source")}
 """.strip()
 
 

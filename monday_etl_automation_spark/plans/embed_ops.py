@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from monday_etl_automation_spark.plans.sqltext import tail_order
 from monday_etl_automation_spark.sources.tables import (
     bind_table,
     register_views,
@@ -924,8 +925,7 @@ final_rank AS (
   FROM scored
 )
 SELECT query_id, probe_cid, neighbor_id, cosine, rk
-FROM final_rank WHERE rk <= {_TOPK}
-ORDER BY query_id, rk"""
+FROM final_rank WHERE rk <= {_TOPK}{tail_order(dialect, "query_id, rk")}"""
 
 
 def _train_ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:

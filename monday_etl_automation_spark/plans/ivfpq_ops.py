@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from monday_etl_automation_spark.plans.sqltext import tail_order
 from monday_etl_automation_spark.plans.embed_ops import (
     _IVF_ITERS,
     _IVF_NCENT,
@@ -246,8 +247,7 @@ final_rank AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine, rk
-FROM final_rank WHERE rk <= {_TOPK}
-ORDER BY query_id, rk"""
+FROM final_rank WHERE rk <= {_TOPK}{tail_order(dialect, "query_id, rk")}"""
 
 
 def ivfpq_train_ctes(dialect: str, prefix: str = "") -> str:

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from monday_etl_automation_spark.plans.sqltext import tail_order
 from monday_etl_automation_spark.plans.embed_ops import (
     _DIM,
     _query_pred,
@@ -201,8 +202,7 @@ final_rank AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine, rk
-FROM final_rank WHERE rk <= {_TOPK}
-ORDER BY query_id, rk"""
+FROM final_rank WHERE rk <= {_TOPK}{tail_order(dialect, "query_id, rk")}"""
 
 
 def pq_train_ctes(dialect: str, prefix: str = "") -> str:

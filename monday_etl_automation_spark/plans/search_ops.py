@@ -54,6 +54,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from monday_etl_automation_spark.plans.sqltext import tail_order
 from monday_etl_automation_spark.plans.text_ops import _DUCK_TOKS, _SPARK_TOKS
 from monday_etl_automation_spark.sources.tables import register_views
 
@@ -226,8 +227,7 @@ ranked AS (
   FROM agg
 )
 SELECT qid, doc_id, CAST(score_micro AS DOUBLE) / 1000000 AS bm25, rk
-FROM ranked WHERE rk <= {_TOPK}
-ORDER BY qid, rk"""
+FROM ranked WHERE rk <= {_TOPK}{tail_order(dialect, "qid, rk")}"""
 
 
 def _bm25_sql(dialect: str) -> str:
@@ -417,8 +417,7 @@ rr AS (
   FROM fused
 )
 SELECT qid, CAST(doc_id AS BIGINT) AS doc_id, rrf_nano, bm_rk, ann_rk, rk
-FROM rr WHERE rk <= {_TOPK}
-ORDER BY qid, rk"""
+FROM rr WHERE rk <= {_TOPK}{tail_order(dialect, "qid, rk")}"""
 
 
 def _rrf_input_ranks(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

@@ -38,3 +38,14 @@ def materialize_ctes(sql: str) -> str:
     return _CTE_HEAD.sub(
         r"\1\2 AS MATERIALIZED (", sql.replace(" AS MATERIALIZED (", " AS (")
     )
+
+
+def tail_order(dialect: str, keys: str) -> str:
+    """Final ORDER BY for the DuckDB twin ONLY. Every compare that
+    consumes these bodies (the driver hash, strict_compare,
+    tests/oracle_compare) sorts rows before comparing, so a Spark-side
+    trailing sort buys nothing and costs a boundary-sampling job + a
+    range Exchange + Sort per execution (guide §2.4, r18). The DuckDB
+    side keeps the sort: it is free there and keeps twin output
+    deterministic for human inspection."""
+    return "" if dialect == "spark" else f"\nORDER BY {keys}"

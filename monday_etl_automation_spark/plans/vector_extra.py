@@ -154,10 +154,14 @@ ALL_SHAPES = SEARCH_SHAPES + PIPELINE_SHAPES
 
 
 def compose_frames(frames: dict[str, DataFrame], shapes: tuple[str, ...]) -> DataFrame:
+    # no final orderBy (r18): the driver compare sorts rows before
+    # hashing, so the trailing sort only added a boundary-sampling job
+    # + a range exchange per execution; the DuckDB oracle keeps its
+    # ORDER BY (free there, deterministic for inspection).
     df = frames[shapes[0]]
     for s in shapes[1:]:
         df = df.unionByName(frames[s])
-    return df.orderBy("shape", "qid", "rk", "i1")
+    return df
 
 
 def _build_vector_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
