@@ -917,11 +917,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     other-R-supplier <=> the order's R-supplier set is exactly {me};
     EXISTS other supplier <=> the order has >= 2 distinct suppliers."""
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
-    per_order = l.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.count_distinct("l_suppkey").alias("_n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("_n_r_supp"),
+    # dedupe-first instead of two count_distincts (r18): the double
+    # distinct planned an Expand (2x every lineitem row into the
+    # shuffle) + a two-phase distinct aggregate; grouping once by
+    # (order, supplier) and counting plain rows/flags shuffles the raw
+    # width once and aggregates trivially (measured 1.48 -> 1.02s solo
+    # at sf0.1, identical rows).
+    per_os = l.groupBy(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    ).agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_has_r"))
+    per_order = per_os.groupBy("_ok").agg(
+        F.count(F.lit(1)).alias("_n_supp"),
+        F.sum("_has_r").alias("_n_r_supp"),
     )
     fo = (
         _t(spark, sf_dir, "orders")

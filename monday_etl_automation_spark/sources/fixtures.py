@@ -65,13 +65,19 @@ FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 """.strip()
 
+# DISTINCT on the bare key, url derived AFTER (r18): public_url is a
+# pure function of asset_id, so deduping (asset_id, public_url) and
+# deduping asset_id alone yield identical rows — but the key-only form
+# shuffles one BIGINT instead of BIGINT+string and builds the url only
+# for the ~0.9N surviving rows (guide §2.3 narrower exchange; measured
+# 0.91 -> 0.69s for the distinct alone at sf0.1). Same text on both
+# engines, so every oracle sees the same rewrite.
 ASSETS_SQL = """
-SELECT DISTINCT
-  l_orderkey * 10 + l_linenumber AS asset_id,
-  CASE WHEN (l_orderkey * 10 + l_linenumber) % 13 = 0 THEN NULL
-       ELSE 'https://assets.local/' || CAST(l_orderkey * 10 + l_linenumber AS STRING)
+SELECT asset_id,
+  CASE WHEN asset_id % 13 = 0 THEN NULL
+       ELSE 'https://assets.local/' || CAST(asset_id AS STRING)
   END AS public_url
-FROM lineitem
+FROM (SELECT DISTINCT l_orderkey * 10 + l_linenumber AS asset_id FROM lineitem) d
 """.strip()
 
 ITEMS_SQL = """
