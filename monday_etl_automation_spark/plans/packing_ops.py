@@ -118,7 +118,11 @@ def pack_sequences(
     (plans/tokenize_ops.py); ``chunk_size``/``overlap``/``counter``
     are ignored when it is given."""
     if chunks is None:
-        chunks = chunk_documents(spark, sf_dir, chunk_size, overlap, counter)
+        # ordered=False: packing is order-independent — pack() sorts
+        # each shard group deterministically before assigning seq_idx,
+        # so the chunker's global ORDER BY only added a range exchange
+        # + sort of every chunk row per execution (r18).
+        chunks = chunk_documents(spark, sf_dir, chunk_size, overlap, counter, ordered=False)
     chunks = chunks.select("doc_id", "chunk_idx", "n_chunk_tokens")
     if doc_ids is not None:
         chunks = chunks.join(doc_ids.select("doc_id"), "doc_id", "left_semi")

@@ -566,9 +566,17 @@ def chunk_documents(
     overlap: int = 16,
     counter: str = "ws",
     with_units: bool = False,
+    ordered: bool = True,
 ) -> DataFrame:
+    """``ordered=False`` strips the trailing global sort (r18): callers
+    whose downstream is order-independent (the FFD packer re-sorts
+    within each shard group) otherwise pay a range exchange + sort of
+    every chunk row per execution for nothing."""
     register_views(spark, sf_dir)
-    return spark.sql(_chunk_sql("spark", size, overlap, counter, with_units))
+    sql = _chunk_sql("spark", size, overlap, counter, with_units)
+    if not ordered:
+        sql = sql.replace("\nORDER BY doc_id, chunk_idx", "")
+    return spark.sql(sql)
 
 
 def chunk_oracle(size: int = 64, overlap: int = 16, counter: str = "ws") -> str:
