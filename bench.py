@@ -73,9 +73,16 @@ def main() -> int:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     from monday_etl_automation_spark.plans import registry
-    from monday_etl_automation_spark.session import get_spark
+    from monday_etl_automation_spark.session import _cpus, get_spark
 
     spark = get_spark("bench")
+    # Self-proving CPU contract (r18 verdict item 2): the official line
+    # carries the core count the harness RESOLVED from $SPARK_GRAFT_CPUS
+    # (session.py routes it into master local[n] AND shuffle.partitions)
+    # plus the scheduler's OBSERVED slot count, so a reader can verify
+    # the env var was honored without re-deriving it from the code.
+    cpus = _cpus()
+    observed_parallelism = spark.sparkContext.defaultParallelism
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs] + [n for n in sorted(qs) if n not in HEADLINE]
 
@@ -168,6 +175,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "cpus": cpus,
+                "default_parallelism": observed_parallelism,
                 "steal_cpu_s": steal,
                 "spread": spread,
             }

@@ -77,7 +77,14 @@ def _ngram_hash_cte(dialect: str, src: str, out: str) -> str:
     {src}(doc_id, text). Spark hashes with xxhash64 (native codegen),
     DuckDB with the md5-derived 60-bit family (it has no xxhash64) —
     per-engine families may differ because only shared-gram COUNTS are
-    ever exposed (see gram_hash_expr)."""
+    ever exposed (see gram_hash_expr).
+
+    Collision symptom (r18 ADVICE, for fast diagnosis if it ever
+    fires): a hash collision in EITHER family would surface as a
+    one-off n_hits/decon_hits count mismatch in the strict compare or
+    driver hash on vector_extra/text_profile, with no code change to
+    explain it. P < 1e-9 at current gram-set sizes; if seen, suspect
+    this cross-family split first."""
     toks = _TOKS[dialect]
     if dialect == "spark":
         grams = (

@@ -54,11 +54,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from monday_etl_automation_spark.plans.sqltext import tail_order
+from monday_etl_automation_spark.plans.sqltext import spark_str_lit, tail_order
 from monday_etl_automation_spark.plans.text_ops import _DUCK_TOKS, _SPARK_TOKS
 from monday_etl_automation_spark.sources.tables import register_views
 
 _TOPK = 10
+
+
+def _qterm_values(pairs: list[tuple[str, str]]) -> str:
+    """Row list for a (qid, term) VALUES parameter relation —
+    spark_str_lit escapes backslashes AND quotes, so caller-supplied
+    strings pass verbatim (r18 ADVICE: Spark literals interpret
+    backslash escapes; quote-only escaping silently altered them)."""
+    return ", ".join(f"({spark_str_lit(q)}, {spark_str_lit(t)})" for q, t in pairs)
+
 
 # per-row query parameters: (query_id, term). 'dup' is the one rare
 # term in the synthetic vocabulary (df 25/500) — q1 pins that BM25
@@ -348,10 +357,13 @@ def bm25_search(
         empty = sorted(q for q, terms in queries.items() if not terms)
         if empty or not queries:
             raise ValueError(f"bm25_search queries without terms: {empty or '(none)'}")
+        # VALUES, not createDataFrame (r18 invariant): an RDD-backed
+        # relation has no size stats and turns the qterms join into a
+        # SortMergeJoin shuffling the postings side per execution.
         pairs = [(q, t.lower()) for q, terms in queries.items() for t in terms]
-        spark.createDataFrame(pairs, "qid STRING, term STRING").createOrReplaceTempView(
-            "_bm25_q"
-        )
+        spark.sql(
+            f"SELECT * FROM VALUES {_qterm_values(pairs)} AS t(qid, term)"
+        ).createOrReplaceTempView("_bm25_q")
     return spark.sql(
         f"WITH {_bm25_tail_sql('spark', '_bm25_po', qterms='SELECT qid, term FROM _bm25_q', dl_rel='_bm25_dl')}"
     )
@@ -598,11 +610,7 @@ def bm25_search_postings(
     # sf0.1). A VALUES LocalTableScan is known-tiny and broadcasts,
     # matching every other BM25 path's plan shape.
     pairs = [(q, t.lower()) for q, terms in queries.items() for t in terms]
-    qrows = ", ".join(
-        "('{}', '{}')".format(q.replace("'", "''"), t.replace("'", "''"))
-        for q, t in pairs
-    )
-    qterms_sql = f"SELECT * FROM VALUES {qrows} AS t(qid, term)"
+    qterms_sql = f"SELECT * FROM VALUES {_qterm_values(pairs)} AS t(qid, term)"
     return spark.sql(
         f"WITH {_bm25_tail_sql('spark', '_bm_po_ext', qterms=qterms_sql, dl_rel=dl_rel, idf_rel=idf_rel)}"
     )

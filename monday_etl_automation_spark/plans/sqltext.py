@@ -40,6 +40,17 @@ def materialize_ctes(sql: str) -> str:
     )
 
 
+def spark_str_lit(s: str) -> str:
+    """A Spark SQL single-quoted string literal for ``s``, safe for
+    interpolation into VALUES parameter relations. Spark string
+    literals interpret backslash escape sequences (default
+    ``spark.sql.parser.escapedStringLiterals=false``), so both the
+    backslash AND the quote must be escaped — a bare
+    ``replace("'", "''")`` would silently alter any value containing a
+    backslash (r18 ADVICE)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def tail_order(dialect: str, keys: str) -> str:
     """Final ORDER BY for the DuckDB twin ONLY. Every compare that
     consumes these bodies (the driver hash, strict_compare,

@@ -138,6 +138,23 @@ def scan_split_ceiling(sf_dir: str, name: str) -> int:
         return 1 << 30
 
 
+def _spread_n(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """Shared gate for the two spread twins (r18 ADVICE: the memoized
+    probe + cores/2 threshold must live once so they cannot drift):
+    the partition count to spread an unsplittable scan of ``name``
+    over, or None when the layout already yields >= cores/2 scan tasks
+    (the 100 TB case, where spreading must not fire). Footer-only
+    row-group probe, snapshot-memoized."""
+    cpus = spark.sparkContext.defaultParallelism
+    key = ("scan_split_ceiling",) + snapshot_key(sf_dir, name)
+    cache = session_artifact_cache(spark, "scan_split_ceiling")
+    ceiling = cache.get(key)
+    if ceiling is None:
+        ceiling = scan_split_ceiling(sf_dir, name)
+        cache[key] = ceiling
+    return None if ceiling * 2 > cpus else cpus
+
+
 def spread_unsplittable_scan(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     """Guide §2.5 (input skew: "one huge unsplittable file ...
     otherwise repartition immediately after the read"): when the
@@ -150,16 +167,8 @@ def spread_unsplittable_scan(spark: SparkSession, df: DataFrame, sf_dir: str, na
     derivations so the exchange carries raw columns, never derived
     payloads (the r14 lesson: repartitioning encoded binary cost more
     than it saved)."""
-    cpus = spark.sparkContext.defaultParallelism
-    key = ("scan_split_ceiling",) + snapshot_key(sf_dir, name)
-    cache = session_artifact_cache(spark, "scan_split_ceiling")
-    ceiling = cache.get(key)
-    if ceiling is None:
-        ceiling = scan_split_ceiling(sf_dir, name)
-        cache[key] = ceiling
-    if ceiling * 2 > cpus:
-        return df
-    return df.repartition(cpus)
+    n = _spread_n(spark, sf_dir, name)
+    return df if n is None else df.repartition(n)
 
 
 def spread_hint_n(spark: SparkSession, sf_dir: str, name: str) -> int | None:
@@ -167,16 +176,8 @@ def spread_hint_n(spark: SparkSession, sf_dir: str, name: str) -> int | None:
     ``/*+ REPARTITION(n) */`` hint should use to spread a heavy
     derivation over an unsplittable scan of ``name`` — or None when the
     layout already yields >= cores/2 scan tasks (the 100 TB case, where
-    the hint must not fire). Same footer-only row-group probe, same
-    snapshot memoization."""
-    cpus = spark.sparkContext.defaultParallelism
-    key = ("scan_split_ceiling",) + snapshot_key(sf_dir, name)
-    cache = session_artifact_cache(spark, "scan_split_ceiling")
-    ceiling = cache.get(key)
-    if ceiling is None:
-        ceiling = scan_split_ceiling(sf_dir, name)
-        cache[key] = ceiling
-    return None if ceiling * 2 > cpus else cpus
+    the hint must not fire)."""
+    return _spread_n(spark, sf_dir, name)
 
 
 class _ArtifactCache(dict):
