@@ -984,18 +984,16 @@ class StatusUpsertSink:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         latest = self._bucketed(self._latest_per_key(batch))
         if self._has_state:
-            # bucket-pruned read: only state partitions the batch
-            # touches. Touched buckets come straight off the raw batch
-            # (map-side-combined distinct over ints) — one cheap job,
-            # no materialization of the aggregated batch needed.
-            touched = [
-                r["bucket"]
-                for r in batch.select(
-                    (F.col("item_id") % self.n_buckets).cast("int").alias("bucket")
-                )
-                .distinct()
-                .collect()
-            ]
+            # r19: materialize the AGGREGATED batch (|keys| rows, tiny)
+            # once, then derive the touched-bucket list from it. The
+            # r18 shape collected touched off the raw batch instead —
+            # that was one extra full scan of the batch file per batch,
+            # and the un-materialized `latest` re-ran its aggregation a
+            # second time inside `merged`'s execution. One batch scan +
+            # one batch agg total; the key set (hence bucket set) is
+            # identical by definition of GROUP BY.
+            latest = latest.localCheckpoint(eager=True)
+            touched = [r["bucket"] for r in latest.select("bucket").distinct().collect()]
             prev = self.spark.read.parquet(self.path).where(F.col("bucket").isin(touched))
             merged = self._bucketed(self._latest_per_key(prev.unionByName(latest)))
         else:
