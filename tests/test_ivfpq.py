@@ -51,3 +51,20 @@ def test_ivfpq_index_is_compact(spark, sf_dir):
     assert all(r["count"] == 1 for r in cids)
     # codebooks are KB-sized: at most _M subs x 16 codes x 4 dims rows
     assert rcb.count() <= _M * 16 * 4
+
+
+def test_ivfpq_folded_search_plan(spark, sf_dir):
+    """r19 fold pin: the probed-ADC search must not re-aggregate the
+    exploded codes per execution — no hash-partitioning exchange, no
+    SortMergeJoin of the checkpointed KB-sized metadata (stats-less
+    ExistingRDD scans need the explicit broadcast hints), no
+    CartesianProduct."""
+    from monday_etl_automation_spark.plans.ivfpq_ops import ivfpq_topk
+
+    df = ivfpq_topk(spark, sf_dir)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"  # noqa: SLF001
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0

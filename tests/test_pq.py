@@ -53,3 +53,18 @@ def test_pq_codes_are_compact(spark, sf_dir):
     # result shape: top-5 per query, never more
     n = pq_topk(spark, sf_dir).groupBy("query_id").count().collect()
     assert n and all(r["count"] <= 5 for r in n)
+
+
+def test_pq_folded_search_plan(spark, sf_dir):
+    """r19 fold pin: the persisted-meta ADC search must run shuffle-free
+    up to the per-query window — no hash-partitioning exchange from an
+    exploded-codes aggregation (guide §2.4), no CartesianProduct (the
+    bounded query side must broadcast), no SortMergeJoin of the
+    KB-sized metadata relations."""
+    df = pq_topk(spark, sf_dir)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"  # noqa: SLF001
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
