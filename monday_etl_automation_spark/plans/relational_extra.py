@@ -923,12 +923,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (order, supplier) and counting plain rows/flags shuffles the raw
     # width once and aggregates trivially (measured 1.48 -> 1.02s solo
     # at sf0.1, identical rows).
+    # r19: ONE lineitem pass total. The r18 shape re-scanned lineitem
+    # for its R rows and semi-joined them against the qualifying
+    # orders — but a qualifying order has EXACTLY ONE R supplier, so
+    # the winner's suppkey and its R-line count fold into the
+    # per-order aggregate as max(when(has_r, ...)) (exact: one
+    # matching row per group) and the second scan + R-row shuffle
+    # disappear. numwait(s) = sum of the winner's R-line counts over
+    # its qualifying finished orders — the same rows the r18 count(*)
+    # counted, grouped the same way.
     per_os = l.groupBy(
         F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
-    ).agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_has_r"))
+    ).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("_n_r")
+    )
+    has_r = F.col("_n_r") > 0
     per_order = per_os.groupBy("_ok").agg(
         F.count(F.lit(1)).alias("_n_supp"),
-        F.sum("_has_r").alias("_n_r_supp"),
+        F.sum(has_r.cast("int")).alias("_n_r_supp"),
+        F.max(F.when(has_r, F.col("_sk"))).alias("_w_sk"),
+        F.max(F.when(has_r, F.col("_n_r"))).alias("_w_nr"),
     )
     fo = (
         _t(spark, sf_dir, "orders")
@@ -948,16 +962,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        l.where(F.col("l_returnflag") == "R")
-        .join(fo, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(
-            per_order.where((F.col("_n_supp") >= 2) & (F.col("_n_r_supp") == 1)),
-            F.col("l_orderkey") == F.col("_ok"),
-            "left_semi",
-        )
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.where((F.col("_n_supp") >= 2) & (F.col("_n_r_supp") == 1))
+        .join(fo, F.col("_ok") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(sn), F.col("_w_sk") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_w_nr").cast("bigint").alias("numwait"))
     )
 
 
