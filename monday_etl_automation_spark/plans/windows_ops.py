@@ -132,18 +132,24 @@ def stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the slice bounds it at ~1/7 while every timer semantic still
     # fires; the oracle filters the identical slice (full corpus
     # stays covered by tests/test_streaming.py at the pytest SF).
-    # n_splits=3: the replay's fixed cost is per micro-batch (state
-    # server + store commits, ~1.3s each at sf0.1 measured r15) and 3
-    # batches already exercise every timer path (sessions spanning two
-    # boundaries, mid-stream fires, the final watermark pass); oracle
-    # exactness re-verified at 2/3/4/8 splits — the emitted set only
-    # depends on the final watermark, never the batch cut.
+    # n_splits=2 (r19, was 3; r18 verdict item 4): the replay's fixed
+    # cost is per micro-batch (state server + store commits, ~1.3-1.5s
+    # each at sf0.1 — re-measured r19 at both 32 and 8 cores:
+    # timer3 4.77/4.17s vs timer2 3.26/3.17s) and 2 batches still
+    # exercise a real cross-batch session, a mid-stream timer fire at
+    # the interior boundary, and the final watermark pass. The emitted
+    # set depends ONLY on the final watermark, never the batch cut —
+    # pinned by test_timer_sessionization_split_invariant (2==3==8
+    # splits) — so the oracle is unchanged; the multi-boundary state
+    # path stays exercised by the 4-batch pytest variant
+    # (tests/test_streaming.py). State width 4 re-confirmed optimal at
+    # both core counts (width 2 slower on BOTH window and timer).
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_win = pool.submit(streaming.run_session_replay, spark, sf_dir)
         f_tim = pool.submit(
-            streaming.run_timer_sessions_replay, spark, sf_dir, 300, 3, 7
+            streaming.run_timer_sessions_replay, spark, sf_dir, 300, 2, 7
         )
         win = f_win.result()
         tim = f_tim.result()
