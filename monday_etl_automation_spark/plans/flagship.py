@@ -28,23 +28,37 @@ from monday_etl_automation_spark.sources.fixtures import register_fixture_views,
 
 # Spark-only: fold the exploded fixture back into JSON cells, injecting
 # the malformed / NULL cells the silent-null path must survive.
+# {src} is `files`, optionally wrapped in a keyed REPARTITION (below).
 FILE_CELLS_SQL = """
 SELECT
   item_id,
   column_id,
   CASE
-    WHEN item_id % 97 = 0 THEN '{not valid json'
+    WHEN item_id % 97 = 0 THEN '{{not valid json'
     WHEN item_id % 89 = 1 THEN NULL
     ELSE to_json(named_struct('files', collect_list(named_struct(
            'assetId', asset_id, 'name', file_name, 'createdAt', created_at))))
   END AS cell
-FROM files
+FROM {src}
 GROUP BY item_id, column_id
 """.strip()
 
+# r19: when the base parquet cannot yield even cores/2 scan tasks, the
+# fold's map-side ObjectHashAggregate (partial collect_list) runs on
+# ONE task — and partial collect_list never reduces shuffle bytes (the
+# lists carry every row), so that single-task pass is pure overhead.
+# A keyed REPARTITION on the group keys replaces the aggregation's own
+# exchange (guide §2.4: two operations keyed the same way share one
+# exchange) and moves the list building onto every core. Gated on the
+# same footer probe as every spread (sources/tables.py): at 100 TB the
+# scan has thousands of tasks and the plan stays byte-identical to
+# r18's. Interleaved A/B at sf0.1: flagship 3.016 -> 2.295 min-of-5,
+# rows identical (295,689).
+_REPART_SRC = "(SELECT /*+ REPARTITION(item_id, column_id) */ * FROM files) files"
 
-def build_file_cells(spark: SparkSession) -> DataFrame:
-    return spark.sql(FILE_CELLS_SQL)
+
+def build_file_cells(spark: SparkSession, spread: bool = False) -> DataFrame:
+    return spark.sql(FILE_CELLS_SQL.format(src=_REPART_SRC if spread else "files"))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,8 +101,10 @@ _ASSETS_BCAST_FILE_MAX = 32 * 1024 * 1024
 def _build_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
+    from monday_etl_automation_spark.sources.tables import spread_hint_n
+
     register_fixture_views(spark, sf_dir)
-    cells = build_file_cells(spark)
+    cells = build_file_cells(spark, spread=spread_hint_n(spark, sf_dir, "lineitem") is not None)
     files = parse_file_cells(cells)
     selected = apply_rules(files, spark.table("rules"))
     try:
