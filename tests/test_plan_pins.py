@@ -82,8 +82,13 @@ _PINS: dict[str, tuple[int, int, bool]] = {
     "vector_extra": (4, 5, True),
     # r12 additions: pins now cover every top-10 bench cost center
     # 16 union-tagged TPC-H shapes: ~1.5 hash exchanges per shape,
-    # broadcasts enforced on every dim join across the union
-    "tpch_extra": (24, 99, True),
+    # broadcasts enforced on every dim join across the union.
+    # r19: broadcast floor 99 -> 97 — q21's single-pass rewrite
+    # REMOVED two joins outright (the second lineitem scan's fo-semi +
+    # per_order-semi chain), so two broadcasts legitimately left the
+    # plan; nothing degraded to a shuffle join (tpch_extra still plans
+    # exactly one SortMergeJoin, q20's supplier-bounded semi).
+    "tpch_extra": (24, 97, True),
     # three Python surfaces (stateful replay + grouped-map + UDAF),
     # all shuffling on user_id once each
     "stateful_user_totals": (3, 4, True),
